@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over the `embeddings` table
+  * (`vec_id bigint, embedding array<float>, label int`, dim 64).
+  *
+  * Two paths, as a training-data pipeline needs at scale:
+  *
+  *   - q31: brute-force cosine top-k. The query set is broadcast, the
+  *     candidate side streams — one scan, no shuffle of the large
+  *     side; cost O(|Q|·N·dim) distributed over candidate partitions.
+  *   - q32: LSH-bucketed ANN — sign-bit bucketing (axis-aligned
+  *     random-hyperplane LSH) shrinks the candidate set per query to
+  *     one bucket; the join is an equi-join on bucket id, so at 100 TB
+  *     it hash-partitions instead of cross-joining.
+  *
+  * The dot product is a left-to-right fold in both Spark
+  * (`aggregate(zip_with(...))`) and DuckDB (`list_dot_product` over
+  * DOUBLE[]), so the oracle values agree bit-for-bit; rounding to 4 dp
+  * makes ranking ties deterministic (tie-break on candidate id).
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** cosine(qv, cv) in double precision via codegen'd higher-order
+    * array functions (no UDF — stays inside WholeStageCodegen).
+    */
+  private def cosine(qv: String, cv: String): Column = {
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    expr(s"${dot(qv, cv)} / (sqrt(${dot(qv, qv)}) * sqrt(${dot(cv, cv)}))")
+  }
+
+  /** 8-bit sign-LSH bucket over dims 0,8,16,…,56 (axis-aligned
+    * hyperplanes — deterministic and oracle-portable; a production
+    * variant would use seeded random hyperplanes, same plan shape).
+    * `dims0` are 0-based Spark indices; DuckDB adds 1.
+    */
+  private val bucketDims = 0 until 8 map (_ * 8)
+
+  private def bucketExprSpark(col0: String): Column =
+    expr(bucketDims.zipWithIndex.map { case (dim, j) =>
+      s"(CASE WHEN $col0[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)"))
+
+  private def bucketSqlDuck(col0: String): String =
+    bucketDims.zipWithIndex.map { case (dim, j) =>
+      s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)")
+
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q31: brute-force cosine top-10 for query vectors vec_id < 10.
+    "q31_ann_bruteforce" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
+    }),
+
+    // q32: LSH-bucketed ANN — equi-join on bucket, top-5 in-bucket.
+    "q32_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val withB = e.withColumn("bucket", bucketExprSpark("embedding"))
+      val q = withB.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+      val c = withB
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("bucket"), col("cos_sim"), col("rn"))
+    }),
+
+    // q36: centroid per label — the IVF coarse-quantizer build step
+    // (mean vector per cell as array<double>); also exercises
+    // element-wise array aggregation.
+    "q36_label_centroid_norm" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), col("vec_id"),
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))").as("sq"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(sqrt(col("sq"))), 4).as("avg_norm"),
+          round(min(sqrt(col("sq"))), 4).as("min_norm"),
+          round(max(sqrt(col("sq"))), 4).as("max_norm"))
+    }))
+
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+    val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+    val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+    val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
+    Map(
+      "q31_ann_bruteforce" ->
+        s"""SELECT query_id, cand_id, cos_sim, rn FROM (
+           | SELECT query_id, cand_id, cos_sim,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, cand_id) AS rn
+           | FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |   $cosSql AS cos_sim
+           |  FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 10) q(vec_id, qv),
+           |   (SELECT vec_id, embedding AS cv FROM embeddings) c(vec_id, cv)
+           |  WHERE q.vec_id <> c.vec_id))
+           |WHERE rn <= 10""".stripMargin,
+
+      "q32_ann_lsh" ->
+        s"""WITH wb AS (SELECT vec_id, embedding,
+           |   ${bucketSqlDuck("embedding")} AS bucket FROM embeddings)
+           |SELECT query_id, cand_id, bucket, cos_sim, rn FROM (
+           | SELECT query_id, cand_id, bucket, cos_sim,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, cand_id) AS rn
+           | FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+           |   $cosSql AS cos_sim
+           |  FROM (SELECT vec_id, embedding AS qv, bucket FROM wb WHERE vec_id < 50) q(vec_id, qv, bucket)
+           |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) c(vec_id, cv, bucket)
+           |   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id))
+           |WHERE rn <= 5""".stripMargin,
+
+      "q36_label_centroid_norm" ->
+        """SELECT label, count(*) AS n_vecs,
+          | round(avg(nrm), 4) AS avg_norm,
+          | round(min(nrm), 4) AS min_norm,
+          | round(max(nrm), 4) AS max_norm
+          |FROM (SELECT label,
+          |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[]))) AS nrm
+          |  FROM embeddings)
+          |GROUP BY label""".stripMargin)
+  }
+}

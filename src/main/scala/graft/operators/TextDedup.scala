@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + text-analysis operators over the `documents` table
+  * (north-star additions, SURVEY.md §2.2 last row).
+  *
+  * All operators are pure shuffle-based dataflow — shingle explode →
+  * groupBy/join — with no driver-side state, so they scale to any
+  * document count. The near-dup pipeline follows the classic
+  * MinHash/LSH construction (Broder 1997; Leskovec/Rajaraman/Ullman
+  * "Mining of Massive Datasets" ch.3):
+  *
+  *   tokens → 3-word shingles → 16 MinHashes → 4 bands × 4 rows →
+  *   band-hash bucket join → candidate pairs.
+  *
+  * Hash functions are engine-portable on purpose: the i-th MinHash is
+  * `min(md5(i || '|' || shingle))` — a lexicographic min over an
+  * md5-keyed permutation — so the DuckDB oracle computes the identical
+  * signature with the identical SQL functions. At scale the shingle
+  * self-join is bounded by document frequency (a df cap drops
+  * boilerplate shingles before the join, the standard guard against
+  * quadratic hot-key blowup).
+  */
+object TextDedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Max document frequency for a shingle to participate in pair
+    * generation. Shingles more common than this are boilerplate: they
+    * contribute little to Jaccard but dominate join fan-out (df² pairs
+    * per shingle). Applied identically in Spark and the oracle.
+    */
+  private val MaxShingleDf = 100
+
+  /** (doc_id, shingle) — distinct 3-word shingles per document.
+    * Tokenization via regexp_extract_all('\S+') so empty tokens can
+    * never appear (split() keeps boundary empties inconsistently
+    * across engines).
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) " +
+          "ELSE CAST(array() AS array<string>) END")).as("shingle"))
+      .distinct()
+
+  /** Same relation in DuckDB SQL (1-based list indexing). */
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, unnest(list_transform(
+      |   generate_series(1, greatest(len(ws)-2, 0)),
+      |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      | FROM (SELECT doc_id,
+      |   regexp_extract_all(lower(text), '\S+') AS ws FROM documents)""".stripMargin
+
+  /** Shingles surviving the df cap, as a SQL CTE prefix shared by the
+    * jaccard and minhash oracles.
+    */
+  private val filteredShinglesCte: String =
+    s"""WITH sh_all AS ($shinglesSql),
+       | keep AS (SELECT shingle FROM sh_all GROUP BY shingle
+       |   HAVING count(*) <= $MaxShingleDf),
+       | sh AS (SELECT doc_id, sh_all.shingle FROM sh_all
+       |   JOIN keep ON sh_all.shingle = keep.shingle)""".stripMargin
+
+  private def filteredShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val keep = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("shingle"))
+    sh.join(keep, "shingle").select(col("doc_id"), col("shingle"))
+  }
+
+  // 16-bit SimHash, engine-portable: bit b of token-hash = bit
+  // (3 - b%4) of the hex digit at md5 position (b/4 + 1). The digit is
+  // recovered with instr('0123456789abcdef', ...) which is identical
+  // SQL in Spark and DuckDB, so one generated snippet serves both.
+  private val SimHashBits = 16
+
+  private def simhashContrib(b: Int): String = {
+    val charIdx = b / 4 + 1
+    val pw = 1 << (3 - b % 4)
+    s"(2 * (CAST(floor((instr('0123456789abcdef', substr(md5(tok), $charIdx, 1)) - 1) / $pw) AS INT) % 2) - 1)"
+  }
+
+  private def simhashSumCols: Seq[String] =
+    (0 until SimHashBits).map(b => s"sum(${simhashContrib(b)}) AS s$b")
+
+  private def simhashFingerprint: String =
+    (0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "pas")
+  private val esStop = Seq("el", "los", "las", "y", "es", "un", "una", "no")
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q27: exact dedup via normalized-text fingerprint (lower +
+    // whitespace collapse + md5). Hash-groupBy — embarrassingly
+    // parallel at any scale.
+    "q27_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("fingerprint",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+    }),
+
+    // q28: exact n-gram Jaccard near-dup pairs (threshold 0.5). The
+    // shingle self-join is df-capped; at 100 TB the same plan holds
+    // because fan-out per shingle is bounded by MaxShingleDf².
+    "q28_ngram_jaccard" -> ((s, d) => {
+      val sh = filteredShingles(s, d).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // q29: MinHash + LSH candidate pairs — the scale path for near-dup
+    // (no quadratic jaccard join; bucket join on 4 band hashes).
+    "q29_minhash_lsh" -> ((s, d) => {
+      val sh = filteredShingles(s, d)
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
+        (1 until 16).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map { bnd =>
+          struct(lit(bnd).as("band"),
+            md5(concat(col(s"h${4 * bnd}"), col(s"h${4 * bnd + 1}"),
+              col(s"h${4 * bnd + 2}"), col(s"h${4 * bnd + 3}")).cast("binary")).as("bh"))
+        }: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+      l.join(r, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }),
+
+    // q30: 16-bit SimHash fingerprint per document (token-frequency
+    // weighted). One explode + one groupBy — linear in corpus size.
+    "q30_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(expr(simhashSumCols.head).as("s0"),
+          simhashSumCols.tail.map(c => expr(c)): _*)
+        .select(col("doc_id"), expr(s"CAST($simhashFingerprint AS BIGINT)").as("simhash"))
+    }),
+
+    // q33: per-language text-quality statistics (token count, word
+    // length, stopword ratio) — the quality-scoring primitives of a
+    // training-data pipeline.
+    "q33_text_stats" -> ((s, d) => {
+      val stop = enStop
+      t(s, d, "documents")
+        .withColumn("toks", regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_nospace", length(regexp_replace(col("text"), "\\s+", "")))
+        .withColumn("stop_hits", size(filter(col("toks"), w => w.isInCollection(stop))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          round(avg(col("n_nospace") / col("n_tokens")), 4).as("avg_word_len"),
+          round(avg(col("stop_hits") / col("n_tokens")), 4).as("avg_stop_ratio"))
+    }),
+
+    // q34: heuristic language ID via stopword-set scores, reported as
+    // a (true lang × predicted lang) confusion matrix.
+    "q34_lang_id" -> ((s, d) => {
+      def score(c: org.apache.spark.sql.Column, ws: Seq[String]) =
+        size(filter(c, w => w.isInCollection(ws)))
+      t(s, d, "documents")
+        .withColumn("toks", regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .withColumn("s_en", score(col("toks"), enStop))
+        .withColumn("s_de", score(col("toks"), deStop))
+        .withColumn("s_fr", score(col("toks"), frStop))
+        .withColumn("s_es", score(col("toks"), esStop))
+        .withColumn("predicted",
+          when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "unknown")
+            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // q35: token / subtoken accounting per source (BPE-ish subtoken
+    // estimate: ceil(len/4) pieces per whitespace token).
+    "q35_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(ceil(length(col("tok")) / 4.0)).cast("long").as("n_subtokens"))
+    }))
+
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q27_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        | count(*) AS n_docs, min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q28_ngram_jaccard" ->
+      s"""$filteredShinglesCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q29_minhash_lsh" -> {
+      val sigCols = (0 until 16)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""$filteredShinglesCte,
+         | sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         | bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "q30_simhash" -> {
+      s"""SELECT doc_id, CAST($simhashFingerprint AS BIGINT) AS simhash FROM (
+         |  SELECT doc_id, ${simhashSumCols.mkString(", ")}
+         |  FROM (SELECT doc_id,
+         |     unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |    FROM documents)
+         |  GROUP BY doc_id)""".stripMargin
+    },
+
+    "q33_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | round(avg(n_tokens), 4) AS avg_tokens,
+         | round(avg(n_nospace * 1.0 / n_tokens), 4) AS avg_word_len,
+         | round(avg(stop_hits * 1.0 / n_tokens), 4) AS avg_stop_ratio
+         |FROM (
+         |  SELECT lang,
+         |   len(toks) AS n_tokens,
+         |   length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+         |   len(list_filter(toks, w -> list_contains([${sqlList(enStop)}], w))) AS stop_hits
+         |  FROM (SELECT lang, text,
+         |     regexp_extract_all(lower(text), '\\S+') AS toks FROM documents))
+         |GROUP BY lang""".stripMargin,
+
+    "q34_lang_id" -> {
+      def sc(name: String, ws: Seq[String]) =
+        s"len(list_filter(toks, w -> list_contains([${sqlList(ws)}], w))) AS $name"
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         | SELECT lang,
+         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+         |   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |   WHEN s_fr >= s_es THEN 'fr'
+         |   ELSE 'es' END AS predicted
+         | FROM (
+         |  SELECT lang, ${sc("s_en", enStop)}, ${sc("s_de", deStop)},
+         |   ${sc("s_fr", frStop)}, ${sc("s_es", esStop)}
+         |  FROM (SELECT lang,
+         |    regexp_extract_all(lower(text), '\\S+') AS toks FROM documents)))
+         |GROUP BY lang, predicted""".stripMargin
+    },
+
+    "q35_token_count" ->
+      """SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_tokens,
+        | CAST(sum(ceil(length(tok) / 4.0)) AS BIGINT) AS n_subtokens
+        |FROM (SELECT doc_id, source,
+        |   unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents)
+        |GROUP BY source""".stripMargin)
+}
