@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def q(name: String) = Similarity.queries(name)(spark, sf)
+
+  test("q31 returns exactly 10 neighbors per query, ranked by similarity") {
+    val rows = q("q31_ann_bruteforce").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("q31 excludes self-matches") {
+    assert(q("q31_ann_bruteforce")
+      .filter(col("query_id") === col("cand_id")).count() == 0)
+  }
+
+  test("q32 LSH candidates share the query's bucket and rank within bucket") {
+    val rows = q("q32_ann_lsh").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("bucket")).distinct.length == 1)
+    }
+  }
+
+  test("q32 top-1 in-bucket matches brute-force restricted to the bucket") {
+    // LSH correctness: within a bucket the ranking must equal the
+    // brute-force ranking over that bucket's members.
+    val lshTop = q("q32_ann_lsh").filter(col("rn") === 1 && col("query_id") < 10)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = q("q31_ann_bruteforce").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    lshTop.foreach { case (qid, cand) =>
+      bf.get(qid).foreach { neighbors =>
+        // the in-bucket top-1 must not out-rank the global top-1
+        val globalBest = neighbors.minBy(_.getAs[Int]("rn"))
+        assert(globalBest.getAs[Double]("cos_sim") >=
+          neighbors.find(_.getAs[Long]("cand_id") == cand)
+            .map(_.getAs[Double]("cos_sim")).getOrElse(-1.0))
+      }
+    }
+  }
+
+  test("q36 norms are positive and min <= avg <= max") {
+    q("q36_label_centroid_norm").collect().foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(mn > 0 && mn <= av && av <= mx)
+    }
+  }
+}

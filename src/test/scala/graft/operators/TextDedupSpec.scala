@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def q(name: String) = TextDedup.queries(name)(spark, sf)
+
+  test("q27 fingerprints cover every document exactly once") {
+    val total = q("q27_dedup_exact").agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(total == graft.Tables(spark, sf, "documents").count())
+  }
+
+  test("q28 jaccard pairs are ordered (a<b), scores in [0.5, 1]") {
+    val rows = q("q28_ngram_jaccard").collect()
+    assert(rows.nonEmpty, "expected planted near-duplicates")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("q29 MinHash-LSH recalls every jaccard>=0.8 pair (LSH recall property)") {
+    val lsh = q("q29_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val strong = q("q28_ngram_jaccard").filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strong.subsetOf(lsh),
+      s"missed strong pairs: ${strong.diff(lsh).take(5)}")
+  }
+
+  test("q30 simhash is a 16-bit value and near-dup pairs have small hamming distance") {
+    val sh = q("q30_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+    val pairs = q("q28_ngram_jaccard").filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(ham <= 6, s"simhash hamming($a,$b)=$ham too large for jaccard>=0.9")
+    }
+  }
+
+  test("q33 stats rows per language, ratios in [0,1]") {
+    val rows = q("q33_text_stats").collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet ==
+      graft.Tables(spark, sf, "documents").select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet)
+    rows.foreach { r =>
+      val sr = r.getAs[Double]("avg_stop_ratio")
+      assert(sr >= 0 && sr <= 1)
+    }
+  }
+
+  test("q34 confusion matrix totals the corpus") {
+    val total = q("q34_lang_id").agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == graft.Tables(spark, sf, "documents").count())
+  }
+
+  test("q35 subtoken count >= token count / 4 heuristic sanity") {
+    q("q35_token_count").collect().foreach { r =>
+      assert(r.getAs[Long]("n_subtokens") >= r.getAs[Long]("n_tokens") / 4)
+      assert(r.getAs[Long]("n_subtokens") <= r.getAs[Long]("n_tokens") * 20)
+    }
+  }
+}
