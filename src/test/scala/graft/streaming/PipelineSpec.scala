@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration._
+
+/** Reference-parity pipeline tests — the engine's version of the
+  * golden-roundtrip suite (KafkaProtoParquetWriterTest.java:112-227):
+  * produce records, run the pipeline, read every output parquet file
+  * back, assert multiset equality. Plus the tests the reference is
+  * missing (SURVEY §5.1): restart-from-checkpoint delivery and
+  * decode-error policy.
+  */
+case class Rec(query: String, timestamp: Long)
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // the reference's only concrete schema (test-message.proto:5-10)
+  private val sampleSchema = StructType(Seq(
+    StructField("query", StringType),
+    StructField("timestamp", LongType),
+    StructField("page_number", IntegerType),
+    StructField("result_per_page", IntegerType)))
+
+  private def jsonBytes(i: Int): Array[Byte] =
+    s"""{"query":"q$i","timestamp":${1700000000000L + i},"page_number":${i % 7},"result_per_page":${i % 13}}"""
+      .getBytes("UTF-8")
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def newPipeline(cfg: PipelineConfig) = new Pipeline(cfg)
+
+  test("config validation mirrors the reference builder rules") {
+    val ok = PipelineConfig(targetDir = "/t", checkpointDir = "/c")
+    assert(ok.maxFileSize == 1L << 30)
+    intercept[IllegalArgumentException](PipelineConfig("", "/c"))
+    intercept[IllegalArgumentException](PipelineConfig("/t", ""))
+    intercept[IllegalArgumentException](
+      PipelineConfig("/t", "/c", maxFileSize = 1024)) // < 100 KiB, KPW:456
+    intercept[IllegalArgumentException](
+      PipelineConfig("/t", "/c", writerParallelism = 0))
+    intercept[IllegalArgumentException](
+      PipelineConfig("/t", "/c", maxRecordsPerTrigger = Some(0)))
+  }
+
+  test("golden roundtrip: bytes -> decode -> parquet -> multiset equality") {
+    import spark.implicits._
+    val out = tmp("graft-out")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](1, spark, None)
+    val n = 500
+    stream.addData((0 until n).map(jsonBytes))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try h.processAllAvailable() finally h.stop()
+
+    val back = spark.read.schema(sampleSchema).parquet(out)
+    assert(back.count() == n)
+    val got = back.select(col("query"), col("timestamp")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = (0 until n).map(i => (s"q$i", 1700000000000L + i)).toSet
+    assert(got == want)
+    assert(h.metrics.writtenRecords.get() == n)
+    assert(h.metrics.names.keySet.contains("parquet.writer.graft.written-records"))
+  }
+
+  test("date-partitioned layout places files under pattern directories") {
+    import spark.implicits._
+    val out = tmp("graft-date")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      directoryDateTimePattern = Some("yyyy-MM-dd"), maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](2, spark, None)
+    stream.addData((0 until 50).map(jsonBytes))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try h.processAllAvailable() finally h.stop()
+
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_ == s"_date=$today"), s"dirs were: ${dirs.mkString(",")}")
+    assert(spark.read.parquet(out).count() == 50)
+  }
+
+  test("sized roller: multiple capped files, none grossly over cap") {
+    import spark.implicits._
+    val out = tmp("graft-sized")
+    val cap = 100L * 1024 // the reference test's cap (KPWT:139-188)
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileSize = cap, maxFileOpenDuration = 1.second,
+      delivery = DeliveryMode.AtLeastOnceSized)
+    val stream = MemoryStream[Array[Byte]](3, spark, None)
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try {
+      // several batches so the bytes/record feedback loop engages
+      for (b <- 0 until 4) {
+        stream.addData((b * 5000 until (b + 1) * 5000).map(jsonBytes))
+        h.processAllAvailable()
+      }
+    } finally h.stop()
+
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length > 1, "size cap should have rolled multiple files")
+    // rolling checks the cap at record granularity: mild overshoot is
+    // legal (the reference asserts < 1.01x; record-count capping under
+    // compression stays well below the byte cap)
+    files.foreach(f => assert(f.length <= cap * 1.1,
+      s"${f.getName} is ${f.length} bytes > cap $cap"))
+    assert(spark.read.schema(sampleSchema).parquet(out).count() == 20000)
+  }
+
+  test("restart from checkpoint resumes without loss or duplication") {
+    import spark.implicits._
+    val out = tmp("graft-restart")
+    val ckpt = tmp("graft-ckpt")
+    def cfg = PipelineConfig(targetDir = out, checkpointDir = ckpt,
+      maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](4, spark, None)
+
+    stream.addData((0 until 300).map(jsonBytes))
+    val h1 = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try h1.processAllAvailable() finally h1.stop()
+
+    stream.addData((300 until 600).map(jsonBytes))
+    val h2 = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try h2.processAllAvailable() finally h2.stop()
+
+    val back = spark.read.schema(sampleSchema).parquet(out)
+    assert(back.count() == 600, "exactly-once file sink: no loss, no dups")
+    assert(back.select("query").distinct().count() == 600)
+  }
+
+  test("FailFast policy fails the query on an undecodable record") {
+    import spark.implicits._
+    val cfg = PipelineConfig(targetDir = tmp("graft-ff"),
+      checkpointDir = tmp("graft-ckpt"), maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](5, spark, None)
+    stream.addData(Seq(jsonBytes(1), "NOT JSON".getBytes("UTF-8")))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema),
+      DecodeErrorPolicy.FailFast)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        h.processAllAvailable()
+      }
+      assert(e.getMessage.contains("undecodable") ||
+        Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+    } finally h.stop()
+  }
+
+  test("DeadLetter policy drops undecodable records and keeps the rest") {
+    import spark.implicits._
+    val out = tmp("graft-dl")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](6, spark, None)
+    stream.addData(Seq(jsonBytes(1), "garbage".getBytes("UTF-8"), jsonBytes(2)))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema),
+      DecodeErrorPolicy.DeadLetter)
+    try h.processAllAvailable() finally h.stop()
+    assert(spark.read.schema(sampleSchema).parquet(out).count() == 2)
+  }
+
+  test("TypedCodec decodes an opaque binary format (Parser<T> seam)") {
+    import spark.implicits._
+    // hand-rolled length-prefixed binary layout standing in for
+    // protobuf (the spark-protobuf jar is absent offline)
+    def enc(q: String, ts: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeUTF(q); d.writeLong(ts); d.flush()
+      bos.toByteArray
+    }
+    val codec = TypedCodec[Rec] { bytes =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      Rec(in.readUTF(), in.readLong())
+    }
+    val out = tmp("graft-bin")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](7, spark, None)
+    stream.addData((0 until 100).map(i => enc(s"b$i", i.toLong)))
+    val h = newPipeline(cfg).start(stream.toDF(), codec)
+    try h.processAllAvailable() finally h.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 100)
+    assert(back.filter(col("query") === "b42" && col("timestamp") === 42L).count() == 1)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M3: event-time streaming relational ops (SURVEY §7.1) — the
+  * upgrade the reference lacks (it only has processing-time file
+  * rolling, KPW:299-302, despite carrying an event timestamp field).
+  * Events are replayed from the test table through MemoryStream so
+  * watermarks and windows run on real event time.
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events(): Seq[Ev] = {
+    import spark.implicits._
+    graft.Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq.sortBy(_.ts.getTime)
+  }
+
+  test("watermarked tumbling window aggregation matches batch equivalent") {
+    import spark.implicits._
+    val evs = events()
+    val stream = MemoryStream[Ev](10, spark, None)
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_agg").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("win_agg")
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+    val batch = graft.Tables(spark, TestSpark.sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dropDuplicates dedups replayed events") {
+    import spark.implicits._
+    val evs = events().take(200)
+    val stream = MemoryStream[Ev](11, spark, None)
+    val dedup = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(evs)
+      stream.addData(evs) // replay: at-least-once delivery upstream
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").count() == 200)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
+  }
+
+  test("stateful per-user running count via flatMapGroupsWithState") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val evs = events().take(300)
+    val stream = MemoryStream[Ev](12, spark, None)
+    val counted = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + batch.size
+          state.update(now)
+          Iterator((user, now))
+      }
+    val q = counted.toDF("user_id", "n").writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("fmgs_out").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("fmgs_out")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val want = evs.groupBy(_.user_id).map { case (u, es) => (u, es.size.toLong) }
+    val got = last.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("session_window aggregation groups events by 30-minute gaps") {
+    import spark.implicits._
+    val evs = events().take(500)
+    val stream = MemoryStream[Ev](13, spark, None)
+    val sessions = stream.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val total = spark.table("sess_out").agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == 500, "every event lands in exactly one session")
+  }
+}
