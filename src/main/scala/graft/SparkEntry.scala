@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracleSql),
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
-      (operators.Similarity.queries, operators.Similarity.oracleSql))
+      (operators.Similarity.queries, operators.Similarity.oracleSql),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

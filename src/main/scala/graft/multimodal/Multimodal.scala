@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (north-star addition): image/audio/video
+  * as opaque `binary` columns with typed metadata, processed in
+  * partition-sized batches.
+  *
+  * The decode step is STUBBED — the container has no image/audio
+  * libraries — behind [[MediaDecoder]], with [[FakeDecoder]] as a
+  * deterministic stand-in. Everything Spark-side is real and tested:
+  * the schema (binary payload + metadata struct), the per-partition
+  * batch shape (decoder initialized once per partition and reused,
+  * the JVM analog of a batched pandas UDF), and the feature-extract /
+  * resize / frame-sample plumbing.
+  *
+  * At 100 TB the same plan holds: `mapPartitions` is
+  * embarrassingly parallel, no shuffle is introduced before the
+  * (optional) aggregation, and the decoder cost amortizes over each
+  * partition batch.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed envelope. */
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      n_bytes: Long,
+      source: String)
+
+  /** Decoded features. For images w/h are pixel dims, for audio
+    * w=samples h=channels, for video w/h of first frame. */
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      checksum: Long,
+      brightness: Double)
+
+  /** The pluggable decode seam. A production implementation wraps
+    * javax.imageio / ffmpeg bindings; initialization may be
+    * expensive, hence once-per-partition reuse in [[extractFeatures]].
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Double)
+  }
+
+  /** STUB decoder — deterministic fake in place of a real image/audio
+    * library (not available offline). Derives pseudo-dimensions and a
+    * pseudo-brightness from payload bytes so tests are exact.
+    */
+  object FakeDecoder extends MediaDecoder {
+    override def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      val w = 16 + (n % 113)
+      val h = 16 + (n % 97)
+      // mean unsigned byte value as stand-in luminance
+      var s = 0L
+      var i = 0
+      while (i < n) { s += payload(i) & 0xff; i += 1 }
+      (w, h, if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
+  /** Derive a media table from `documents` (the driver test data has
+    * no binary fixture): payload = UTF-8 bytes of the text, treated
+    * as opaque from here on; media_type assigned round-robin. Columns
+    * and partitioning mirror what a real ingest would produce.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** Batch feature extraction: decoder constructed once per partition
+    * and reused across the partition's records — the cost profile of
+    * `mapInPandas` without the Python boundary.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = decoder // per-partition init point for heavyweight decoders
+      it.map { m =>
+        val (w, h, b) = dec.decode(m.media_type, m.payload)
+        val crc = new java.util.zip.CRC32()
+        crc.update(m.payload)
+        MediaFeatures(m.media_id, m.media_type, w, h, m.n_bytes, crc.getValue, b)
+      }
+    }
+  }
+
+  /** Resize stub: produces a down-scaled payload (here: deterministic
+    * byte subsampling standing in for pixel resampling). Real impl
+    * would decode → resample → re-encode inside the same partition
+    * batch.
+    */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(factor > 0)
+    media.mapPartitions { it =>
+      it.map { m =>
+        val sub = m.payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+        m.copy(payload = sub, n_bytes = sub.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling stub for video payloads: split the payload into
+    * `nFrames` contiguous chunks ("frames"), emitted as one row per
+    * frame — the generator shape (`flatMap`) a real frame sampler has.
+    */
+  case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRecord], nFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(nFrames > 0)
+    media.filter(_.media_type == "video").flatMap { m =>
+      val size = math.max(1, m.payload.length / nFrames)
+      (0 until nFrames).iterator.map { f =>
+        val from = f * size
+        val until = math.min(m.payload.length, from + size)
+        Frame(m.media_id, f,
+          if (from >= m.payload.length) Array.empty[Byte]
+          else m.payload.slice(from, until))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle-checked query: the binary-column plumbing (payload sizes,
+  // fingerprints, media-type demographics). Decode itself is not
+  // SQL-expressible — covered by MultimodalSpec instead.
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_media_stats" -> ((s, d) => {
+      mediaTable(s, d).toDF()
+        .withColumn("fp", md5(col("payload")))
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("fp")).as("n_distinct_payloads"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q38_media_stats" ->
+      """SELECT media_type, count(*) AS n_media,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_payloads,
+        | min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+        |FROM (SELECT
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |   md5(text) AS fp
+        |  FROM documents)
+        |GROUP BY media_type""".stripMargin)
+}

@@ -91,6 +91,25 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("bucket"), col("cos_sim"), col("rn"))
     }),
 
+    // q37: embedding-cosine near-duplicate pairs — the 5th dedup
+    // modality. Blocked on a 4-bit sign-LSH bucket so the pair join
+    // is an equi-join (at 100 TB: hash-partitioned by bucket, never
+    // a cross join); threshold 0.4 fits this corpus's tail.
+    "q37_embedding_neardup" -> ((s, d) => {
+      val dims4 = Seq(0, 16, 32, 48)
+      val b4 = expr(dims4.zipWithIndex.map { case (dim, j) =>
+        s"(CASE WHEN embedding[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
+      }.mkString("CAST(", " + ", " AS INT)"))
+      val e = t(s, d, "embeddings").withColumn("bucket", b4)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    }),
+
     // q36: centroid per label — the IVF coarse-quantizer build step
     // (mean vector per cell as array<double>); also exercises
     // element-wise array aggregation.
@@ -141,6 +160,20 @@ object Similarity {
            |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) c(vec_id, cv, bucket)
            |   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id))
            |WHERE rn <= 5""".stripMargin,
+
+      "q37_embedding_neardup" -> {
+        val bucket4 = Seq(0, 16, 32, 48).zipWithIndex.map { case (dim, j) =>
+          s"(CASE WHEN embedding[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
+        }.mkString("CAST(", " + ", " AS INT)")
+        s"""WITH wb AS (SELECT vec_id, embedding, $bucket4 AS bucket FROM embeddings)
+           |SELECT vec_a, vec_b, cos_sim FROM (
+           | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  $cosSql AS cos_sim
+           | FROM (SELECT vec_id, embedding AS qv, bucket FROM wb) a(vec_id, qv, bucket)
+           | JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) b(vec_id, cv, bucket)
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |WHERE cos_sim >= 0.4""".stripMargin
+      },
 
       "q36_label_centroid_norm" ->
         """SELECT label, count(*) AS n_vecs,
