@@ -331,6 +331,19 @@ object Relational {
             col("ts") > col("prev_ts") + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // q39: approximate distinct-count (HyperLogLog++). No SQL oracle
+    // (sketch estimates are engine-specific) — the driver records a
+    // rows-only check; the spec asserts the 2% rsd accuracy contract
+    // against the exact count.
+    "q39_approx_distinct" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
     }))
 
   // ---------------------------------------------------------------

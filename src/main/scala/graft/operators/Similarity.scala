@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     one bucket; the join is an equi-join on bucket id, so at 100 TB
   *     it hash-partitions instead of cross-joining.
   *
-  * The dot product is a left-to-right fold in both Spark
-  * (`aggregate(zip_with(...))`) and DuckDB (`list_dot_product` over
-  * DOUBLE[]), so the oracle values agree bit-for-bit; rounding to 4 dp
+  * The dot product is the native codegen'd
+  * [[graft.functions.FloatVecDot]] — a sequential left-to-right
+  * double fold, the same order as DuckDB's `list_dot_product` over
+  * DOUBLE[], so the oracle values agree bit-for-bit; rounding to 4 dp
   * makes ranking ties deterministic (tie-break on candidate id).
   */
 object Similarity {
@@ -28,14 +30,12 @@ object Similarity {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** cosine(qv, cv) in double precision via codegen'd higher-order
-    * array functions (no UDF — stays inside WholeStageCodegen).
+  /** cosine from a native codegen'd dot product ([[FloatVecDot]])
+    * and pre-computed per-vector norms — each norm is computed once
+    * per vector instead of once per pair.
     */
-  private def cosine(qv: String, cv: String): Column = {
-    def dot(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(qv, cv)} / (sqrt(${dot(qv, qv)}) * sqrt(${dot(cv, cv)}))")
-  }
+  private def cosine(qv: String, cv: String, qn: String, cn: String): Column =
+    vec_dot(col(qv), col(cv)) / (col(qn) * col(cn))
 
   /** 8-bit sign-LSH bucket over dims 0,8,16,…,56 (axis-aligned
     * hyperplanes — deterministic and oracle-portable; a production
@@ -59,15 +59,15 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q31: brute-force cosine top-10 for query vectors vec_id < 10.
     "q31_ann_bruteforce" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = t(s, d, "embeddings").withColumn("nrm", vec_norm(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("cand_id"))
       c.crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
@@ -76,16 +76,19 @@ object Similarity {
     // q32: LSH-bucketed ANN — equi-join on bucket, top-5 in-bucket.
     "q32_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val withB = e.withColumn("bucket", bucketExprSpark("embedding"))
-      val q = withB.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-      val c = withB
-        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+        .withColumn("bucket", bucketExprSpark("embedding"))
+        .withColumn("nrm", vec_norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"), col("nrm").as("qn"))
+      val c = e
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+          col("bucket"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("cand_id"))
       c.join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("cand_id"), col("bucket"), col("cos_sim"), col("rn"))
@@ -101,11 +104,14 @@ object Similarity {
         s"(CASE WHEN embedding[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
       }.mkString("CAST(", " + ", " AS INT)"))
       val e = t(s, d, "embeddings").withColumn("bucket", b4)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"), col("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"), col("bucket"))
+        .withColumn("nrm", vec_norm(col("embedding")))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+        col("bucket"), col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
+        col("bucket"), col("nrm").as("cn"))
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", round(cosine("qv", "cv"), 4))
+        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos_sim"))
     }),
@@ -116,7 +122,7 @@ object Similarity {
     "q36_label_centroid_norm" -> ((s, d) => {
       t(s, d, "embeddings")
         .select(col("label"), col("vec_id"),
-          expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))").as("sq"))
+          vec_dot(col("embedding"), col("embedding")).as("sq"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n_vecs"),
