@@ -14,6 +14,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracleSql),
+      (operators.Relational2.queries, operators.Relational2.oracleSql),
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
       (operators.Similarity.queries, operators.Similarity.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming join surface (SURVEY §2.2 joins row): stream–static and
+  * watermarked stream–stream joins, plus file-format source coverage
+  * (json/csv batch read-back of pipeline-shaped data).
+  */
+class StreamingJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events(n: Int): Seq[Ev] = {
+    import spark.implicits._
+    graft.Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq.sortBy(_.ts.getTime).take(n)
+  }
+
+  test("stream-static join enriches events with the customer dimension") {
+    import spark.implicits._
+    val evs = events(500)
+    val stream = MemoryStream[Ev](20, spark, None)
+    val dim = graft.Tables(spark, TestSpark.sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream.toDF()
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try { stream.addData(evs); q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("ss_join").count()
+    val batch = graft.Tables(spark, TestSpark.sf, "events")
+      .limit(0) // recompute from the same 500 events
+    val expected = {
+      val keys = dim.select("c_custkey").collect().map(_.getLong(0)).toSet
+      evs.count(e => keys.contains(e.user_id))
+    }
+    assert(streamed == expected)
+    assert(expected > 0)
+  }
+
+  test("watermarked stream-stream self-join pairs purchases with clicks") {
+    import spark.implicits._
+    val evs = events(2000)
+    val clicks = MemoryStream[Ev](21, spark, None)
+    val buys = MemoryStream[Ev](22, spark, None)
+    val l = clicks.toDF().filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val r = buys.toDF().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = l.join(r,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '30' MINUTE"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss2_join").start()
+    try {
+      clicks.addData(evs)
+      buys.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch equivalent over the same rows
+    val df = spark.createDataset(evs).toDF()
+    val bl = df.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val br = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = bl.join(br,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '30' MINUTE"))
+      .count()
+    assert(spark.table("ss2_join").count() == expected)
+    assert(expected > 0, "fixture should produce click->purchase pairs")
+  }
+
+  test("json and csv file sources roundtrip pipeline-shaped data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val ev = graft.Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").json(s"$dir/json")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val fromJson = spark.read.json(s"$dir/json")
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    assert(fromJson.count() == ev.count())
+    assert(fromCsv.count() == ev.count())
+    val sumJson = fromJson.selectExpr("sum(value)").collect().head.getDouble(0)
+    val sumCsv = fromCsv.selectExpr("sum(value)").collect().head.getDouble(0)
+    assert(math.abs(sumJson - sumCsv) <= 0.01)
+  }
+}
