@@ -1,0 +1,82 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-engineering utilities: the partitioning patterns that keep
+  * the engine's plans healthy at 100 TB, packaged so pipelines apply
+  * them declaratively.
+  *
+  *  - '''Bucketing''': pre-shuffle fact tables once at write time;
+  *    repeated joins/aggregations on the bucket key then run with no
+  *    exchange at all (verified by [[graft.scale.ScaleOpsSpec]] on
+  *    the physical plan).
+  *  - '''Salting''': a skewed join key (one customer with 10⁹ rows)
+  *    turns one task into a straggler. `saltedJoin` splits each hot
+  *    key into `salts` sub-keys deterministically, replicating the
+  *    small side, so the hot partition fans out `salts`-ways. AQE's
+  *    skew-join splitting (on in [[graft.GraftSession]]) handles
+  *    moderate skew automatically; salting is the explicit tool for
+  *    pathological keys.
+  */
+object ScaleOps {
+
+  /** Write `df` as a bucketed, sorted table. Reading it back and
+    * joining/aggregating on `bucketCol` needs no shuffle when both
+    * sides share the bucketing.
+    */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+
+  /** Join `large` with `small` on an equi-key whose distribution is
+    * skewed. Each `large` row keeps its key but gains a deterministic
+    * salt in [0, salts); `small` is replicated `salts` times. The
+    * join key becomes (key, salt) — hot keys spread over `salts`
+    * tasks. Result equals the plain equi-join exactly.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    // deterministic spread: hash of the whole large row modulo salts
+    // (monotonically_increasing_id would break replay determinism)
+    val largeSalted = large.withColumn("_salt",
+      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val smallExploded = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    largeSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase aggregation for high-cardinality skewed grouping:
+    * partial agg on (key, salt), final agg on key. For algebraic
+    * aggregates Spark's partial aggregation already does this
+    * map-side; this explicit form is for aggregates that need the
+    * intermediate shuffle spread (e.g. collect-like or exact
+    * distinct counts over a hot key).
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, distinctCol: String,
+      salts: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(distinctCol)), lit(salts)))
+    salted
+      .groupBy(col(key), col("_salt"))
+      .agg(countDistinct(col(distinctCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).cast("long").as("n_distinct"))
+  }
+
+  /** Count Exchange (shuffle) operators in a query's final physical
+    * plan — the metric every scale review here starts from.
+    */
+  def countShuffles(df: DataFrame): Int = {
+    df.count() // materialize AQE's final plan
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange rangepartitioning"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.scale
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("bucketed tables join with zero shuffles") {
+    val orders = graft.Tables(spark, sf, "orders")
+    val lineitem = graft.Tables(spark, sf, "lineitem")
+    ScaleOps.writeBucketed(
+      orders.select(col("o_orderkey"), col("o_totalprice")), "b_orders", "o_orderkey", 8)
+    ScaleOps.writeBucketed(
+      lineitem.select(col("l_orderkey"), col("l_quantity")), "b_lineitem", "l_orderkey", 8)
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+    val shuffles = ScaleOps.countShuffles(joined)
+    assert(shuffles == 0, s"bucketed join should not shuffle, got $shuffles:\n" +
+      joined.queryExecution.executedPlan.toString.take(2000))
+
+    // same join unbucketed shuffles (unless one side broadcasts —
+    // force sort-merge by disabling the broadcast threshold)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(orders.select(col("o_orderkey"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(ScaleOps.countShuffles(plain) > 0)
+      // bucketed join result is identical to plain join
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("bucketed aggregation on the bucket key needs no shuffle") {
+    val agg = spark.table("b_lineitem")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(ScaleOps.countShuffles(agg) == 0)
+  }
+
+  test("saltedJoin equals the plain join exactly") {
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = graft.Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(dim, Seq("user_id"))
+    val salted = ScaleOps.saltedJoin(ev, dim, "user_id", 7)
+    assert(salted.count() == plain.count())
+    assert(salted.select("event_id", "c_mktsegment")
+      .exceptAll(plain.select("event_id", "c_mktsegment")).count() == 0)
+  }
+
+  test("saltedDistinctCount equals plain distinct count") {
+    val ev = graft.Tables(spark, sf, "events")
+    val plain = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+    val salted = ScaleOps.saltedDistinctCount(ev, "event_type", "user_id", 7)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
