@@ -95,6 +95,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sliding window counts each event in every overlapping window") {
+    import spark.implicits._
+    val evs = events().take(400)
+    val stream = MemoryStream[Ev](14, spark, None)
+    val agg = stream.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("slide_agg").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 1h window sliding by 15min → every event is in exactly 4 windows
+    val total = spark.table("slide_agg").agg(sum("n")).collect().head.getLong(0)
+    assert(total == evs.length * 4L)
+  }
+
   test("session_window aggregation groups events by 30-minute gaps") {
     import spark.implicits._
     val evs = events().take(500)
