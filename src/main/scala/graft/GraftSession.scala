@@ -16,6 +16,7 @@ object GraftSession {
   def build(master: String, shufflePartitions: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -113,6 +113,32 @@ object Relational2 {
           concat_ws(",", slice(col("lines"), 1, 2)).as("first_two"))
     }),
 
+    // q46: exact percentiles (sort-based, linear interpolation —
+    // the same definition as DuckDB's quantile_cont).
+    "q46_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // q47: statistical aggregates (stddev/corr/covar). Both engines
+    // use numerically-stable co-moment merges whose partial order
+    // differs, so results are rounded where only measure-zero
+    // boundary hits could diverge.
+    "q47_stats_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+    }),
+
     // q45: custom UDAF — geometric mean of extendedprice per flag.
     "q45_udaf_geomean" -> ((s, d) => {
       val geo = udaf(GeoMean)
@@ -170,6 +196,22 @@ object Relational2 {
         | array_to_string(lines[1:2], ',') AS first_two
         |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
         |  FROM lineitem GROUP BY l_orderkey)""".stripMargin,
+
+    "q46_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q47_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q45_udaf_geomean" ->
       """SELECT l_returnflag,

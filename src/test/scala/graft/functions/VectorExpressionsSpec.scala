@@ -48,6 +48,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(d == (1.0 + 4.0 + 9.0))
   }
 
+  test("vec_dot is available from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("q39 approx_count_distinct is within the 2% rsd contract (ballpark)") {
     val rows = graft.operators.Relational.queries("q39_approx_distinct")(
       spark, TestSpark.sf).collect()
