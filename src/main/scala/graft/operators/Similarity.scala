@@ -54,9 +54,55 @@ object Similarity {
       s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)")
 
+  /** Lloyd's k-means over the embedding column — the IVF
+    * coarse-quantizer build. Deterministic: init from the first k
+    * vec_ids, fixed iteration count, ties broken by centroid id.
+    * Each iteration is one broadcast join (centroids are k rows) +
+    * one elementwise-mean aggregation — at 100 TB the fact side
+    * streams through both, nothing but the k×dim centroids is ever
+    * driver-resident.
+    */
+  def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{transform => arr_transform}
+    def toFloat(c: Column): Column = arr_transform(c, x => x.cast("float"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        // ||v-c||² = v·v - 2 v·c + c·c ; v·v constant per vec — omit
+        .withColumn("d2",
+          vec_dot(col("cv"), col("cv")) - lit(2.0) * vec_dot(col("embedding"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (col("d2") + vec_dot(col("embedding"), col("embedding"))).as("dist2"))
+    }
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), toFloat(expr("transform(pm, p -> p.m)")).as("cv"))
+    }
+    assign(centroids).select(col("vec_id"), col("cid").as("cluster"),
+      round(sqrt(col("dist2")), 4).as("dist"))
+  }
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q48: IVF coarse-quantizer build — 8-cell k-means, 3 Lloyd
+    // iterations (rows-only: iterative float means are not
+    // SQL-oracle-reproducible; invariants are spec-checked).
+    "q48_ivf_kmeans" -> ((s, d) =>
+      kmeansAssign(t(s, d, "embeddings"), k = 8, iters = 3)),
+
     // q31: brute-force cosine top-10 for query vectors vec_id < 10.
     "q31_ann_bruteforce" -> ((s, d) => {
       val e = t(s, d, "embeddings").withColumn("nrm", vec_norm(col("embedding")))

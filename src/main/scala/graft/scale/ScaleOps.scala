@@ -26,12 +26,21 @@ object ScaleOps {
     * sides share the bucketing.
     */
   def writeBucketed(df: DataFrame, name: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // with an in-memory catalog a previous JVM can leave an orphaned
+    // warehouse directory the catalog no longer knows about — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(name)
+  }
 
   /** Join `large` with `small` on an equi-key whose distribution is
     * skewed. Each `large` row keeps its key but gains a deterministic

@@ -86,7 +86,27 @@ final class Pipeline(cfg: PipelineConfig) {
       case DeliveryMode.ExactlyOnce => startNative(sized)
       case DeliveryMode.AtLeastOnceSized => startSized(sized)
     }
-    new PipelineHandle(query, metrics, spark)
+
+    // Dead-letter quarantine: a second checkpointed query over the
+    // same source captures the raw bytes of undecodable records (the
+    // upgrade over the reference's fail-stop TODO, KPW:272-277).
+    // Separate query = separate offset tracking; the source is read
+    // twice, which is the standard multi-sink streaming trade-off.
+    val dlQuery = (errorPolicy, cfg.deadLetterDir) match {
+      case (DecodeErrorPolicy.DeadLetter, Some(dlDir)) =>
+        Some(raw
+          .select(col("value"), codec.decode(col("value")).as("r"))
+          .filter(failed)
+          .select(col("value"), current_timestamp().as("quarantined_at"))
+          .writeStream
+          .format("parquet")
+          .option("path", dlDir)
+          .option("checkpointLocation", s"${cfg.checkpointDir}-deadletter")
+          .trigger(Trigger.ProcessingTime(cfg.maxFileOpenDuration.toMillis))
+          .start())
+      case _ => None
+    }
+    new PipelineHandle(query, metrics, spark, dlQuery)
   }
 
   /** Native streaming parquet sink (S4/S7/S10): offset WAL + sink
@@ -150,10 +170,15 @@ final class Pipeline(cfg: PipelineConfig) {
   * guarantees readers never see partial files).
   */
 final class PipelineHandle(val query: StreamingQuery,
-    val metrics: PipelineMetrics, spark: SparkSession) extends AutoCloseable {
-  def processAllAvailable(): Unit = query.processAllAvailable()
+    val metrics: PipelineMetrics, spark: SparkSession,
+    val deadLetterQuery: Option[StreamingQuery] = None) extends AutoCloseable {
+  def processAllAvailable(): Unit = {
+    query.processAllAvailable()
+    deadLetterQuery.foreach(_.processAllAvailable())
+  }
   def stop(): Unit = {
     query.stop()
+    deadLetterQuery.foreach(_.stop())
     spark.streams.removeListener(metrics.listener)
   }
   override def close(): Unit = stop()

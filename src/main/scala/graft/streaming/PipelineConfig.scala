@@ -38,6 +38,7 @@ final case class PipelineConfig(
     maxFileSize: Long = PipelineConfig.DefaultMaxFileSize,
     maxFileOpenDuration: FiniteDuration = 900.seconds,
     directoryDateTimePattern: Option[String] = None,
+    deadLetterDir: Option[String] = None,
     writerParallelism: Int = 1,
     maxRecordsPerTrigger: Option[Long] = None,
     compression: String = "snappy",

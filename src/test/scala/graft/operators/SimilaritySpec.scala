@@ -55,6 +55,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q48 k-means assigns every vector to one of k clusters, deterministically") {
+    val a1 = q("q48_ivf_kmeans").collect()
+    val a2 = q("q48_ivf_kmeans").collect()
+    assert(a1.length == graft.Tables(spark, sf, "embeddings").count())
+    val clusters = a1.map(_.getAs[Int]("cluster")).toSet
+    assert(clusters.subsetOf((0 until 8).toSet) && clusters.size > 1)
+    assert(a1.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ==
+      a2.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+      "k-means assignment must be deterministic across runs")
+    a1.foreach(r => assert(r.getAs[Double]("dist") >= 0))
+  }
+
   test("q36 norms are positive and min <= avg <= max") {
     q("q36_label_centroid_norm").collect().foreach { r =>
       val (mn, av, mx) = (r.getAs[Double]("min_norm"),

@@ -168,6 +168,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.schema(sampleSchema).parquet(out).count() == 2)
   }
 
+  test("DeadLetter with quarantine dir captures raw bytes of bad records") {
+    import spark.implicits._
+    val out = tmp("graft-dlq")
+    val dl = tmp("graft-dlq-dir")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      deadLetterDir = Some(dl), maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](8, spark, None)
+    stream.addData(Seq(jsonBytes(1), "bad bytes 1".getBytes("UTF-8"),
+      jsonBytes(2), "bad bytes 2".getBytes("UTF-8")))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema),
+      DecodeErrorPolicy.DeadLetter)
+    try h.processAllAvailable() finally h.stop()
+
+    assert(spark.read.schema(sampleSchema).parquet(out).count() == 2)
+    val quarantined = spark.read.parquet(dl)
+    assert(quarantined.count() == 2)
+    val bytes = quarantined.select("value").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(bytes == Set("bad bytes 1", "bad bytes 2"))
+  }
+
   test("TypedCodec decodes an opaque binary format (Parser<T> seam)") {
     import spark.implicits._
     // hand-rolled length-prefixed binary layout standing in for
