@@ -108,6 +108,49 @@ object TextDedup {
     (0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * ${1L << b}")
       .mkString(" + ")
 
+  /** MinHash+LSH candidate near-duplicate pairs (doc_a < doc_b) —
+    * shared by q29 and the q49 corpus-clean pipeline.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = filteredShingles(s, d).cache()
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
+      (1 until 16).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
+    // cached: both join sides read this 4-rows-per-doc relation;
+    // without the cache each side recomputes the signature chain
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          md5(concat(col(s"h${4 * bnd}"), col(s"h${4 * bnd + 1}"),
+            col(s"h${4 * bnd + 2}"), col(s"h${4 * bnd + 3}")).cast("binary")).as("bh"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** SQL CTEs ending in `pairs(doc_a, doc_b)` — the oracle twin of
+    * [[minhashPairs]]. Prefix with [[filteredShinglesCte]].
+    */
+  private val minhashPairsCte: String = {
+    val sigCols = (0 until 16)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s""" sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       | bands AS ($bandSelects),
+       | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
   private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
   private val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "pas")
@@ -151,29 +194,30 @@ object TextDedup {
 
     // q29: MinHash + LSH candidate pairs — the scale path for near-dup
     // (no quadratic jaccard join; bucket join on 4 band hashes).
-    "q29_minhash_lsh" -> ((s, d) => {
-      val sh = filteredShingles(s, d).cache()
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
-        (1 until 16).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        // (cached below: both join sides read this 4-rows-per-doc
-        // relation; without the cache each side recomputes the whole
-        // shingle→signature chain)
-        (0 until 4).map { bnd =>
-          struct(lit(bnd).as("band"),
-            md5(concat(col(s"h${4 * bnd}"), col(s"h${4 * bnd + 1}"),
-              col(s"h${4 * bnd + 2}"), col(s"h${4 * bnd + 3}")).cast("binary")).as("bh"))
-        }: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      val bandsC = bands.cache()
-      val l = bandsC.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      val r = bandsC.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
-      l.join(r, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
+    "q29_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+
+    // q49: corpus-cleaning capstone — the composed training-data
+    // pipeline: exact dedup (keep min doc per fingerprint) → MinHash
+    // near-dup removal (greedy: drop the larger id of each candidate
+    // pair) → minimum-length quality filter. Every stage is the
+    // shuffle-based operator verified above; composition adds no new
+    // scale risk.
+    "q49_corpus_clean" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val docs = t(s, d, "documents")
+        .withColumn("fp",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+        .withColumn("n_tokens",
+          size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))))
+      val exactKept = docs
+        .withColumn("mn", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("mn"))
+      val nearDupDrop = minhashPairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+      exactKept
+        .join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .filter(col("n_tokens") >= 20)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
     // q30: 16-bit SimHash fingerprint per document (token-frequency
@@ -263,19 +307,26 @@ object TextDedup {
          |  JOIN sizes sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5""".stripMargin,
 
-    "q29_minhash_lsh" -> {
-      val sigCols = (0 until 16)
-        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
-      }.mkString(" UNION ALL ")
+    "q29_minhash_lsh" ->
       s"""$filteredShinglesCte,
-         | sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         | bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         | ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |$minhashPairsCte
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "q49_corpus_clean" ->
+      s"""$filteredShinglesCte,
+         |$minhashPairsCte,
+         | docs AS (SELECT doc_id, lang,
+         |   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |   len(regexp_extract_all(lower(text), '\\S+')) AS n_tokens
+         |  FROM documents),
+         | exact_kept AS (SELECT * FROM (
+         |   SELECT doc_id, lang, n_tokens,
+         |    min(doc_id) OVER (PARTITION BY fp) AS mn FROM docs)
+         |  WHERE doc_id = mn)
+         |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens
+         |FROM exact_kept
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |  AND n_tokens >= 20""".stripMargin,
 
     "q30_simhash" -> {
       s"""SELECT doc_id, CAST($simhashFingerprint AS BIGINT) AS simhash FROM (
