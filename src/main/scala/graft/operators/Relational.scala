@@ -138,11 +138,14 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
-    // q07: left-anti join (NOT EXISTS). Raw 2-dp value: round-2 is the
-    // identity on the true value.
+    // q07: left-anti join (NOT EXISTS) — customers with no high-value
+    // order (every customer has *some* order in this data, so the
+    // unfiltered anti-join would be vacuously empty). Raw 2-dp value:
+    // round-2 is the identity on the true value.
     "q07_join_anti" -> ((s, d) => {
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
     }),
 
@@ -406,7 +409,8 @@ object Relational {
 
     "q07_join_anti" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
 
     "q08_region_revenue" ->
       s"""SELECT r_name,

@@ -38,10 +38,11 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q06 semi + q07 anti partition the customer table") {
     val c = graft.Tables(spark, sf, "customer").count()
-    val semiAll = graft.Tables(spark, sf, "customer")
-      .join(graft.Tables(spark, sf, "orders"),
+    val semiHighValue = graft.Tables(spark, sf, "customer")
+      .join(graft.Tables(spark, sf, "orders").filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_semi").count()
-    assert(semiAll + q("q07_join_anti").count() == c)
+    assert(semiHighValue + q("q07_join_anti").count() == c)
+    assert(q("q07_join_anti").count() > 0, "anti-join fixture must be non-trivial")
   }
 
   test("q09 emits at most 3 rows per customer, rn in 1..3") {
