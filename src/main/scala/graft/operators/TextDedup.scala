@@ -251,16 +251,30 @@ object TextDedup {
     }),
 
     // q34: heuristic language ID via stopword-set scores, reported as
-    // a (true lang × predicted lang) confusion matrix.
+    // a (true lang × predicted lang) confusion matrix. Scores come
+    // from one token explode + a broadcast join against the stopword
+    // dimension — interpreted per-row array lambdas would scan every
+    // token 4× (and ~4× slower); a token in two languages' lists
+    // contributes to both scores, same as per-list filters would.
     "q34_lang_id" -> ((s, d) => {
-      def score(c: org.apache.spark.sql.Column, ws: Seq[String]) =
-        size(filter(c, w => w.isInCollection(ws)))
-      t(s, d, "documents")
-        .withColumn("toks", regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
-        .withColumn("s_en", score(col("toks"), enStop))
-        .withColumn("s_de", score(col("toks"), deStop))
-        .withColumn("s_fr", score(col("toks"), frStop))
-        .withColumn("s_es", score(col("toks"), esStop))
+      import s.implicits._
+      val stopDim = (enStop.map((_, "s_en")) ++ deStop.map((_, "s_de")) ++
+        frStop.map((_, "s_fr")) ++ esStop.map((_, "s_es"))).toDF("w", "sl")
+      val docs = t(s, d, "documents")
+      val scores = docs
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("w"))
+        .join(broadcast(stopDim), Seq("w"))
+        .groupBy(col("doc_id"))
+        .pivot(col("sl"), Seq("s_en", "s_de", "s_fr", "s_es"))
+        .count()
+      docs.select(col("doc_id"), col("lang"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(col("s_en"), lit(0L)).as("s_en"),
+          coalesce(col("s_de"), lit(0L)).as("s_de"),
+          coalesce(col("s_fr"), lit(0L)).as("s_fr"),
+          coalesce(col("s_es"), lit(0L)).as("s_es"))
         .withColumn("predicted",
           when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "unknown")
             .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
