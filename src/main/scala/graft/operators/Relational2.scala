@@ -139,6 +139,46 @@ object Relational2 {
           round(var_samp(col("l_discount")), 6).as("var_disc"))
     }),
 
+    // q50: sliding windows in batch form — each event explodes to its
+    // 4 covering (1h window, 15min slide) starts; the same window()
+    // semantics Structured Streaming uses, as a plain shuffle-able
+    // explode+agg at any scale.
+    "q50_sliding_windows" -> ((s, d) => {
+      val trunc15 = date_trunc("hour", col("ts")) +
+        expr("INTERVAL '15' MINUTE") * floor(minute(col("ts")) / 15)
+      t(s, d, "events")
+        .withColumn("w_start", explode(sequence(
+          trunc15 - expr("INTERVAL '45' MINUTE"), trunc15,
+          expr("INTERVAL '15' MINUTE"))))
+        .groupBy(col("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    }),
+
+    // q51: arg-max aggregation (max_by) with a deterministic integer
+    // ordinal (cents ⊕ key) so ties cannot flip between engines.
+    "q51_argmax" -> ((s, d) => {
+      val ord = (round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey"))
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), ord).as("top_customer"),
+          round(max(col("c_acctbal")), 2).as("top_acctbal"))
+    }),
+
+    // q52: pivot — long→wide on order status (fixed column set so the
+    // plan is a single pass, no distinct-values pre-query).
+    "q52_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // q45: custom UDAF — geometric mean of extendedprice per flag.
     "q45_udaf_geomean" -> ((s, d) => {
       val geo = udaf(GeoMean)
@@ -217,5 +257,30 @@ object Relational2 {
       """SELECT l_returnflag,
         | round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
         | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q50_sliding_windows" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, value,
+        |   unnest(generate_series(t15 - INTERVAL 45 MINUTE, t15, INTERVAL 15 MINUTE)) AS w_start
+        |  FROM (SELECT event_type, value,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |     + INTERVAL 15 MINUTE * CAST(floor(minute(ts) / 15) AS INT) AS t15
+        |   FROM events))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q51_argmax" ->
+      """SELECT c_mktsegment,
+        | arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        |   AS top_customer,
+        | round(max(c_acctbal), 2) AS top_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q52_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }
