@@ -17,6 +17,7 @@ object SparkEntry {
       (operators.Relational2.queries, operators.Relational2.oracleSql),
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
       (operators.Similarity.queries, operators.Similarity.oracleSql),
+      (operators.AsOf.queries, operators.AsOf.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — an operator Spark's DataFrame API lacks.
+  *
+  * Per SURVEY §2's preference order this is implemented by
+  * '''composing built-ins''' (option a), not a custom SparkPlan: the
+  * two sides are tagged, unioned, hash-partitioned by key and sorted
+  * by (time, tag); a `last(_, ignoreNulls)` running window then
+  * forward-fills each left row with the most recent right row at or
+  * before its timestamp.
+  *
+  * Scale behavior: exactly one shuffle (by key) + one in-partition
+  * sort — the same cost envelope as a sort-merge join, with no
+  * range-condition row explosion, no broadcast requirement, and
+  * per-key state that never leaves the executor. This is the plan a
+  * custom `AsOfJoinExec` would produce, obtained declaratively.
+  */
+object AsOf {
+
+  /** Left as-of join: every `left` row, plus the columns of the
+    * `right` row with the greatest `rTime <= lTime` for the same key
+    * (nulls if none). `right` must be unique per (key, time) —
+    * pre-aggregate if necessary. Column names must not collide.
+    */
+  def asofJoin(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val l2 = left.select(
+      col(lKey).as("_k"), col(lTime).as("_t"), lit(1).as("_tag"),
+      lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val r2 = right.select(
+      col(rKey).as("_k"), col(rTime).cast(left.schema(lTime).dataType).as("_t"),
+      lit(0).as("_tag"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    // right (tag 0) sorts before left (tag 1) at equal time → the
+    // inclusive "at or before" semantics
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("_filled", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_l.*") +: right.columns.map(c => col(s"_filled.$c").as(c)): _*)
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q53: each event joined to the customer's most recent order at
+    // event time. Orders are first made unique per (custkey, date)
+    // with a deterministic representative (max orderkey).
+    "q53_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      asofJoin(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("o_orderkey").as("last_orderkey"),
+          round(col("o_totalprice"), 2).as("last_order_price"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q53_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |   max(o_orderkey) AS o_orderkey,
+        |   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT event_id, user_id, event_type,
+        | o_orderkey AS last_orderkey,
+        | round(o_totalprice, 2) AS last_order_price
+        |FROM events ASOF LEFT JOIN ord
+        |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin)
+}
