@@ -1,0 +1,87 @@
+package graft
+
+import graft.scale.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical-plan properties that
+  * keep these queries viable at 100 TB, asserted so a later refactor
+  * can't silently trade them away.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize AQE final plan on df's own QueryExecution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q08 star joins broadcast every dimension (no fact-side shuffle for the joins)") {
+    val plan = executedPlan("q08_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"expected 3 broadcast joins:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q02 pushes predicates and prunes columns at the scan") {
+    val plan = executedPlan("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("l_quantity"), "pushed filter on quantity")
+    assert(!plan.contains("l_shipdate"), "unused column must not be read")
+    assert(!plan.contains("Exchange hashpartitioning"), "pure scan+project must not shuffle")
+  }
+
+  test("q11 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q11_topk_price")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q41 binned range join is an equi-join (no nested-loop/cartesian)") {
+    val plan = executedPlan("q41_range_join_binned")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q53 as-of join costs exactly one shuffle") {
+    val df = SparkEntry.queries("q53_asof_join")(spark, sf)
+    assert(ScaleOps.countShuffles(df) <= 2, // union sides coalesce to one exchange pair
+      df.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("partition pruning: date-partitioned write is read selectively") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.Tables(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-02")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("day"),
+      plan.take(1200))
+    assert(pruned.count() > 0)
+    // selected partition reads fewer files than exist overall
+    // (inputFiles ignores partition filters — read the scan metric)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.head.metrics("numFiles").value
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"read $filesRead of $allFiles files — pruning did not engage")
+  }
+
+  test("schema evolution: mergeSchema unions parquet batches with new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$dir/b1")
+    Seq((2L, "b", 9.5)).toDF("id", "x", "score").write.parquet(s"$dir/b2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+    assert(merged.columns.toSet == Set("id", "x", "score"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("score").isNull).count() == 1)
+  }
+}
