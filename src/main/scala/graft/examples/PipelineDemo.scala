@@ -35,23 +35,37 @@ object PipelineDemo {
       deadLetterDir = Some(s"$out-deadletter"),
       delivery = if (sized) DeliveryMode.AtLeastOnceSized else DeliveryMode.ExactlyOnce)
 
-    val stream = MemoryStream[Array[Byte]](1, spark, None)
+    val pipe = new Pipeline(cfg)
     val n = if (sized) 30000 else 1000
-    stream.addData((0 until n).map(i =>
-      s"""{"query":"demo$i","timestamp":${1700000000000L + i},"page_number":${i % 7}}"""
-        .getBytes("UTF-8")))
-    // one corrupt record: DeadLetter policy must drop it, not crash
-    stream.addData(Seq("corrupt \u0000 bytes".getBytes("UTF-8")))
+    val fileMode = args.length > 2 && args(2) == "file"
+    val raw = if (fileMode) {
+      // file-source mode: records arrive as dropped json-lines files
+      val srcDir = java.nio.file.Files.createTempDirectory("demo-src")
+      java.nio.file.Files.write(srcDir.resolve("batch0.jsonl"),
+        (0 until n).map(i =>
+          s"""{"query":"demo$i","timestamp":${1700000000000L + i},"page_number":${i % 7}}""")
+          .mkString("\n").getBytes("UTF-8"))
+      pipe.fileSource(spark, srcDir.toString)
+    } else {
+      val stream = MemoryStream[Array[Byte]](1, spark, None)
+      stream.addData((0 until n).map(i =>
+        s"""{"query":"demo$i","timestamp":${1700000000000L + i},"page_number":${i % 7}}"""
+          .getBytes("UTF-8")))
+      // one corrupt record: DeadLetter policy must drop it, not crash
+      stream.addData(Seq("corrupt \u0000 bytes".getBytes("UTF-8")))
+      stream.toDF()
+    }
 
-    val handle = new Pipeline(cfg).start(stream.toDF(), JsonCodec(schema),
-      DecodeErrorPolicy.DeadLetter)
+    val handle = pipe.start(raw, JsonCodec(schema), DecodeErrorPolicy.DeadLetter)
     try handle.processAllAvailable() finally handle.stop()
 
     val written = spark.read.schema(schema).parquet(out).count()
     val quarantined =
       try spark.read.parquet(s"$out-deadletter").count() catch { case _: Throwable => 0L }
+    val mode = if (sized) "sized" else if (fileMode) "file" else "native"
     println(s"DEMO_RESULT records=$written quarantined=$quarantined " +
-      s"metric=${handle.metrics.writtenRecords.get()} mode=${if (sized) "sized" else "native"}")
+      s"metric=${handle.metrics.writtenRecords.get()} " +
+      s"files_hist=${handle.metrics.fileSizeHistogram.size} mode=$mode")
     spark.stop()
   }
 }

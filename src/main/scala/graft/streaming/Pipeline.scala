@@ -36,6 +36,20 @@ final class Pipeline(cfg: PipelineConfig) {
       .load()
   }
 
+  /** File-based streaming source with the same `value: binary` shape
+    * the Kafka source yields — one line per record (S1's "file
+    * sources behind the same source trait"). New files dropped into
+    * `path` are picked up per trigger; rate-capped like Kafka via
+    * `maxFilesPerTrigger`.
+    */
+  def fileSource(spark: SparkSession, path: String): DataFrame = {
+    val r = spark.readStream.format("text")
+    cfg.maxRecordsPerTrigger // approximate: cap files, not records
+      .fold(r)(n => r.option("maxFilesPerTrigger", math.max(1L, n).toString))
+      .load(path)
+      .select(col("value").cast("binary").as("value"))
+  }
+
   /** Decode + (optional) date-partition column + sink. `raw` must
     * have a `value: binary` column (Kafka-source shape; the Kafka
     * key is ignored, as in the reference — KPW:271).
@@ -84,7 +98,7 @@ final class Pipeline(cfg: PipelineConfig) {
 
     val query = cfg.delivery match {
       case DeliveryMode.ExactlyOnce => startNative(sized)
-      case DeliveryMode.AtLeastOnceSized => startSized(sized)
+      case DeliveryMode.AtLeastOnceSized => startSized(sized, metrics)
     }
 
     // Dead-letter quarantine: a second checkpointed query over the
@@ -133,8 +147,9 @@ final class Pipeline(cfg: PipelineConfig) {
     * per-file record counts, so the cap converges over batches).
     * foreachBatch ⇒ at-least-once on retry, like the reference.
     */
-  private def startSized(df: DataFrame): StreamingQuery = {
+  private def startSized(df: DataFrame, metrics: PipelineMetrics): StreamingQuery = {
     val bytesPerRecord = new AtomicLong(256) // prior; refined by feedback
+    val seenFiles = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val est = math.max(1L, cfg.maxFileSize / math.max(1L, bytesPerRecord.get()))
@@ -144,14 +159,19 @@ final class Pipeline(cfg: PipelineConfig) {
           .option("maxRecordsPerFile", est)
           .partitionBy(partitionCols: _*)
           .parquet(cfg.targetDir)
-        // feedback: actual bytes/record from what just landed
+        // feedback: actual bytes/record from what just landed, plus
+        // the reference's closed-file-size histogram (KPW:144,339-344)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
         var bytes = 0L
         while (it.hasNext) {
           val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+          if (f.getPath.getName.endsWith(".parquet")) {
+            bytes += f.getLen
+            if (seenFiles.add(f.getPath.toString))
+              metrics.recordClosedFile(f.getLen)
+          }
         }
         val n = batch.sparkSession.read.parquet(cfg.targetDir).count()
         if (n > 0) bytesPerRecord.set(math.max(1L, bytes / n))
@@ -198,6 +218,17 @@ final class PipelineMetrics(instanceName: String) {
   val writtenRecords = new AtomicLong(0)
   val flushedBatches = new AtomicLong(0)
   val lastProgressJson = new AtomicReference[String]("")
+
+  /** Closed-file sizes (sized-roller mode) — the reference's
+    * `parquet.writer.<instance>.flushed-file-size` histogram
+    * (KPW:117-121, KPW:144). */
+  private val closedFileSizes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  private[streaming] def recordClosedFile(size: Long): Unit =
+    closedFileSizes.add(size)
+  def fileSizeHistogram: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    closedFileSizes.asScala.map(_.longValue).toSeq
+  }
 
   def names: Map[String, AtomicLong] = Map(
     s"parquet.writer.$instanceName.received-records" -> receivedRecords,

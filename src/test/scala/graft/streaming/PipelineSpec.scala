@@ -115,6 +115,30 @@ class PipelineSpec extends AnyFunSuite {
     files.foreach(f => assert(f.length <= cap * 1.1,
       s"${f.getName} is ${f.length} bytes > cap $cap"))
     assert(spark.read.schema(sampleSchema).parquet(out).count() == 20000)
+    // S15 parity: closed-file-size histogram was populated
+    val hist = h.metrics.fileSizeHistogram
+    assert(hist.size == files.length)
+    assert(hist.forall(s => s > 0 && s <= cap * 1.1))
+  }
+
+  test("file streaming source feeds the pipeline from dropped text files") {
+    val srcDir = tmp("graft-filesrc")
+    val out = tmp("graft-filesrc-out")
+    // two "topic" files of json-lines records
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/a.jsonl"),
+      (0 until 40).map(i => new String(jsonBytes(i), "UTF-8"))
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/b.jsonl"),
+      (40 until 100).map(i => new String(jsonBytes(i), "UTF-8"))
+        .mkString("\n").getBytes("UTF-8"))
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileOpenDuration = 1.second)
+    val pipe = newPipeline(cfg)
+    val h = pipe.start(pipe.fileSource(spark, srcDir), JsonCodec(sampleSchema))
+    try h.processAllAvailable() finally h.stop()
+    val back = spark.read.schema(sampleSchema).parquet(out)
+    assert(back.count() == 100)
+    assert(back.select("query").distinct().count() == 100)
   }
 
   test("restart from checkpoint resumes without loss or duplication") {
