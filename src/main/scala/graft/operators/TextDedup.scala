@@ -175,6 +175,10 @@ object TextDedup {
     // q28: exact n-gram Jaccard near-dup pairs (threshold 0.5). The
     // shingle self-join is df-capped; at 100 TB the same plan holds
     // because fan-out per shingle is bounded by MaxShingleDf².
+    // (PPJoin-style prefix filtering was measured here and rejected:
+    // with the df cap already bounding fan-out, its extra window sort
+    // and candidate-verification joins cost ~3× more wall-clock at
+    // sf0.1 than the direct join. Revisit only if the cap must rise.)
     "q28_ngram_jaccard" -> ((s, d) => {
       val sh = filteredShingles(s, d).cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
