@@ -48,7 +48,7 @@ object AsOf {
     l2.unionByName(r2)
       .withColumn("_filled", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-      .select(col("_l.*") +: right.columns.map(c => col(s"_filled.$c").as(c)): _*)
+      .select((col("_l.*") +: right.columns.toIndexedSeq.map(c => col(s"_filled.$c").as(c))): _*)
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -67,6 +67,51 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("roundtrip invariance holds under generated schemas, not just values") {
+    import spark.implicits._
+    val typePool = Seq(
+      ("string", StringType), ("long", LongType),
+      ("int", IntegerType), ("bool", BooleanType))
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val nFields = 2 + rnd.nextInt(4)
+      val fields = (0 until nFields).map { i =>
+        val (tag, dt) = typePool(rnd.nextInt(typePool.length))
+        (s"f${i}_$tag", dt)
+      }
+      val schema = StructType(fields.map { case (n, dt) => StructField(n, dt) })
+      def value(dt: DataType): String = dt match {
+        case StringType => "\"s" + rnd.nextInt(100000) + "\""
+        case LongType => rnd.nextLong().toString
+        case IntegerType => rnd.nextInt().toString
+        case BooleanType => rnd.nextBoolean().toString
+        case other => fail(s"unhandled $other")
+      }
+      val rows = (0 until 80).map { _ =>
+        fields.map { case (n, dt) => s""""$n":${value(dt)}""" }
+          .mkString("{", ",", "}")
+      }
+      val out = Files.createTempDirectory("graft-schema").toString
+      val cfg = PipelineConfig(targetDir = out,
+        checkpointDir = Files.createTempDirectory("graft-schema-ck").toString,
+        maxFileOpenDuration = scala.concurrent.duration.Duration(1, "s"))
+      streamId += 1
+      val stream = MemoryStream[Array[Byte]](streamId, spark, None)
+      stream.addData(rows.map(_.getBytes("UTF-8")))
+      val h = new Pipeline(cfg).start(stream.toDF(), JsonCodec(schema))
+      try h.processAllAvailable() finally h.stop()
+
+      val back = spark.read.schema(schema).parquet(out)
+      assert(back.count() == 80, s"schema seed $seed lost rows")
+      assert(back.schema == schema, s"schema drift for seed $seed")
+      // value-level roundtrip: compare against from_json of the inputs
+      val expected = spark.createDataset(rows)
+        .select(from_json(col("value"), schema).as("r")).select(col("r.*"))
+      assert(back.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(back).count() == 0, s"value drift for seed $seed")
+    }
+  }
+
   test("rolling invariant: every record lands at least once; file count bounded") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-roll").toString
