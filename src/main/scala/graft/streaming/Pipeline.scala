@@ -88,16 +88,18 @@ final class Pipeline(cfg: PipelineConfig) {
     }
 
     // S12: writer fan-out — files per trigger = writerParallelism.
-    // The observe() hook counts post-decode rows for the
-    // written-records meter (S15) without an extra action.
     val sized = withDate.repartition(cfg.writerParallelism)
-      .observe("graft_written", count(lit(1)).as("n"))
 
     val metrics = new PipelineMetrics(cfg.instanceName)
     spark.streams.addListener(metrics.listener)
 
     val query = cfg.delivery match {
-      case DeliveryMode.ExactlyOnce => startNative(sized)
+      case DeliveryMode.ExactlyOnce =>
+        // observe() counts post-decode rows for the written-records
+        // meter (S15) without an extra action. (Only on the native
+        // path: the sized roller runs auxiliary actions per batch,
+        // which would re-fire the observation and over-count.)
+        startNative(sized.observe("graft_written", count(lit(1)).as("n")))
       case DeliveryMode.AtLeastOnceSized => startSized(sized, metrics)
     }
 
@@ -148,33 +150,53 @@ final class Pipeline(cfg: PipelineConfig) {
     * foreachBatch ⇒ at-least-once on retry, like the reference.
     */
   private def startSized(df: DataFrame, metrics: PipelineMetrics): StreamingQuery = {
-    val bytesPerRecord = new AtomicLong(256) // prior; refined by feedback
+    // bytes/record estimate: 0 = not yet calibrated. Refined after
+    // every batch from actual on-disk bytes; before the first write
+    // it is seeded from a JSON-serialized sample of the batch — an
+    // overestimate of parquet+compression size, so the first batch's
+    // files land UNDER the cap rather than over it (a fixed prior
+    // undershoots wide records and breaches maxFileSize).
+    val bytesPerRecord = new AtomicLong(0)
+    val totalRecords = new AtomicLong(0)
     val seenFiles = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val est = math.max(1L, cfg.maxFileSize / math.max(1L, bytesPerRecord.get()))
-        batch.write
-          .mode("append")
-          .option("compression", cfg.compression)
-          .option("maxRecordsPerFile", est)
-          .partitionBy(partitionCols: _*)
-          .parquet(cfg.targetDir)
-        // feedback: actual bytes/record from what just landed, plus
-        // the reference's closed-file-size histogram (KPW:144,339-344)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
-        var bytes = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            bytes += f.getLen
-            if (seenFiles.add(f.getPath.toString))
-              metrics.recordClosedFile(f.getLen)
+        val cached = batch.persist()
+        try {
+          if (bytesPerRecord.get() == 0L) {
+            val sample = cached.limit(500)
+              .select(octet_length(to_json(struct(cached.columns.map(col).toIndexedSeq: _*))).as("b"))
+              .agg(avg(col("b"))).collect().head
+            val jsonAvg = if (sample.isNullAt(0)) 256.0 else sample.getDouble(0)
+            bytesPerRecord.set(math.max(1L, math.ceil(jsonAvg).toLong))
           }
-        }
-        val n = batch.sparkSession.read.parquet(cfg.targetDir).count()
-        if (n > 0) bytesPerRecord.set(math.max(1L, bytes / n))
+          val est = math.max(1L, cfg.maxFileSize / math.max(1L, bytesPerRecord.get()))
+          cached.write
+            .mode("append")
+            .option("compression", cfg.compression)
+            .option("maxRecordsPerFile", est)
+            .partitionBy(partitionCols: _*)
+            .parquet(cfg.targetDir)
+          val written = cached.count() // from cache — no source re-read
+          metrics.writtenRecords.addAndGet(written)
+          val cumulative = totalRecords.addAndGet(written)
+          // feedback: actual bytes/record from everything on disk so
+          // far (O(#files) listing — never a data re-read), plus the
+          // reference's closed-file-size histogram (KPW:144,339-344)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
+          var bytes = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) {
+              bytes += f.getLen
+              if (seenFiles.add(f.getPath.toString))
+                metrics.recordClosedFile(f.getLen)
+            }
+          }
+          if (cumulative > 0) bytesPerRecord.set(math.max(1L, bytes / cumulative))
+        } finally cached.unpersist()
       }
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.maxFileOpenDuration.toMillis))

@@ -121,6 +121,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.forall(s => s > 0 && s <= cap * 1.1))
   }
 
+  test("sized roller respects the byte cap on the FIRST batch of wide records") {
+    import spark.implicits._
+    val out = tmp("graft-wide")
+    val cap = 100L * 1024
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileSize = cap, maxFileOpenDuration = 1.second,
+      delivery = DeliveryMode.AtLeastOnceSized)
+    val stream = MemoryStream[Array[Byte]](9, spark, None)
+    // ~2 KiB records: a fixed small bytes/record prior would pack
+    // ~400 of these per file and blow through the cap 8x
+    val pad = "x" * 2048
+    stream.addData((0 until 2000).map(i =>
+      s"""{"query":"$pad$i","timestamp":$i,"page_number":1,"result_per_page":1}"""
+        .getBytes("UTF-8")))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try h.processAllAvailable() finally h.stop()
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length > 1)
+    files.foreach(f => assert(f.length <= cap * 1.1,
+      s"first-batch file ${f.getName} is ${f.length} bytes > cap $cap"))
+    assert(spark.read.schema(sampleSchema).parquet(out).count() == 2000)
+  }
+
   test("file streaming source feeds the pipeline from dropped text files") {
     val srcDir = tmp("graft-filesrc")
     val out = tmp("graft-filesrc-out")
