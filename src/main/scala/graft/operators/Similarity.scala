@@ -82,6 +82,9 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assign(centroids)
+      // cache each iteration's k-row centroid table: without it the
+      // lazy lineage re-executes every earlier iteration inside every
+      // later one (plan size grows quadratically with iters)
       centroids = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -89,6 +92,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), toFloat(expr("transform(pm, p -> p.m)")).as("cv"))
+        .cache()
     }
     assign(centroids).select(col("vec_id"), col("cid").as("cluster"),
       round(sqrt(col("dist2")), 4).as("dist"))
