@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped registry of persisted intermediate relations.
+  *
+  * Operators that reuse an expensive relation across several queries
+  * (the dedup shingle table, MinHash band table, k-means centroids)
+  * persist it through this registry instead of calling `.cache()`
+  * ad hoc. That gives two properties `.cache()` alone doesn't:
+  *
+  *  - **memoization** — repeated construction of the same logical
+  *    relation (q28/q29/q49 all need the shingle table) returns the
+  *    one persisted instance instead of stacking duplicate cache
+  *    entries (the `CacheManager: Asked to cache already cached data`
+  *    warnings from round 1);
+  *  - **bounded lifetime** — `clear(spark)` releases everything the
+  *    session persisted, so a long-lived session (Bench, Verify, a
+  *    notebook) doesn't accumulate storage-memory entries per query
+  *    invocation.
+  */
+object CacheRegistry {
+
+  private val memo = TrieMap.empty[(String, String), DataFrame]
+  private val owned = TrieMap.empty[String, List[DataFrame]]
+
+  private def sid(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
+
+  /** Build-or-reuse a persisted relation under `key` (scoped to the
+    * session). The relation is persisted lazily; the first action
+    * materializes it.
+    */
+  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((sid(spark), key), {
+      val df = build.persist()
+      register(spark, df)
+      df
+    })
+
+  /** Track an already-persisted relation for release at [[clear]]. */
+  def register(spark: SparkSession, df: DataFrame): Unit = {
+    val k = sid(spark)
+    owned.updateWith(k) {
+      case Some(ds) => Some(df :: ds)
+      case None => Some(df :: Nil)
+    }
+    ()
+  }
+
+  /** Unpersist every relation this session registered. */
+  def clear(spark: SparkSession): Unit = {
+    val k = sid(spark)
+    owned.remove(k).getOrElse(Nil).foreach(_.unpersist(blocking = false))
+    memo.keys.filter(_._1 == k).foreach(memo.remove)
+  }
+}

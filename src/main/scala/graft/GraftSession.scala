@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // start shuffles finer than the core count and let AQE coalesce:
+      // with partitions == cores a single skewed partition (a hot
+      // shingle/band key) stalls the whole stage; 4× gives the skew
+      // splitter and coalescer room to rebalance at runtime
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (4 * shufflePartitions).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for vector math over `array<float>`
   * embedding columns.
@@ -24,6 +25,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Reject anything but array<float> at analysis time: getFloat() on
+  // an array<double>/array<int> would silently read wrong bytes.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).collect {
+      case t if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != FloatType => t.catalogString
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got ${bad.mkString(", ")}")
+  }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"

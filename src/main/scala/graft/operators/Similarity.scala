@@ -80,20 +80,29 @@ object Similarity {
     }
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    var prev: Option[DataFrame] = None
     for (_ <- 0 until iters) {
       val assigned = assign(centroids)
-      // cache each iteration's k-row centroid table: without it the
+      // persist each iteration's k-row centroid table: without it the
       // lazy lineage re-executes every earlier iteration inside every
       // later one (plan size grows quadratically with iters)
-      centroids = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), toFloat(expr("transform(pm, p -> p.m)")).as("cv"))
-        .cache()
+        .persist()
+      // materialize the new k-row table, then drop the superseded one
+      // so iterations don't accumulate cache entries (the final
+      // table is released by CacheRegistry.clear)
+      next.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      centroids = next
     }
+    prev.foreach(graft.CacheRegistry.register(e.sparkSession, _))
     assign(centroids).select(col("vec_id"), col("cid").as("cluster"),
       round(sqrt(col("dist2")), 4).as("dist"))
   }

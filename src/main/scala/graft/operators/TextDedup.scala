@@ -80,14 +80,20 @@ object TextDedup {
        | sh AS (SELECT doc_id, sh_all.shingle FROM sh_all
        |   JOIN keep ON sh_all.shingle = keep.shingle)""".stripMargin
 
-  private def filteredShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val keep = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("shingle"))
-    sh.join(keep, "shingle").select(col("doc_id"), col("shingle"))
-  }
+  /** Persisted via [[graft.CacheRegistry]]: q28, q29 and q49 all read
+    * this relation (several times each — self-join sides + the sizes
+    * agg), so it is built once per (session, dir) and released by
+    * `CacheRegistry.clear`.
+    */
+  private def filteredShingles(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"textdedup.shingles:$d") {
+      val sh = shingles(s, d)
+      val keep = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("shingle"))
+      sh.join(keep, "shingle").select(col("doc_id"), col("shingle"))
+    }
 
   // 16-bit SimHash, engine-portable: bit b of token-hash = bit
   // (3 - b%4) of the hex digit at md5 position (b/4 + 1). The digit is
@@ -112,21 +118,23 @@ object TextDedup {
     * shared by q29 and the q49 corpus-clean pipeline.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = filteredShingles(s, d).cache()
+    val sh = filteredShingles(s, d)
     val sig = sh.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
       (1 until 16).map(i =>
         min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
-    // cached: both join sides read this 4-rows-per-doc relation;
-    // without the cache each side recomputes the signature chain
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map { bnd =>
-        struct(lit(bnd).as("band"),
-          md5(concat(col(s"h${4 * bnd}"), col(s"h${4 * bnd + 1}"),
-            col(s"h${4 * bnd + 2}"), col(s"h${4 * bnd + 3}")).cast("binary")).as("bh"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .cache()
+    // persisted: both join sides read this 4-rows-per-doc relation
+    // (and q49 reads it again); without it each side recomputes the
+    // signature chain
+    val bands = graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$d") {
+      sig.select(col("doc_id"), explode(array(
+        (0 until 4).map { bnd =>
+          struct(lit(bnd).as("band"),
+            md5(concat(col(s"h${4 * bnd}"), col(s"h${4 * bnd + 1}"),
+              col(s"h${4 * bnd + 2}"), col(s"h${4 * bnd + 3}")).cast("binary")).as("bh"))
+        }: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    }
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh"))
@@ -180,7 +188,7 @@ object TextDedup {
     // and candidate-verification joins cost ~3× more wall-clock at
     // sf0.1 than the direct join. Revisit only if the cap must rise.)
     "q28_ngram_jaccard" -> ((s, d) => {
-      val sh = filteredShingles(s, d).cache()
+      val sh = filteredShingles(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -58,11 +58,10 @@ final class Pipeline(cfg: PipelineConfig) {
       errorPolicy: DecodeErrorPolicy = DecodeErrorPolicy.FailFast): PipelineHandle = {
     val spark = raw.sparkSession
     val decoded0 = raw.select(codec.decode(col("value")).as("r"))
-    // A decode failure is a null struct, or (from_json PERMISSIVE
-    // mode) a struct whose every field is null.
-    val failed = col("r").isNull || codec.schema.fields
-      .map(f => col("r").getField(f.name).isNull)
-      .reduce(_ && _)
+    // Codec contract: null struct iff undecodable. Parsing codecs use
+    // a PERMISSIVE corrupt-record column internally, so a valid
+    // record whose fields are all null is NOT treated as a failure.
+    val failed = col("r").isNull
     val decoded = errorPolicy match {
       case DecodeErrorPolicy.FailFast =>
         // reference semantics (KPW:272-277): an undecodable record
@@ -122,6 +121,13 @@ final class Pipeline(cfg: PipelineConfig) {
           .start())
       case _ => None
     }
+    // Meter only the main query: a session can run several pipelines
+    // (and this one may run a dead-letter side query over the same
+    // source), so the listener filters progress events by query id.
+    // Registered immediately after start() — progress events are
+    // delivered asynchronously after the first micro-batch commits,
+    // well after this line runs.
+    metrics.track(query.id)
     new PipelineHandle(query, metrics, spark, dlQuery)
   }
 
@@ -158,11 +164,30 @@ final class Pipeline(cfg: PipelineConfig) {
     // undershoots wide records and breaches maxFileSize).
     val bytesPerRecord = new AtomicLong(0)
     val totalRecords = new AtomicLong(0)
+    val runBytes = new AtomicLong(0)
     val seenFiles = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val primed = new java.util.concurrent.atomic.AtomicBoolean(false)
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cached = batch.persist()
         try {
+          // Files already in targetDir from a previous run (restart
+          // from checkpoint) must not feed the bytes/record estimate
+          // or the closed-file histogram: claim them before the first
+          // write of this run, silently.
+          if (primed.compareAndSet(false, true)) {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val dir = new org.apache.hadoop.fs.Path(cfg.targetDir)
+            if (fs.exists(dir)) {
+              val it = fs.listFiles(dir, true)
+              while (it.hasNext) {
+                val f = it.next()
+                if (f.getPath.getName.endsWith(".parquet"))
+                  seenFiles.add(f.getPath.toString)
+              }
+            }
+          }
           if (bytesPerRecord.get() == 0L) {
             val sample = cached.limit(500)
               .select(octet_length(to_json(struct(cached.columns.map(col).toIndexedSeq: _*))).as("b"))
@@ -180,22 +205,26 @@ final class Pipeline(cfg: PipelineConfig) {
           val written = cached.count() // from cache — no source re-read
           metrics.writtenRecords.addAndGet(written)
           val cumulative = totalRecords.addAndGet(written)
-          // feedback: actual bytes/record from everything on disk so
-          // far (O(#files) listing — never a data re-read), plus the
-          // reference's closed-file-size histogram (KPW:144,339-344)
+          // feedback: actual bytes/record from files written BY THIS
+          // RUN (O(#files) listing — never a data re-read), plus the
+          // reference's closed-file-size histogram (KPW:144,339-344).
+          // Restricting to this run's files keeps the estimate
+          // aligned with `cumulative`, which also counts only this
+          // run — mixing in prior-run bytes would inflate it and
+          // shrink files far below maxFileSize after restarts.
           val fs = org.apache.hadoop.fs.FileSystem.get(
             batch.sparkSession.sparkContext.hadoopConfiguration)
           val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
-          var bytes = 0L
           while (it.hasNext) {
             val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet")) {
-              bytes += f.getLen
-              if (seenFiles.add(f.getPath.toString))
-                metrics.recordClosedFile(f.getLen)
+            if (f.getPath.getName.endsWith(".parquet") &&
+                seenFiles.add(f.getPath.toString)) {
+              runBytes.addAndGet(f.getLen)
+              metrics.recordClosedFile(f.getLen)
             }
           }
-          if (cumulative > 0) bytesPerRecord.set(math.max(1L, bytes / cumulative))
+          if (cumulative > 0)
+            bytesPerRecord.set(math.max(1L, runBytes.get() / cumulative))
         } finally cached.unpersist()
       }
       .option("checkpointLocation", cfg.checkpointDir)
@@ -231,6 +260,12 @@ final class PipelineHandle(val query: StreamingQuery,
   * progress events.
   */
 final class PipelineMetrics(instanceName: String) {
+  /** Query ids this instance meters; progress events from any other
+    * query in the session (other pipelines, the dead-letter side
+    * query) are ignored. */
+  private val trackedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+  private[streaming] def track(id: java.util.UUID): Unit = { trackedIds.add(id); () }
   /** Records received from the source (pre-decode, includes records a
     * DeadLetter policy later drops). */
   val receivedRecords = new AtomicLong(0)
@@ -260,6 +295,7 @@ final class PipelineMetrics(instanceName: String) {
   val listener: StreamingQueryListener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      if (!trackedIds.contains(e.progress.id)) return
       receivedRecords.addAndGet(e.progress.numInputRows)
       val observed = e.progress.observedMetrics
       if (observed.containsKey("graft_written"))

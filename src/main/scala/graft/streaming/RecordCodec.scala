@@ -2,9 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import scala.reflect.runtime.universe.TypeTag
+import scala.util.Try
 
 /** Decode plug-in — the engine's equivalent of the reference's
   * caller-supplied protobuf `Parser<T>` (KPW:85-89, applied at
@@ -30,22 +31,65 @@ object DecodeErrorPolicy {
 trait RecordCodec {
   def schema: StructType
 
-  /** bytes column → struct column of [[schema]] (null = decode failure). */
+  /** bytes column → struct column of [[schema]].
+    *
+    * Contract: the result is null **iff the record is undecodable** —
+    * a record that parses but carries only null field values is a
+    * valid record and must decode to a non-null struct. (Parsers with
+    * a PERMISSIVE mode distinguish the two via a corrupt-record
+    * column; see [[JsonCodec]].)
+    */
   def decode(bytes: Column): Column
 }
 
-/** JSON payloads (UTF-8 bytes). `from_json` yields null on corrupt
-  * input, giving DeadLetter semantics for free.
-  */
-final case class JsonCodec(schema: StructType) extends RecordCodec {
-  override def decode(bytes: Column): Column =
-    from_json(bytes.cast("string"), schema)
+private[streaming] object RecordCodec {
+  /** Corrupt-record marker column used internally by the parsing
+    * codecs; never visible in decoded output. */
+  val CorruptCol = "_graft_corrupt"
+
+  /** Null out the struct when the parser flagged the record corrupt,
+    * otherwise re-project to the clean schema (drops the marker).
+    * `parsed` must follow `schema` + the marker column.
+    */
+  def stripCorrupt(parsed: Column, schema: StructType): Column =
+    when(parsed.isNull || parsed.getField(CorruptCol).isNotNull,
+      lit(null).cast(schema))
+      .otherwise(struct(schema.fields.toIndexedSeq.map(f =>
+        parsed.getField(f.name).as(f.name)): _*))
 }
 
-/** Single-line CSV payloads. */
+/** JSON payloads (UTF-8 bytes). Parsed in PERMISSIVE mode with a
+  * corrupt-record column so a genuinely unparsable record decodes to
+  * null while a valid record whose every field is null (e.g.
+  * `{"query":null,"timestamp":null}`) stays a non-null struct —
+  * the distinction DeadLetter/FailFast policies key on.
+  */
+final case class JsonCodec(schema: StructType) extends RecordCodec {
+  require(!schema.fieldNames.contains(RecordCodec.CorruptCol),
+    s"schema must not contain reserved column ${RecordCodec.CorruptCol}")
+  override def decode(bytes: Column): Column = {
+    val withCorrupt = schema.add(RecordCodec.CorruptCol, StringType)
+    val parsed = from_json(bytes.cast("string"), withCorrupt,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> RecordCodec.CorruptCol))
+    RecordCodec.stripCorrupt(parsed, schema)
+  }
+}
+
+/** Single-line CSV payloads. Same corrupt-record discipline as
+  * [[JsonCodec]] — a malformed line decodes to null, a parseable
+  * line of empty fields does not.
+  */
 final case class CsvCodec(schema: StructType, sep: String = ",") extends RecordCodec {
-  override def decode(bytes: Column): Column =
-    from_csv(bytes.cast("string"), schema, Map("sep" -> sep))
+  require(!schema.fieldNames.contains(RecordCodec.CorruptCol),
+    s"schema must not contain reserved column ${RecordCodec.CorruptCol}")
+  override def decode(bytes: Column): Column = {
+    val withCorrupt = schema.add(RecordCodec.CorruptCol, StringType)
+    val parsed = from_csv(bytes.cast("string"), withCorrupt,
+      Map("sep" -> sep, "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> RecordCodec.CorruptCol))
+    RecordCodec.stripCorrupt(parsed, schema)
+  }
 }
 
 /** Arbitrary binary formats via a caller-supplied decoder function —
@@ -60,6 +104,8 @@ final case class TypedCodec[T <: Product: TypeTag](decodeFn: Array[Byte] => T)
     extends RecordCodec {
   private val enc: Encoder[T] = Encoders.product[T]
   override val schema: StructType = enc.schema
-  private val u = udf(decodeFn)
+  // a throwing decoder means "undecodable" (null struct), so the
+  // error-policy machinery sees the same contract as parsing codecs
+  private val u = udf((b: Array[Byte]) => Try(decodeFn(b)).toOption)
   override def decode(bytes: Column): Column = u(bytes)
 }
