@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
       (operators.Similarity.queries, operators.Similarity.oracleSql),
       (operators.AsOf.queries, operators.AsOf.oracleSql),
+      (operators.Analytics.queries, operators.Analytics.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

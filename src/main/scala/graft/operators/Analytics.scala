@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of analytics operators (round 2): deterministic
+  * sampling, histogramming, TF-IDF, winnowing fingerprints
+  * (Schleimer et al. 2003), funnel analysis, unpivot/melt, the
+  * salted-distinct scale operator surfaced as a query, and map-typed
+  * aggregation.
+  *
+  * The reference pipeline (see SURVEY.md §2.1) has none of these —
+  * they extend the engine's training-data-pipeline surface the same
+  * way TextDedup/Similarity do, each with a DuckDB oracle twin.
+  *
+  * Determinism policy (see Relational.scala): money sums through
+  * DECIMAL(12,2); averages as exact-sum ÷ count with NO rounding
+  * (both engines then divide bit-identical operands); hashes via md5
+  * only; every top-k rank carries a unique-key tiebreak.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("term"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q54: deterministic hash sampling — the engine-portable form of
+    // TABLESAMPLE. Keep a row iff the first md5 hex digit of its key
+    // is in {0,1} (exact 12.5% expectation, reproducible across
+    // engines/partitionings — rand()-based sampling is neither).
+    // At 100 TB the filter is a per-row map, no shuffle.
+    "q54_sample_hash" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+    }),
+
+    // q55: fixed-bound histogram (10 bins over the part price range).
+    // One scan + one hash agg on a derived key — the plan shape of
+    // any quantile-binning pass at scale.
+    "q55_price_histogram" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("bin", floor((col("p_retailprice") - 900.0) / 10.0).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+    }),
+
+    // q56: TF-IDF top-5 terms per document (docs 0-49). Scored as
+    // tf·N/df — the rational form keeps the oracle hash-stable where
+    // ln() could differ in the last ulp between libm builds; ranking
+    // is on the 6-dp-rounded score with a term tiebreak.
+    "q56_tfidf" -> ((s, d) => {
+      val tk = toks(s, d)
+      val tf = tk.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tk.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("tf") * col("n_docs") / col("df"), 6).desc, col("term"))
+      tf.join(df_, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("rn"))
+    }),
+
+    // q57: winnowing document fingerprints (the rolling-hash
+    // fingerprint scheme of Schleimer/Wilkerson/Aiken, MOSS): char
+    // 5-gram md5 hashes, minimum per sliding window of 4, distinct
+    // mins = the fingerprint set. The explode is linear in text
+    // length and shuffles only by doc_id (the window's partition
+    // key), so the plan is a per-document scan at any corpus size.
+    "q57_winnow_fingerprint" -> ((s, d) => {
+      val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      val wAll = Window.partitionBy(col("doc_id"))
+      t(s, d, "documents")
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 4)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(expr("substr(text, pos, 5)").cast("binary")).as("h"))
+        .withColumn("fp", min(col("h")).over(wMin))
+        .withColumn("ng", count(lit(1)).over(wAll))
+        .filter(col("pos") <= col("ng") - 3) // full windows only
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+    }),
+
+    // q58: funnel analysis — users progressing signup → view →
+    // purchase in timestamp order. Each stage is one filter + one
+    // equi-join on user_id + one min-agg: at scale, three shuffles
+    // on the same key (co-partitioned after the first).
+    "q58_funnel" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_signup_view")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    // q59: unpivot (wide → long melt) of per-brand part statistics.
+    // Averages are exact-sum ÷ count, unrounded: both engines divide
+    // bit-identical operands, so the doubles match without a rounding
+    // policy.
+    "q59_unpivot" -> ((s, d) => {
+      val stats = t(s, d, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          (sum(col("p_size")).cast("double") / count(lit(1))).as("avg_size"),
+          (sum(col("p_retailprice").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_price"))
+      stats.unpivot(
+        Array(col("p_brand")),
+        Array(col("avg_size"), col("avg_price")),
+        "metric", "value")
+    }),
+
+    // q60: the skew-safe two-phase distinct count (ScaleOps) surfaced
+    // in the t2 gate — partial countDistinct per (key, salt) then a
+    // sum, so one hot key spreads over `salts` reducers. The oracle
+    // is the plain exact count: salting must never change the answer.
+    "q60_salted_distinct" -> ((s, d) => {
+      graft.scale.ScaleOps.saltedDistinctCount(
+        t(s, d, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", salts = 8)
+    }),
+
+    // q61: map-typed aggregation — build a lang→doc-count map per
+    // source (map_from_entries over a sorted entry list, so map
+    // internal order is deterministic), then read it back via
+    // map_keys/element_at. Output is plain columns, so the oracle
+    // needs no engine-specific map representation.
+    "q61_map_agg" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("lang"), col("cnt"))))).as("m"))
+        .select(col("source"),
+          size(col("m")).as("n_langs"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("langs"),
+          coalesce(element_at(col("m"), lit("en")), lit(0L)).as("n_en"))
+    }))
+
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q54_sample_hash" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |GROUP BY 1""".stripMargin,
+
+    "q55_price_histogram" ->
+      """SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS INT) AS bin,
+        | count(*) AS n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q56_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE doc_id < 50 GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, rn FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY round(tf.tf * 1.0 * n.n / df.df, 6) DESC, tf.term) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q57_winnow_fingerprint" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos, md5(substr(text, i, 5)) AS h
+        |  FROM (SELECT doc_id, text,
+        |     unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+        |    FROM documents)),
+        |mins AS (
+        |  SELECT doc_id, pos,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams)
+        |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
+        |FROM mins WHERE pos <= ng - 3
+        |GROUP BY doc_id""".stripMargin,
+
+    "q58_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_signup_view,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "q59_unpivot" ->
+      """WITH stats AS (
+        |  SELECT p_brand,
+        |   CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size,
+        |   CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, metric, value FROM (
+        |  SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM stats
+        |  UNION ALL
+        |  SELECT p_brand, 'avg_price' AS metric, avg_price AS value FROM stats)""".stripMargin,
+
+    "q60_salted_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q61_map_agg" ->
+      """SELECT source,
+        | CAST(count(DISTINCT lang) AS INT) AS n_langs,
+        | string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM documents GROUP BY source""".stripMargin)
+}

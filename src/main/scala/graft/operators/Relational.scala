@@ -336,10 +336,12 @@ object Relational {
         .agg(sum(col("new_session")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
-    // q39: approximate distinct-count (HyperLogLog++). No SQL oracle
-    // (sketch estimates are engine-specific) — the driver records a
-    // rows-only check; the spec asserts the 2% rsd accuracy contract
-    // against the exact count.
+    // q39: approximate distinct-count (HyperLogLog++). The sketch
+    // estimate itself is engine-specific, so the oracled columns are
+    // the exact count plus an accuracy flag: the oracle asserts
+    // `approx_ok = TRUE`, i.e. Spark's HLL estimate landed within
+    // 10% (5× the requested 2% rsd) of the exact answer — a real
+    // cross-engine check instead of the old rows-only record.
     "q39_approx_distinct" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -347,6 +349,9 @@ object Relational {
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("approx_ok"))
     }))
 
   // ---------------------------------------------------------------
@@ -539,5 +544,12 @@ object Relational {
         |    SELECT user_id, ts,
         |     lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |    FROM events))
-        |GROUP BY user_id""".stripMargin)
+        |GROUP BY user_id""".stripMargin,
+
+    // the oracle pins approx_ok TRUE: the hash compare then fails iff
+    // Spark's HLL estimate strays beyond 10% of the exact count
+    "q39_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | count(*) AS n, TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin)
 }

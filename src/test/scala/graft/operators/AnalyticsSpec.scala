@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def q(name: String) = Analytics.queries(name)(spark, sf)
+
+  test("q54 hash sample keeps ~12.5% of orders, deterministically") {
+    val total = graft.Tables(spark, sf, "orders").count()
+    val n1 = q("q54_sample_hash").agg(sum(col("n"))).collect().head.getLong(0)
+    val n2 = q("q54_sample_hash").agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n1 == n2, "hash sampling must be reproducible run-to-run")
+    val frac = n1.toDouble / total
+    assert(frac > 0.08 && frac < 0.17, s"sample fraction $frac far from 1/8")
+  }
+
+  test("q55 histogram bins partition the table exactly") {
+    val total = graft.Tables(spark, sf, "part").count()
+    val rows = q("q55_price_histogram").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val bins = rows.map(_.getAs[Int]("bin"))
+    assert(bins.forall(b => b >= 0 && b <= 10))
+  }
+
+  test("q56 tf-idf yields at most 5 ranked terms per doc, rn dense from 1") {
+    val rows = q("q56_tfidf").collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted
+      assert(rns.length <= 5)
+      assert(rns.toSeq == (1 to rns.length))
+    }
+  }
+
+  test("q57 winnowing: fingerprint count is positive and bounded by gram count") {
+    val rows = q("q57_winnow_fingerprint").collect()
+    assert(rows.nonEmpty)
+    val lens = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val nFp = r.getAs[Long]("n_fp")
+      assert(nFp >= 1)
+      // can't have more distinct window-min fingerprints than windows
+      assert(nFp <= math.max(1, lens(r.getAs[Long]("doc_id")) - 7))
+      assert(r.getAs[String]("min_fp").length == 32) // md5 hex
+    }
+  }
+
+  test("q58 funnel stages are monotone non-increasing") {
+    val r = q("q58_funnel").collect().head
+    val (a, b, c) = (r.getAs[Long]("n_signup"),
+      r.getAs[Long]("n_signup_view"), r.getAs[Long]("n_full_funnel"))
+    assert(a >= b && b >= c)
+    assert(a > 0)
+  }
+
+  test("q59 unpivot emits exactly two metric rows per brand") {
+    val rows = q("q59_unpivot").collect()
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("metric")).sorted.toSeq ==
+        Seq("avg_price", "avg_size"))
+    }
+  }
+
+  test("q60 salted distinct equals the plain exact distinct count") {
+    val salted = q("q60_salted_distinct").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_distinct")).toMap
+    val plain = graft.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(salted == plain)
+  }
+
+  test("q61 map aggregation: n_langs agrees with the langs list") {
+    q("q61_map_agg").collect().foreach { r =>
+      assert(r.getAs[String]("langs").split(",").length == r.getAs[Int]("n_langs"))
+      assert(r.getAs[Long]("n_en") >= 0)
+    }
+  }
+
+  test("q39 HLL estimate stays within the 10% oracle bound") {
+    val rows = graft.operators.Relational.queries("q39_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+  }
+}
