@@ -20,12 +20,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // start shuffles finer than the core count and let AQE coalesce:
-      // with partitions == cores a single skewed partition (a hot
-      // shingle/band key) stalls the whole stage; 4× gives the skew
-      // splitter and coalescer room to rebalance at runtime
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (4 * shufflePartitions).toString)
+      // NOTE: adaptive.coalescePartitions.initialPartitionNum is left
+      // at its default (= shuffle.partitions). A 4× value was measured
+      // here and REJECTED: at bench scale it cost ~30% wall-clock
+      // (q28 2.2× slower) because every shuffle pays 4× task overhead
+      // while AQE's skew-join splitter already handles hot keys
+      // without it. On a real cluster it belongs in deploy config,
+      // sized to executor count, not hard-coded by the engine.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

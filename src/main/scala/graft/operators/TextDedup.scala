@@ -41,26 +41,24 @@ object TextDedup {
     * never appear (split() keeps boundary empties inconsistently
     * across engines).
     *
-    * Built with posexplode + window lead() rather than
-    * `transform(sequence(...))`: higher-order array lambdas run
-    * interpreted per element, while posexplode and concat_ws are
-    * codegen'd and the window is one sort within doc partitions
-    * (~2× faster at sf0.1, and the shuffle it introduces is by
-    * doc_id — the partitioning every downstream step wants anyway).
+    * Built by an in-row array transform over the token list, then one
+    * explode. Round 1 used posexplode + window lead(); re-measured in
+    * round 2 (ShingleProbe, sf0.1): the window form costs ~3.1 s
+    * (explode to 270 k rows + shuffle + per-doc sort) vs ~0.6 s for
+    * the transform form, because the lambda runs over a few hundred
+    * in-memory tokens per row and never shuffles. At 100 TB the
+    * transform also wins: shingling becomes a pure map stage with no
+    * exchange at all before the distinct.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+  private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
-        posexplode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
-          .as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .withColumn("w3", lead(col("w"), 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+      .filter(size(col("ws")) >= 3) // sequence(1,0) would count DOWN
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("shingle"))
       .distinct()
-  }
 
   /** Same relation in DuckDB SQL (1-based list indexing). */
   private val shinglesSql: String =
@@ -84,15 +82,21 @@ object TextDedup {
     * this relation (several times each — self-join sides + the sizes
     * agg), so it is built once per (session, dir) and released by
     * `CacheRegistry.clear`.
+    *
+    * The df cap is one window count over shingle partitions — a
+    * single hash exchange — instead of the round-1 groupBy+self-join
+    * (two exchanges of the same data, ~3 s of the old q28 cold path).
+    * The window version also needs no broadcast, so it holds at any
+    * corpus size, and leaves the output partitioned by shingle — the
+    * exact partitioning the q28 pair self-join consumes next.
     */
   private def filteredShingles(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.getOrPersist(s, s"textdedup.shingles:$d") {
-      val sh = shingles(s, d)
-      val keep = sh.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      shingles(s, d)
+        .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxShingleDf)
-        .select(col("shingle"))
-      sh.join(keep, "shingle").select(col("doc_id"), col("shingle"))
+        .select(col("doc_id"), col("shingle"))
     }
 
   // 16-bit SimHash, engine-portable: bit b of token-hash = bit
