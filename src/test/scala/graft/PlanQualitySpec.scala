@@ -74,6 +74,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"read $filesRead of $allFiles files — pruning did not engage")
   }
 
+  test("q54 hash sample prunes to the two referenced columns, no shuffle before the agg") {
+    val plan = executedPlan("q54_sample_hash")
+    assert(!plan.contains("o_orderdate") && !plan.contains("o_custkey"),
+      "sampling scan must prune unused order columns")
+    assert(plan.contains("partial_count"), "map-side partial agg expected")
+    // one exchange for the final groupBy only
+    val df = SparkEntry.queries("q54_sample_hash")(spark, sf)
+    assert(ScaleOps.countShuffles(df) <= 1,
+      df.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("q56 tf-idf broadcasts the one-row corpus count, never shuffles it") {
+    val plan = executedPlan("q56_tfidf")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus-count join should broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q57 winnowing shuffles only by doc_id (window partition key)") {
+    val df = SparkEntry.queries("q57_winnow_fingerprint")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every hash exchange must be on doc_id — a shuffle on pos or fp
+    // would break the per-document locality the operator relies on
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id")), s"unexpected shuffle keys $exchanges")
+  }
+
+  test("q60 salted distinct spreads the hot key over salt partitions") {
+    val plan = executedPlan("q60_salted_distinct")
+    assert(plan.contains("_salt"), "salt column must reach the partial agg")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString

@@ -131,4 +131,69 @@ class StreamingOpsSpec extends AnyFunSuite {
     val total = spark.table("sess_out").agg(sum("n_events")).collect().head.getLong(0)
     assert(total == 500, "every event lands in exactly one session")
   }
+
+  test("dropDuplicatesWithinWatermark dedups replays inside the watermark delay") {
+    import spark.implicits._
+    val evs = events().take(200)
+    val stream = MemoryStream[Ev](14, spark, None)
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ddww_out").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+      stream.addData(evs.take(50)) // replay a prefix within the delay
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ddww_out").select("event_id").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "replayed ids must be dropped")
+    assert(got.length == 200)
+  }
+
+  test("transformWithState maintains per-user max value (Spark 4 stateful API)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = events().take(300)
+      val stream = MemoryStream[Ev](15, spark, None)
+      val processor = new StatefulProcessor[Long, Ev, (Long, Double)] {
+        @transient private var mx: ValueState[Double] = _
+        override def init(outputMode: OM, timeMode: TimeMode): Unit =
+          mx = getHandle.getValueState[Double]("mx",
+            org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+            timerValues: TimerValues): Iterator[(Long, Double)] = {
+          val prevMax = if (mx.exists()) mx.get() else Double.MinValue
+          val m = math.max(prevMax, rows.map(_.value).max)
+          mx.update(m)
+          Iterator((key, m))
+        }
+      }
+      val out = stream.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(processor, TimeMode.None(), OM.Update())
+      val q = out.toDF("user_id", "max_value").writeStream
+        .outputMode(OM.Update()).format("memory").queryName("tws_out").start()
+      try {
+        stream.addData(evs)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_out")
+        .groupBy("user_id").agg(max("max_value").as("m"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val want = evs.groupBy(_.user_id).map { case (u, es) => (u, es.map(_.value).max) }
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
