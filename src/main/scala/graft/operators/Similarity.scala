@@ -175,6 +175,52 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("cos_sim"))
     }),
 
+    // q62: the IVF search path end-to-end, fully oracled — with the
+    // `label` column standing in as the coarse partition (cells).
+    // Cell centroids are per-dimension means over ORDER-FREE decimal
+    // sums, so centroid values are bit-deterministic under any
+    // partitioning (a double sum would vary run-to-run and break the
+    // probe); each query probes its nearest cell by squared distance
+    // (decimal-summed, label tiebreak) and ranks candidates inside
+    // that cell only. At 100 TB: centroids are k×dim rows (broadcast
+    // side), the cell search is an equi-join on the cell id — the
+    // same plan IVF indexes run in production, never a cross join.
+    "q62_ivf_search" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ex = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      val cents = ex.groupBy(col("label"), col("pos"))
+        .agg((sum(col("x").cast("decimal(30,10)")).cast("double") /
+          count(lit(1))).as("c"))
+      val qx = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+      val d2 = qx.join(cents, "pos")
+        .withColumn("t",
+          ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,18)"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(sum(col("t")).as("d2"))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("label").asc)
+      val probe = d2.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label"))
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          vec_norm(col("embedding")).as("qn"))
+      val cand = e.select(col("vec_id").as("cand_id"), col("label"),
+        col("embedding").as("cv"), vec_norm(col("embedding")).as("cn"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      broadcast(probe.join(qv, "query_id"))
+        .join(cand, Seq("label"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("label"), col("cand_id"), col("cos_sim"), col("rn"))
+    }),
+
     // q36: centroid per label — the IVF coarse-quantizer build step
     // (mean vector per cell as array<double>); also exercises
     // element-wise array aggregation.
@@ -239,6 +285,33 @@ object Similarity {
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |WHERE cos_sim >= 0.4""".stripMargin
       },
+
+      "q62_ivf_search" ->
+        s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+           |   unnest(embedding) AS x FROM embeddings),
+           |cents AS (SELECT label, pos,
+           |   CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+           |  FROM ex GROUP BY 1,2),
+           |qx AS (SELECT vec_id AS query_id, generate_subscripts(embedding,1) AS pos,
+           |   unnest(embedding) AS x FROM embeddings WHERE vec_id < 20),
+           |d2 AS (SELECT query_id, label,
+           |   sum(CAST((x - c) * (x - c) AS DECIMAL(38,18))) AS d2
+           |  FROM qx JOIN cents USING (pos) GROUP BY 1,2),
+           |probe AS (SELECT query_id, label FROM (
+           |   SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY d2 ASC, label ASC) AS rn FROM d2) WHERE rn = 1),
+           |qv2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+           |cand AS (SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings)
+           |SELECT query_id, label, cand_id, cos_sim, rn FROM (
+           | SELECT query_id, label, cand_id, cos_sim,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, cand_id) AS rn
+           | FROM (
+           |  SELECT p.query_id, p.label, c.cand_id, $cosSql AS cos_sim
+           |  FROM probe p JOIN qv2 q ON p.query_id = q.query_id
+           |  JOIN cand c ON c.label = p.label
+           |  WHERE c.cand_id <> p.query_id))
+           |WHERE rn <= 3""".stripMargin,
 
       "q36_label_centroid_norm" ->
         """SELECT label, count(*) AS n_vecs,
