@@ -143,6 +143,30 @@ object Analytics {
         "event_type", "user_id", salts = 8)
     }),
 
+    // q63: approximate percentile (GK sketch) validated against the
+    // exact interpolated percentile — same contract style as q39:
+    // the oracled columns are the exact values plus an accuracy flag
+    // the oracle pins TRUE, so the hash compare fails iff the sketch
+    // strays beyond 1% of the group's value range. At 100 TB the
+    // approx path is the one you run (mergeable sketches, no global
+    // sort); this query keeps it honest against the exact answer.
+    "q63_percentile_approx" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile_approx(value, 0.5, 10000)").as("ap50"),
+          expr("percentile(value, 0.5)").as("x50"),
+          expr("percentile(value, 0.99)").as("x99"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          round(col("x50"), 4).as("p50"),
+          round(col("x99"), 4).as("p99"),
+          col("n"),
+          (abs(col("ap50") - col("x50")) <=
+            (col("vmax") - col("vmin")) * 0.01).as("approx_ok"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -233,6 +257,13 @@ object Analytics {
 
     "q60_salted_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q63_percentile_approx" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS n, TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
 
     "q61_map_agg" ->

@@ -89,7 +89,11 @@ object Similarity {
       val next = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        // order-free decimal sum (like q62's centroids): avg() over
+        // doubles varies with partitioning, so cluster assignments
+        // would differ between cluster layouts at scale
+        .agg((sum(col("x").cast("decimal(30,10)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), toFloat(expr("transform(pm, p -> p.m)")).as("cv"))

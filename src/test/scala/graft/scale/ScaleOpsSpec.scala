@@ -62,4 +62,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  test("runtime bloom-filter join pruning injects might_contain on the big side") {
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // selective (filtered) side of a shuffle join and applies it as a
+    // semi-filter on the big side's scan — at 100 TB this prunes
+    // most of the probe-side shuffle. Default thresholds target real
+    // cluster sizes (10 GiB application side), so lower them to
+    // demonstrate the mechanism on test data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force a shuffle join: broadcasts bypass runtime filters
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables(spark, sf, "lineitem")
+      val ord = graft.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"bloom runtime filter not injected:\n${plan.take(1500)}")
+      assert(joined.collect().nonEmpty) // and the plan still executes
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
