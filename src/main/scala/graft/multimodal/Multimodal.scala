@@ -147,6 +147,20 @@ object Multimodal {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q64: the frame-sampling generator (typed Dataset flatMap)
+    // surfaced in the oracle gate — per video, 4 contiguous payload
+    // chunks with per-frame length + md5. Proves the typed-API path
+    // (case classes + mapPartitions/flatMap) produces byte-exact,
+    // SQL-verifiable output, not just the DataFrame path. (Payloads
+    // are ASCII here, so the oracle's char-based substr arithmetic
+    // equals byte offsets; a binary fixture would use blob slicing.)
+    "q64_frame_sample" -> ((s, d) => {
+      sampleFrames(mediaTable(s, d), nFrames = 4).toDF()
+        .select(col("media_id"), col("frame_no"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(col("frame_bytes")).as("frame_fp"))
+    }),
+
     "q38_media_stats" -> ((s, d) => {
       mediaTable(s, d).toDF()
         .withColumn("fp", md5(col("payload")))
@@ -160,6 +174,20 @@ object Multimodal {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q64_frame_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |frames AS (
+        |  SELECT media_id, f AS frame_no,
+        |   CASE WHEN f * greatest(1, len // 4) >= len THEN ''
+        |    ELSE substr(text, f * greatest(1, len // 4) + 1, greatest(1, len // 4))
+        |   END AS fb
+        |  FROM vids, (SELECT unnest(generate_series(0, 3)) AS f))
+        |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        | CAST(length(fb) AS BIGINT) AS frame_len, md5(fb) AS frame_fp
+        |FROM frames""".stripMargin,
+
     "q38_media_stats" ->
       """SELECT media_type, count(*) AS n_media,
         | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

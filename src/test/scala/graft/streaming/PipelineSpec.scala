@@ -237,6 +237,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(bytes == Set("bad bytes 1", "bad bytes 2"))
   }
 
+  test("valid record with all-null fields is kept — only parse failures quarantine") {
+    import spark.implicits._
+    val out = tmp("graft-nulls")
+    val dl = tmp("graft-nulls-dl")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      deadLetterDir = Some(dl), maxFileOpenDuration = 1.second)
+    val allNull =
+      """{"query":null,"timestamp":null,"page_number":null,"result_per_page":null}"""
+        .getBytes("UTF-8")
+    val stream = MemoryStream[Array[Byte]](20, spark, None)
+    stream.addData(Seq(jsonBytes(1), allNull, "not json at all".getBytes("UTF-8")))
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema),
+      DecodeErrorPolicy.DeadLetter)
+    try h.processAllAvailable() finally h.stop()
+    val kept = spark.read.schema(sampleSchema).parquet(out)
+    assert(kept.count() == 2, "all-null record is valid data, not a decode failure")
+    assert(kept.filter(col("query").isNull).count() == 1)
+    assert(spark.read.parquet(dl).count() == 1, "only the unparsable record quarantines")
+  }
+
+  test("two concurrent pipelines meter their own queries only") {
+    import spark.implicits._
+    val cfgA = PipelineConfig(targetDir = tmp("graft-ma"), checkpointDir = tmp("graft-cka"),
+      instanceName = "a", maxFileOpenDuration = 1.second)
+    val cfgB = PipelineConfig(targetDir = tmp("graft-mb"), checkpointDir = tmp("graft-ckb"),
+      instanceName = "b", maxFileOpenDuration = 1.second)
+    val sA = MemoryStream[Array[Byte]](21, spark, None)
+    val sB = MemoryStream[Array[Byte]](22, spark, None)
+    sA.addData((1 to 7).map(jsonBytes))
+    sB.addData((1 to 3).map(jsonBytes))
+    val hA = newPipeline(cfgA).start(sA.toDF(), JsonCodec(sampleSchema))
+    val hB = newPipeline(cfgB).start(sB.toDF(), JsonCodec(sampleSchema))
+    try {
+      hA.processAllAvailable()
+      hB.processAllAvailable()
+      assert(hA.metrics.receivedRecords.get() == 7,
+        s"pipeline A saw ${hA.metrics.receivedRecords.get()} — cross-contaminated?")
+      assert(hB.metrics.receivedRecords.get() == 3,
+        s"pipeline B saw ${hB.metrics.receivedRecords.get()} — cross-contaminated?")
+    } finally { hA.stop(); hB.stop() }
+  }
+
   test("TypedCodec decodes an opaque binary format (Parser<T> seam)") {
     import spark.implicits._
     // hand-rolled length-prefixed binary layout standing in for
