@@ -115,8 +115,10 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q48: IVF coarse-quantizer build — 8-cell k-means, 3 Lloyd
-    // iterations (rows-only: iterative float means are not
-    // SQL-oracle-reproducible; invariants are spec-checked).
+    // iterations. Fully oracled since round 2: centroid means use
+    // order-free decimal sums, so every iteration is bit-deterministic
+    // and a DuckDB unrolled-Lloyd CTE chain reproduces the exact
+    // assignments and distances (see kmeansOracleSql).
     "q48_ivf_kmeans" -> ((s, d) =>
       kmeansAssign(t(s, d, "embeddings"), k = 8, iters = 3)),
 
@@ -242,12 +244,51 @@ object Similarity {
 
   // ---------------------------------------------------------------
 
+  /** Unrolled-Lloyd DuckDB oracle for [[kmeansAssign]] (k=8,
+    * iters=3). Reproducible across engines because every
+    * engine-varying step is pinned: init = first k vec_ids; the
+    * assignment argmin orders by (d2, cid) where d2 uses the same
+    * sequential-double dot product both engines implement; centroid
+    * means are order-free DECIMAL sums cast through DOUBLE→FLOAT
+    * (IEEE nearest on both sides).
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def assign(prev: String, out: String, finalStep: Boolean) = {
+      val extraSel = if (finalStep) ", d2, vv" else ""
+      val extraCol =
+        if (finalStep) s", ${dot("e.embedding", "e.embedding")} AS vv" else ""
+      s"""$out AS (SELECT vec_id, cid, embedding$extraSel FROM (
+         | SELECT e.vec_id, c.cid, e.embedding,
+         |  ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} AS d2$extraCol,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+         | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    }
+    def update(ain: String, cout: String) =
+      s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
+         | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
+         | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
+         |    unnest(embedding) AS x FROM $ain)
+         | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    val ctes = Seq(
+      "e AS (SELECT vec_id, embedding FROM embeddings)",
+      s"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < $k)") ++
+      (1 to iters).flatMap(i =>
+        Seq(assign(s"c${i - 1}", s"a$i", finalStep = false), update(s"a$i", s"c$i"))) :+
+      assign(s"c$iters", "afinal", finalStep = true)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cid AS cluster, round(sqrt(d2 + vv), 4) AS dist FROM afinal""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
     val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
     Map(
+      "q48_ivf_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
       "q31_ann_bruteforce" ->
         s"""SELECT query_id, cand_id, cos_sim, rn FROM (
            | SELECT query_id, cand_id, cos_sim,
