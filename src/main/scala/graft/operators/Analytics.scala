@@ -167,6 +167,25 @@ object Analytics {
             (col("vmax") - col("vmin")) * 0.01).as("approx_ok"))
     }),
 
+    // q65: distribution window functions — percent_rank, cume_dist,
+    // nth_value. All three are rational functions of exact integer
+    // rank/count, so the doubles are bit-identical cross-engine with
+    // no rounding policy; the window orders on a unique key suffix
+    // and nth_value keeps the default running frame (same default in
+    // DuckDB).
+    "q65_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 500)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("third_price",
+          round(coalesce(nth_value(col("o_totalprice"), 3).over(w), lit(0.0)), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("pr"), col("cd"),
+          col("third_price"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -265,6 +284,15 @@ object Analytics {
         | round(quantile_cont(value, 0.99), 4) AS p99,
         | count(*) AS n, TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q65_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | round(coalesce(nth_value(o_totalprice, 3) OVER w, 0.0), 2) AS third_price
+        |FROM orders WHERE o_custkey < 500
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
