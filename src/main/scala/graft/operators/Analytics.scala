@@ -186,6 +186,34 @@ object Analytics {
           col("third_price"))
     }),
 
+    // q66: TPC-H Q21 pattern — "sole late shipper": per supplier,
+    // count late line items on multi-supplier orders where no OTHER
+    // supplier was late. Exercises correlated EXISTS (left_semi) and
+    // NOT EXISTS (left_anti) against the same relation with residual
+    // non-equi predicates: both joins stay hash-partitioned on
+    // l_orderkey (the equi component) with the <> as a residual
+    // filter, so the pattern scales like any equi-join.
+    "q66_sole_late_supplier" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val late = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val withOther = late.as("l1").join(
+        li.select(col("l_orderkey"), col("l_suppkey")).as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_semi")
+      val sole = withOther.as("l1").join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"),
+        "left_anti")
+      sole.join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -293,6 +321,20 @@ object Analytics {
         |FROM orders WHERE o_custkey < 500
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q66_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM late l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_name""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
