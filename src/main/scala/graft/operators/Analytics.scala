@@ -214,6 +214,26 @@ object Analytics {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // q67: edit-distance fuzzy matching — the 6th dedup modality
+    // (typo-level near-identity, complementing shingle/MinHash/
+    // SimHash/embedding similarity). Blocked on p_brand so the pair
+    // join is an equi-join with bounded per-block fan-out (the same
+    // blocking discipline as the LSH buckets); levenshtein is
+    // codegen'd in Spark and identical by definition in DuckDB.
+    "q67_fuzzy_name_match" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_fuzzy_pairs"),
+          sum(when(col("dist") === 0, 1).otherwise(0)).cast("long").as("n_exact"),
+          min(col("dist")).as("min_dist"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -335,6 +355,17 @@ object Analytics {
         | AND NOT EXISTS (SELECT 1 FROM late l3
         |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s.s_name""".stripMargin,
+
+    "q67_fuzzy_name_match" ->
+      """SELECT p_brand, count(*) AS n_fuzzy_pairs,
+        | CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        | min(dist) AS min_dist
+        |FROM (
+        |  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |WHERE dist <= 2
+        |GROUP BY p_brand""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,

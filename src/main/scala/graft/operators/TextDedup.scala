@@ -236,6 +236,46 @@ object TextDedup {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
+    // q68: near-dup CLUSTERS from the MinHash candidate pairs —
+    // distributed connected components by min-label propagation
+    // (the Afrati/Ullman "small-star" style: each iteration is one
+    // edge⋈label join + one min-aggregation, both hash-partitioned
+    // on node id; no driver-side graph state, so the algorithm holds
+    // at any component count). Labels are monotone non-increasing,
+    // so convergence is detected by an aggregate sum (exact long
+    // arithmetic); the fixpoint — min doc_id per component — is
+    // unique regardless of iteration schedule, which is what lets a
+    // recursive-CTE oracle reproduce it exactly. This completes the
+    // dedup story: pairs (q28/q29) → clusters → canonical doc.
+    "q68_dedup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).persist()
+      var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 30) {
+        val next = edges
+          .join(labels.select(col("node").as("src"), col("lab")), "src")
+          .select(col("dst").as("node"), col("lab"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .persist()
+        val nextSum = next.agg(sum(col("lab"))).head.getLong(0)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iters += 1
+      }
+      graft.CacheRegistry.register(s, labels)
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lab")
+        .select(col("node").as("doc_id"), col("lab").as("cluster"), col("cluster_size"))
+    }),
+
     // q30: 16-bit SimHash fingerprint per document (token-frequency
     // weighted). One explode + one groupBy — linear in corpus size.
     "q30_simhash" -> ((s, d) => {
@@ -357,6 +397,20 @@ object TextDedup {
          |FROM exact_kept
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |  AND n_tokens >= 20""".stripMargin,
+
+    "q68_dedup_clusters" ->
+      s"""${filteredShinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$minhashPairsCte,
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach AS (
+         |  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM edges)
+         |  UNION
+         |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         | lab AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+         | csize AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, csize.cluster_size
+         |FROM lab l JOIN csize USING (cluster)""".stripMargin,
 
     "q30_simhash" -> {
       s"""SELECT doc_id, CAST($simhashFingerprint AS BIGINT) AS simhash FROM (

@@ -84,6 +84,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q66 every reported supplier has at least one sole-late order") {
+    val rows = q("q66_sole_late_supplier").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("numwait") >= 1))
+  }
+
+  test("q67 fuzzy pairs: exact subset of fuzzy, distances within threshold") {
+    val rows = q("q67_fuzzy_name_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") <= r.getAs[Long]("n_fuzzy_pairs"))
+      val md = r.getAs[Int]("min_dist")
+      assert(md >= 0 && md <= 2)
+    }
+  }
+
+  test("q68 clusters: label is the component min; q29 pairs never straddle clusters") {
+    val labels = TextDedup.queries("q68_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.nonEmpty)
+    // label must be a member of its own cluster and its minimum
+    labels.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.keys.min == cluster)
+    }
+    // every candidate pair is intra-cluster (transitivity closed)
+    TextDedup.queries("q29_minhash_lsh")(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("q39 HLL estimate stays within the 10% oracle bound") {
     val rows = graft.operators.Relational.queries("q39_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
