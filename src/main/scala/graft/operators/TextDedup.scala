@@ -251,8 +251,14 @@ object TextDedup {
       val pairs = minhashPairs(s, d)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // localCheckpoint per iteration truncates the lineage — without
+      // it the plan tree doubles every round (each iteration embeds
+      // the previous one twice: the join side and the union side) and
+      // planning cost explodes long before compute does. A production
+      // cluster would use reliable checkpoint() for the same reason
+      // plus executor-loss recovery.
       var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).persist()
+        .withColumn("lab", col("node")).localCheckpoint(true)
       var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
       var converged = false
       var iters = 0
@@ -262,15 +268,13 @@ object TextDedup {
           .select(col("dst").as("node"), col("lab"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-          .persist()
+          .localCheckpoint(true)
         val nextSum = next.agg(sum(col("lab"))).head.getLong(0)
-        labels.unpersist(blocking = false)
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
         iters += 1
       }
-      graft.CacheRegistry.register(s, labels)
       val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lab")
         .select(col("node").as("doc_id"), col("lab").as("cluster"), col("cluster_size"))
