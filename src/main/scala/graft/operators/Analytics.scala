@@ -224,8 +224,20 @@ object Analytics {
       val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand"))
+      // the input is one small file → one scan partition → one task
+      // doing ALL the pair comparisons; spread the probe side across
+      // the cluster and broadcast the build side (a broadcast join
+      // needs no co-partitioning, so round-robin repartition is free
+      // parallelism — the blocked-pair-join shape for any small-dim
+      // blocking key)
+      a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+        .join(broadcast(b), Seq("p_brand"))
         .filter(col("key_a") < col("key_b"))
+        // length pre-filter: |len(a)-len(b)| ≤ d is implied by
+        // levenshtein ≤ d, so this prunes most pairs before the DP
+        // runs without changing the result (the oracle needs no
+        // mirror — it's a pure optimization)
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .groupBy(col("p_brand"))
