@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Streaming↔batch parity under the oracle gate: these queries
+  * execute THROUGH Structured Streaming (file-stream source →
+  * event-time window aggregation → memory sink, run to completion)
+  * and their results hash-match the same DuckDB SQL that a batch
+  * query would — the strongest form of the "streaming is first-class,
+  * not a separate semantics" claim (SURVEY §2.2 streaming rows).
+  *
+  * The source is `readStream.parquet` over the same table files (no
+  * driver-side replay); aggregates follow the engine's determinism
+  * policy (counts + DECIMAL sums), so micro-batch boundaries cannot
+  * affect the result. In production the identical pipeline reads
+  * Kafka; only the source wiring string changes.
+  */
+object StreamingParity {
+
+  private val runId = new AtomicLong(0)
+
+  /** events as an unbounded stream with the same nanos→micros
+    * normalization [[graft.Tables]] applies to the batch path. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the file-stream source lists a DIRECTORY; pathGlobFilter pins
+    // it to the events table file within the shared sf dir
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a finite streaming query to completion into a memory sink
+    * and return the materialized result. */
+  private def runToCompletion(agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    agg.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q69: the q25 hourly rollup executed as a streaming query.
+    // Tumbling event-time window + count + decimal sum: micro-batch
+    // partials merge associatively, so the streamed result is
+    // bit-identical to the batch (and DuckDB) answer.
+    "q69_stream_hourly" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+      runToCompletion(agg, s"graft_stream_hourly_${runId.incrementAndGet()}")
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"), col("total_value"))
+    }),
+
+    // q70: streaming dedup-then-count — dropDuplicates on event_id
+    // inside the stream (exact dedup state), then per-type counts;
+    // the streamed HLL user estimate is validated against the exact
+    // batch count with the same accuracy-flag pattern as q39
+    // (countDistinct itself is not streamable — that is the point of
+    // the sketch).
+    "q70_stream_dedup_count" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      val exact = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      runToCompletion(agg, s"graft_stream_dedup_${runId.incrementAndGet()}")
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("approx_ok"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q69_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q70_stream_dedup_count" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin)
+}

@@ -115,6 +115,17 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 streamed hourly rollup equals the batch computation exactly") {
+    val streamed = StreamingParity.queries("q69_stream_hourly")(spark, sf)
+    val batch = graft.Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("q39 HLL estimate stays within the 10% oracle bound") {
     val rows = graft.operators.Relational.queries("q39_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
