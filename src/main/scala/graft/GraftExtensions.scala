@@ -9,12 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * .withExtensions(new GraftExtensions)` (see [[GraftSession]]) or
   * `spark.sql.extensions=graft.GraftExtensions` on a cluster.
   *
-  * Currently injects the native vector functions into the SQL
-  * surface so `spark.sql("SELECT vec_dot(a, b) ...")` plans the
-  * codegen'd [[FloatVecDot]] directly.
+  * Injects:
+  *  - the native vector functions into the SQL surface, so
+  *    `spark.sql("SELECT vec_dot(a, b) ...")` plans the codegen'd
+  *    [[FloatVecDot]] directly;
+  *  - the [[graft.plans.EditDistancePrefilter]] optimizer rule, which
+  *    places the length-difference lower bound in front of
+  *    `levenshtein(a,b) <= d` predicates.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -233,13 +233,12 @@ object Analytics {
       a.repartition(a.sparkSession.sparkContext.defaultParallelism)
         .join(broadcast(b), Seq("p_brand"))
         .filter(col("key_a") < col("key_b"))
-        // length pre-filter: |len(a)-len(b)| ≤ d is implied by
-        // levenshtein ≤ d, so this prunes most pairs before the DP
-        // runs without changing the result (the oracle needs no
-        // mirror — it's a pure optimization)
-        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        // no manual length pre-filter: the EditDistancePrefilter
+        // optimizer rule (GraftExtensions) injects the implied
+        // |len(a)-len(b)| <= d bound ahead of the DP automatically —
+        // asserted in PlanQualitySpec
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_fuzzy_pairs"),
           sum(when(col("dist") === 0, 1).otherwise(0)).cast("long").as("n_exact"),

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: `levenshtein(a, b) <= d` implies
+  * `abs(length(a) - length(b)) <= d` (edit distance is bounded below
+  * by the length difference — each edit changes length by at most 1),
+  * so the cheap length comparison can run BEFORE the O(|a|·|b|)
+  * dynamic program and prune most candidate pairs of a fuzzy-match
+  * join. Measured on q67's brand-blocked pair join this ordering is
+  * the difference between one task grinding through every DP and the
+  * filter discarding the bulk of pairs at codegen speed.
+  *
+  * The rewrite adds the implied guard in front of the original
+  * predicate (`guard AND original`), never replaces it — results are
+  * identical by the metric property. Idempotent under the optimizer's
+  * fixpoint iteration: a comparison already accompanied by its guard
+  * anywhere in the same Filter condition is left alone.
+  *
+  * Registered via [[graft.GraftExtensions]]
+  * (`injectOptimizerRule`) — the engine's example of extending
+  * Catalyst's LOGICAL optimization, alongside the physical-side
+  * [[graft.functions.FloatVecDot]] codegen expression.
+  */
+object EditDistancePrefilter extends Rule[LogicalPlan] {
+
+  private def guardFor(a: Expression, b: Expression, d: Expression): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), d)
+
+  private def isGuard(e: Expression, a: Expression, b: Expression): Boolean = e match {
+    case LessThanOrEqual(Abs(Subtract(Length(x), Length(y), _), _), _) =>
+      (x.semanticEquals(a) && y.semanticEquals(b)) ||
+        (x.semanticEquals(b) && y.semanticEquals(a))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val guards = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      cond.foreach {
+        // only the un-thresholded 2-arg form compared to a literal
+        // bound; the thresholded variant already early-exits its DP
+        case LessThanOrEqual(Levenshtein(a, b, None), d: Literal)
+            if !cond.exists(isGuard(_, a, b)) =>
+          guards += guardFor(a, b, d)
+        case LessThan(Levenshtein(a, b, None), d: Literal)
+            if !cond.exists(isGuard(_, a, b)) =>
+          guards += guardFor(a, b, d)
+        case _ => ()
+      }
+      if (guards.isEmpty) f
+      else f.copy(condition = guards.distinct.foldRight(cond)(And(_, _)))
+  }
+}

@@ -107,6 +107,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("_salt"), "salt column must reach the partial agg")
   }
 
+  test("EditDistancePrefilter injects the length bound ahead of levenshtein, once") {
+    val df = graft.Tables(spark, sf, "part")
+      .filter(levenshtein(col("p_name"), col("p_type")) <= 2)
+      .select(col("p_partkey"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      s"guard not injected:\n$optimized")
+    // idempotent under the optimizer fixpoint: exactly one guard
+    assert("abs\\(\\(length".r.findAllIn(optimized).length == 1, optimized)
+    // and semantics unchanged vs the raw predicate evaluated row-by-row
+    val manual = graft.Tables(spark, sf, "part")
+      .withColumn("d", levenshtein(col("p_name"), col("p_type")))
+      .filter(col("d") <= 2).select(col("p_partkey"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      manual.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
