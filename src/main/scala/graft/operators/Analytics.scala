@@ -245,6 +245,42 @@ object Analytics {
           min(col("dist")).as("min_dist"))
     }),
 
+    // q71: stratified hash sampling — per-stratum rates (50% of en
+    // docs, 12.5% of the rest) from the same md5 mechanism as q54:
+    // reproducible across engines and partitionings, no rand(). The
+    // plan is one map-stage filter + hash agg at any corpus size.
+    "q71_stratified_sample" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <
+          when(col("lang") === "en", "8").otherwise("2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // q72: out-of-vocabulary rate — quality-scoring primitive: the
+    // vocabulary is words appearing in ≥20% of documents (relative
+    // document frequency, so the definition is scale-invariant), and
+    // each document reports the fraction of its tokens outside it.
+    // Left join against the vocab keeps the plan an equi-join; at
+    // 100 TB the vocab relation is small enough to broadcast.
+    "q72_oov_rate" -> ((s, d) => {
+      val tk = toks(s, d).withColumnRenamed("term", "w")
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val vocab = tk.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= col("nd") * 0.2)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tk.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -377,6 +413,30 @@ object Analytics {
         |   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
         |WHERE dist <= 2
         |GROUP BY p_brand""".stripMargin,
+
+    "q71_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE WHEN lang = 'en' THEN '8' ELSE '2' END
+        |GROUP BY 1""".stripMargin,
+
+    "q72_oov_rate" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |vocab AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM toks)
+        |  GROUP BY w HAVING count(*) >= 0.2 * (SELECT nd FROM nd)),
+        |scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |   sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_oov AS BIGINT) AS n_oov,
+        | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+        |FROM scored WHERE doc_id < 100""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
