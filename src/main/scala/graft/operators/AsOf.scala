@@ -28,7 +28,18 @@ object AsOf {
     * pre-aggregate if necessary. Column names must not collide.
     */
   def asofJoin(left: DataFrame, lKey: String, lTime: String,
-      right: DataFrame, rKey: String, rTime: String): DataFrame = {
+      right: DataFrame, rKey: String, rTime: String): DataFrame =
+    asofJoin(left, lKey, lTime, right, rKey, rTime, tolerance = None)
+
+  /** As-of join with an optional freshness tolerance: a match older
+    * than `tolerance` (a SQL interval string, e.g. "INTERVAL 30 DAY")
+    * is treated as no match — the "stale quote" rule of time-series
+    * joins. Same single-shuffle plan; the tolerance is a row-local
+    * predicate on the filled struct.
+    */
+  def asofJoin(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String,
+      tolerance: Option[String]): DataFrame = {
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
     val lType = left.select(lStruct).schema.head.dataType
@@ -45,9 +56,14 @@ object AsOf {
     // inclusive "at or before" semantics
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val filled = l2.unionByName(r2)
       .withColumn("_filled", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
+    val bounded = tolerance.fold(filled) { tol =>
+      filled.withColumn("_filled",
+        when(col(s"_filled.$rTime") >= col("_t") - expr(tol), col("_filled")))
+    }
+    bounded
       .select((col("_l.*") +: right.columns.toIndexedSeq.map(c => col(s"_filled.$c").as(c))): _*)
   }
 
@@ -69,6 +85,23 @@ object AsOf {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("o_orderkey").as("last_orderkey"),
           round(col("o_totalprice"), 2).as("last_order_price"))
+    }),
+
+    // q73: as-of with a 90-day freshness tolerance — the most recent
+    // order counts only if it is at most 90 days before the event
+    // (the "stale quote" rule). DuckDB's ASOF has no tolerance
+    // argument, so the oracle post-nulls stale matches — same
+    // semantics because ASOF already picked the max o_orderdate ≤ ts.
+    "q73_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      asofJoin(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+        tolerance = Some("INTERVAL 90 DAY"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("recent_orderkey"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -81,6 +114,16 @@ object AsOf {
         |SELECT event_id, user_id, event_type,
         | o_orderkey AS last_orderkey,
         | round(o_totalprice, 2) AS last_order_price
+        |FROM events ASOF LEFT JOIN ord
+        |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin,
+
+    "q73_asof_tolerance" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT event_id, user_id,
+        | CASE WHEN o_orderdate >= CAST(ts AS TIMESTAMP) - INTERVAL 90 DAY
+        |   THEN o_orderkey END AS recent_orderkey
         |FROM events ASOF LEFT JOIN ord
         |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin)
 }
