@@ -281,6 +281,25 @@ object Analytics {
           round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
     }),
 
+    // q74: the SQL-text surface end-to-end — temp views + Spark's
+    // SQL parser + the GraftExtensions-injected vec_dot function
+    // inside one statement, under the same oracle gate as the
+    // DataFrame queries. Decimal-summed average keeps the double
+    // deterministic under any partitioning.
+    "q74_sql_interface" -> ((s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("graft_embeddings")
+      t(s, d, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT e.label, count(*) AS n,
+          round(CAST(sum(CAST(vec_dot(e.embedding, e.embedding) AS DECIMAL(30,10)))
+                     AS DOUBLE) / count(*), 4) AS avg_sq_norm,
+          CAST(sum(CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+        FROM graft_embeddings e
+        LEFT JOIN graft_documents doc ON doc.doc_id = e.vec_id
+        GROUP BY e.label
+      """)
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -437,6 +456,16 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q74_sql_interface" ->
+      """SELECT e.label, count(*) AS n,
+        | round(CAST(sum(CAST(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[]))
+        |              AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_sq_norm,
+        | CAST(sum(CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+        |FROM embeddings e
+        |LEFT JOIN documents doc ON doc.doc_id = e.vec_id
+        |GROUP BY e.label""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
