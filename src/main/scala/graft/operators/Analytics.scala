@@ -300,6 +300,44 @@ object Analytics {
       """)
     }),
 
+    // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
+    // revenue: an aggregate compared against the max of the same
+    // aggregate (scalar subquery over an aggregation). Ties are
+    // exact-decimal equality, so the result set is deterministic;
+    // the 1-row max side broadcasts.
+    "q75_top_revenue_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(38,4)").as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // q76: TPC-H Q20 pattern — supply-share dominance: suppliers
+    // providing ≥10% of a part's total shipped quantity for ≥2
+    // parts. Two aggregations over the same fact at different grains
+    // + a ratio predicate kept in exact integer arithmetic
+    // (sq*10 >= tq — never a float division).
+    "q76_supply_dominance" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sp = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sq"))
+      val pt = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("tq"))
+      sp.join(pt, "l_partkey")
+        .filter(col("sq") * 10 >= col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"))
+        .filter(col("n_dominated") >= 2)
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -466,6 +504,28 @@ object Analytics {
         |FROM embeddings e
         |LEFT JOIN documents doc ON doc.doc_id = e.vec_id
         |GROUP BY e.label""".stripMargin,
+
+    "q75_top_revenue_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS total_rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        | CAST(r.total_rev AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "q76_supply_dominance" ->
+      """WITH sp AS (SELECT l_suppkey, l_partkey,
+        |   CAST(sum(l_quantity) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS tq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, count(*) AS n_dominated
+        |FROM sp JOIN pt USING (l_partkey)
+        |WHERE sp.sq * 10 >= pt.tq
+        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
