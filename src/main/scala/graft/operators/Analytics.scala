@@ -338,6 +338,24 @@ object Analytics {
         .filter(col("n_dominated") >= 2)
     }),
 
+    // q77: time-RANGE window frames — trailing 1-hour count/sum per
+    // user, a different frame semantics from ROWS (all peers within
+    // the value range, not a row count). Ordered on floor epoch
+    // seconds (Spark timestamp→long truncates; the oracle mirrors
+    // with epoch_ns integer division — epoch() would ROUND fractional
+    // seconds and disagree on the frame boundary).
+    "q77_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("long").as("sec"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast("decimal(20,6)")).over(w)
+            .cast("double").as("sum_last_hour"))
+    }),
+
     // q61: map-typed aggregation — build a lang→doc-count map per
     // source (map_from_entries over a sorted entry list, so map
     // internal order is deterministic), then read it back via
@@ -526,6 +544,15 @@ object Analytics {
         |FROM sp JOIN pt USING (l_partkey)
         |WHERE sp.sq * 10 >= pt.tq
         |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q77_range_frame" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_last_hour,
+        | CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM (SELECT event_id, user_id, value,
+        |   epoch_ns(CAST(ts AS TIMESTAMP)) // 1000000000 AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q61_map_agg" ->
       """SELECT source,
