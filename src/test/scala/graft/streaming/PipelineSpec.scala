@@ -145,6 +145,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.schema(sampleSchema).parquet(out).count() == 2000)
   }
 
+  test("sized roller after restart: prior-run files don't poison the feedback") {
+    import spark.implicits._
+    val out = tmp("graft-restart-sized")
+    val ckpt = tmp("graft-restart-ckpt")
+    val cap = 100L * 1024
+    def cfg = PipelineConfig(targetDir = out, checkpointDir = ckpt,
+      maxFileSize = cap, maxFileOpenDuration = 1.second,
+      delivery = DeliveryMode.AtLeastOnceSized)
+    val s1 = MemoryStream[Array[Byte]](30, spark, None)
+    s1.addData((0 until 8000).map(jsonBytes))
+    val h1 = newPipeline(cfg).start(s1.toDF(), JsonCodec(sampleSchema))
+    try h1.processAllAvailable() finally h1.stop()
+    val run1Files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(run1Files.nonEmpty)
+
+    // second run, same target/checkpoint: its bytes/record estimate
+    // must come from ITS OWN files only — mixing in run-1 bytes
+    // inflated the estimate and collapsed file sizes pre-fix
+    val s2 = MemoryStream[Array[Byte]](31, spark, None)
+    s2.addData((8000 until 16000).map(jsonBytes))
+    val h2 = newPipeline(cfg).start(s2.toDF(), JsonCodec(sampleSchema))
+    try {
+      for (b <- 0 until 2) { // extra batch so run-2 feedback engages
+        h2.processAllAvailable()
+        if (b == 0) s2.addData((16000 until 24000).map(jsonBytes))
+      }
+    } finally h2.stop()
+    val run2Files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !run1Files.contains(f.getName))
+    assert(run2Files.nonEmpty)
+    // the histogram meters this run's files only (pre-fix it counted
+    // run-1 leftovers too)
+    assert(h2.metrics.fileSizeHistogram.size == run2Files.length)
+    // and run-2 file sizes stay in a sane band around run-1's — the
+    // collapse mode produced files ~an order of magnitude smaller
+    val run1Avg = new java.io.File(out).listFiles()
+      .filter(f => run1Files.contains(f.getName)).map(_.length).sum.toDouble / run1Files.size
+    val run2Avg = run2Files.map(_.length).sum.toDouble / run2Files.length
+    assert(run2Avg > run1Avg / 4,
+      s"run-2 avg file $run2Avg collapsed vs run-1 avg $run1Avg")
+  }
+
   test("file streaming source feeds the pipeline from dropped text files") {
     val srcDir = tmp("graft-filesrc")
     val out = tmp("graft-filesrc-out")
@@ -230,6 +274,10 @@ class PipelineSpec extends AnyFunSuite {
     try h.processAllAvailable() finally h.stop()
 
     assert(spark.read.schema(sampleSchema).parquet(out).count() == 2)
+    // the dead-letter side query re-reads the source; received-records
+    // must meter the MAIN query only, not double-count
+    assert(h.metrics.receivedRecords.get() == 4,
+      s"received=${h.metrics.receivedRecords.get()} — dead-letter double-count?")
     val quarantined = spark.read.parquet(dl)
     assert(quarantined.count() == 2)
     val bytes = quarantined.select("value").collect()
