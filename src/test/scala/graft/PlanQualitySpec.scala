@@ -124,6 +124,23 @@ class PlanQualitySpec extends AnyFunSuite {
       manual.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("join strategy hints are honored: shuffle_hash avoids the sort, merge forces it") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val ord = graft.Tables(spark, sf, "orders")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hashed = li.join(ord.hint("shuffle_hash"),
+        li("l_orderkey") === ord("o_orderkey"))
+      hashed.collect()
+      assert(hashed.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+      val merged = li.join(ord.hint("merge"),
+        li("l_orderkey") === ord("o_orderkey"))
+      merged.collect()
+      assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString

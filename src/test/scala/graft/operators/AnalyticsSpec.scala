@@ -115,6 +115,42 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 returns the argmax supplier(s) with the true maximum revenue") {
+    val rows = q("q75_top_revenue_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all returned suppliers must share the max revenue")
+  }
+
+  test("q76 dominance counts meet the HAVING threshold") {
+    val rows = q("q76_supply_dominance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_dominated") >= 2))
+  }
+
+  test("q77 range frame always includes the current row") {
+    val rows = q("q77_range_frame").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_last_hour") >= 1))
+  }
+
+  test("q71 stratified sample is reproducible and en-heavier than others") {
+    val a = q("q71_stratified_sample").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_sampled")).toMap
+    val b = q("q71_stratified_sample").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_sampled")).toMap
+    assert(a == b)
+    val docs = graft.Tables(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // en rate ~50%, others ~12.5%
+    a.foreach { case (lang, n) =>
+      val rate = n.toDouble / docs(lang)
+      if (lang == "en") assert(rate > 0.3 && rate < 0.7, s"en rate $rate")
+      else assert(rate < 0.35, s"$lang rate $rate")
+    }
+  }
+
   test("q69 streamed hourly rollup equals the batch computation exactly") {
     val streamed = StreamingParity.queries("q69_stream_hourly")(spark, sf)
     val batch = graft.Tables(spark, sf, "events")
