@@ -161,6 +161,19 @@ object Multimodal {
           md5(col("frame_bytes")).as("frame_fp"))
     }),
 
+    // q79: the resize stub under the gate — per media type, record
+    // counts and byte totals after factor-4 subsampling. The typed
+    // mapPartitions path produces ceil(len/4) bytes per record,
+    // which the oracle reproduces with integer arithmetic; md5 of
+    // the subsampled payload is spec-checked (MultimodalSpec), not
+    // SQL-expressible.
+    "q79_resize_stats" -> ((s, d) => {
+      resize(mediaTable(s, d), factor = 4).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("resized_bytes"))
+    }),
+
     "q38_media_stats" -> ((s, d) => {
       mediaTable(s, d).toDF()
         .withColumn("fp", md5(col("payload")))
@@ -187,6 +200,15 @@ object Multimodal {
         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
         | CAST(length(fb) AS BIGINT) AS frame_len, md5(fb) AS frame_fp
         |FROM frames""".stripMargin,
+
+    "q79_resize_stats" ->
+      """SELECT media_type, count(*) AS n_media,
+        | CAST(sum((octet_length(encode(text)) + 3) // 4) AS BIGINT) AS resized_bytes
+        |FROM (SELECT
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |   text FROM documents)
+        |GROUP BY media_type""".stripMargin,
 
     "q38_media_stats" ->
       """SELECT media_type, count(*) AS n_media,

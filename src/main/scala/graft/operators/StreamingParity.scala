@@ -64,6 +64,20 @@ object StreamingParity {
           col("n"), col("total_value"))
     }),
 
+    // q78: streamed gap-sessionization — session_window(30 min) is
+    // the stateful MERGING window (sessions extend as events arrive
+    // inside the gap); the oracle reconstructs identical sessions
+    // with the batch lag/cumsum formulation. Session starts are
+    // exact event timestamps, so the hash compare is bit-strict.
+    "q78_stream_sessionize" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToCompletion(agg, s"graft_stream_sess_${runId.incrementAndGet()}")
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"))
+    }),
+
     // q70: streaming dedup-then-count — dropDuplicates on event_id
     // inside the stream (exact dedup state), then per-type counts;
     // the streamed HLL user estimate is validated against the exact
@@ -92,6 +106,23 @@ object StreamingParity {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q78_stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR CAST(ts AS TIMESTAMP) > lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q70_stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events,
