@@ -78,6 +78,35 @@ object StreamingParity {
           col("n_events"))
     }),
 
+    // q80: watermarked stream-stream interval join under the gate —
+    // purchases joined to same-user clicks in the preceding hour,
+    // both sides unbounded streams. Inner interval joins emit each
+    // matched pair exactly once regardless of micro-batch arrival
+    // order, so the streamed pair set equals the batch join; the
+    // watermark only bounds state retention. The per-user count runs
+    // batch-side over the sink output.
+    "q80_stream_interval_join" -> ((s, d) => {
+      val purchases = eventStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      val name = s"graft_stream_join_${runId.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // q70: streaming dedup-then-count — dropDuplicates on event_id
     // inside the stream (exact dedup state), then per-type counts;
     // the streamed HLL user estimate is validated against the exact
@@ -123,6 +152,16 @@ object StreamingParity {
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         | count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q80_stream_interval_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |  WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+        |GROUP BY 1""".stripMargin,
 
     "q70_stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events,
