@@ -99,8 +99,17 @@ object StreamingParity {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
       val name = s"graft_stream_join_${runId.incrementAndGet()}"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+      // stream-stream joins keep 4 state stores per shuffle partition;
+      // the per-store fixed cost dominates at this volume, so run the
+      // stateful query with fewer state partitions (pinned into the
+      // checkpoint at query start — a real deployment sizes this to
+      // state volume, not core count) and restore the session setting
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.processAllAvailable() finally q.stop()
       s.table(name)
         .groupBy(col("user_id"))
