@@ -25,24 +25,53 @@ object CacheRegistry {
 
   private val memo = TrieMap.empty[(String, String), DataFrame]
   private val owned = TrieMap.empty[String, List[DataFrame]]
+  // weak liveness handle per session id, so entries for sessions that
+  // were stopped or GC'd without calling clear() can be purged —
+  // strong refs here would pin the session (every DataFrame value
+  // already references it) and identity hashes can be REUSED after GC,
+  // which is why the id is the guaranteed-unique sessionUUID
+  private val live = TrieMap.empty[String, java.lang.ref.WeakReference[SparkSession]]
 
   private def sid(spark: SparkSession): String =
-    System.identityHashCode(spark).toString
+    org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)
+      // non-classic implementations don't expose a UUID; identity hash
+      // is the best available — acceptable because the purge below
+      // evicts entries as soon as the session dies
+      .getOrElse("idhash-" + System.identityHashCode(spark))
+
+  /** Drop entries belonging to sessions that are stopped or GC'd.
+    * Their persisted blocks died with the session's context, so the
+    * references are released without unpersist round-trips. */
+  private def purgeDead(): Unit =
+    live.foreach { case (k, ref) =>
+      val dead = Option(ref.get) match {
+        case None => true
+        case Some(s) => s.sparkContext.isStopped
+      }
+      if (dead) {
+        live.remove(k)
+        owned.remove(k)
+        memo.keys.filter(_._1 == k).foreach(memo.remove)
+      }
+    }
 
   /** Build-or-reuse a persisted relation under `key` (scoped to the
     * session). The relation is persisted lazily; the first action
     * materializes it.
     */
-  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    purgeDead()
     memo.getOrElseUpdate((sid(spark), key), {
       val df = build.persist()
       register(spark, df)
       df
     })
+  }
 
   /** Track an already-persisted relation for release at [[clear]]. */
   def register(spark: SparkSession, df: DataFrame): Unit = {
     val k = sid(spark)
+    live.getOrElseUpdate(k, new java.lang.ref.WeakReference(spark))
     owned.updateWith(k) {
       case Some(ds) => Some(df :: ds)
       case None => Some(df :: Nil)
@@ -55,5 +84,7 @@ object CacheRegistry {
     val k = sid(spark)
     owned.remove(k).getOrElse(Nil).foreach(_.unpersist(blocking = false))
     memo.keys.filter(_._1 == k).foreach(memo.remove)
+    live.remove(k)
+    ()
   }
 }

@@ -113,7 +113,11 @@ object Multimodal {
     require(factor > 0)
     media.mapPartitions { it =>
       it.map { m =>
-        val sub = m.payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+        // primitive stride copy — no per-byte boxing on large payloads
+        val n = m.payload.length
+        val sub = new Array[Byte]((n + factor - 1) / factor)
+        var i = 0
+        while (i < sub.length) { sub(i) = m.payload(i * factor); i += 1 }
         m.copy(payload = sub, n_bytes = sub.length.toLong)
       }
     }

@@ -216,22 +216,31 @@ object Analytics {
 
     // q67: edit-distance fuzzy matching — the 6th dedup modality
     // (typo-level near-identity, complementing shingle/MinHash/
-    // SimHash/embedding similarity). Blocked on p_brand so the pair
-    // join is an equi-join with bounded per-block fan-out (the same
-    // blocking discipline as the LSH buckets); levenshtein is
-    // codegen'd in Spark and identical by definition in DuckDB.
+    // SimHash/embedding similarity). Blocked on the COMPOSITE key
+    // (p_brand, length bucket): edit distance ≤ 2 bounds the length
+    // difference to 2, so bucketing lengths at width 4 and probing
+    // the ≤ 2 buckets covering [len-2, len+2] loses no true pair
+    // while multiplying blocking-key cardinality by the number of
+    // length buckets. That keeps the pair join a SHUFFLE equi-join
+    // that partitions evenly — no full-table broadcast (which stops
+    // fitting in an executor at 100×) and no ~25-key brand-only
+    // shuffle (pathological skew). levenshtein is codegen'd in Spark
+    // and identical by definition in DuckDB.
     "q67_fuzzy_name_match" -> ((s, d) => {
       val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // bucket width 4 ≥ 2·bound: [len-2, len+2] spans at most two
+      // consecutive buckets, so the probe side emits exactly those
+      // two endpoints and every |Δlen| ≤ 2 pair meets in the build
+      // row's unique bucket (each pair matches in exactly one bucket
+      // → no duplicate pairs to dedup away)
+      val bucketW = 4
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        .withColumn("len_bucket", explode(array_distinct(array(
+          floor((length(col("name_a")) - 2) / bucketW),
+          floor((length(col("name_a")) + 2) / bucketW)))))
       val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-      // the input is one small file → one scan partition → one task
-      // doing ALL the pair comparisons; spread the probe side across
-      // the cluster and broadcast the build side (a broadcast join
-      // needs no co-partitioning, so round-robin repartition is free
-      // parallelism — the blocked-pair-join shape for any small-dim
-      // blocking key)
-      a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-        .join(broadcast(b), Seq("p_brand"))
+        .withColumn("len_bucket", floor(length(col("name_b")) / bucketW))
+      a.join(b, Seq("p_brand", "len_bucket"))
         .filter(col("key_a") < col("key_b"))
         // no manual length pre-filter: the EditDistancePrefilter
         // optimizer rule (GraftExtensions) injects the implied

@@ -69,6 +69,9 @@ object StreamingParity {
     // inside the gap); the oracle reconstructs identical sessions
     // with the batch lag/cumsum formulation. Session starts are
     // exact event timestamps, so the hash compare is bit-strict.
+    // Spark sessions are [first, last+gap) with an EXCLUSIVE end: an
+    // event landing exactly at lag+30min starts a NEW session, so the
+    // oracle's new-session predicate is >= (not >) to match.
     "q78_stream_sessionize" -> ((s, d) => {
       val agg = eventStream(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -116,15 +119,24 @@ object StreamingParity {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
-    // q70: streaming dedup-then-count — dropDuplicates on event_id
-    // inside the stream (exact dedup state), then per-type counts;
-    // the streamed HLL user estimate is validated against the exact
-    // batch count with the same accuracy-flag pattern as q39
+    // q70: streaming dedup-then-count — watermarked
+    // dropDuplicatesWithinWatermark inside the stream, then per-type
+    // counts; the streamed HLL user estimate is validated against the
+    // exact batch count with the same accuracy-flag pattern as q39
     // (countDistinct itself is not streamable — that is the point of
-    // the sketch).
+    // the sketch). Two scale/correctness properties the plain
+    // dropDuplicates("event_id") form lacked:
+    //  - state is BOUNDED: dedup entries older than the watermark are
+    //    evicted instead of growing with every event_id ever seen —
+    //    the only viable posture on an unbounded production stream;
+    //  - dedup key is the (event_id, event_type) PAIR, so the result
+    //    equals the oracle's per-type count(DISTINCT event_id) even
+    //    if a duplicate event_id ever spanned two types (id-only
+    //    dedup would keep an arbitrary micro-batch-order winner).
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
-        .dropDuplicates("event_id")
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("event_id", "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
@@ -149,7 +161,7 @@ object StreamingParity {
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |   CASE WHEN lag(ts) OVER w IS NULL
-        |     OR CAST(ts AS TIMESTAMP) > lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+        |     OR CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
         |    THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

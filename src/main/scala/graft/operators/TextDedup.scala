@@ -262,7 +262,15 @@ object TextDedup {
       var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
       var converged = false
       var iters = 0
-      while (!converged && iters < 30) {
+      // label propagation needs O(component diameter) rounds, and
+      // diameter < node count, so a node-count cap can never fire on
+      // a correct run — it exists to FAIL LOUDLY (not silently return
+      // pre-fixpoint labels) if the convergence detection ever breaks;
+      // a constant cap would silently truncate chain-shaped clusters
+      // deeper than the constant
+      val nNodes = labels.count()
+      val maxIters = math.max(30L, nNodes + 1)
+      while (!converged && iters < maxIters) {
         val next = edges
           .join(labels.select(col("node").as("src"), col("lab")), "src")
           .select(col("dst").as("node"), col("lab"))
@@ -275,6 +283,10 @@ object TextDedup {
         prevSum = nextSum
         iters += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"q68 label propagation did not converge in $maxIters iterations " +
+            s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
       val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lab")
         .select(col("node").as("doc_id"), col("lab").as("cluster"), col("cluster_size"))

@@ -15,16 +15,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * The rewrite adds the implied guard in front of the original
   * predicate (`guard AND original`), never replaces it — results are
-  * identical by the metric property. Idempotent under the optimizer's
-  * fixpoint iteration: a comparison already accompanied by its guard
-  * anywhere in the same Filter condition is left alone.
+  * identical by the metric property. Only comparisons that are
+  * themselves TOP-LEVEL CONJUNCTS of the Filter condition are
+  * guarded: a `levenshtein(a,b) <= d` nested under `NOT`, `OR`, or
+  * `CASE WHEN` does not imply the guard holds for every surviving
+  * row, so conjoining it at the top level would wrongly drop rows
+  * (e.g. `NOT(lev <= 2)` keeps exactly the pairs whose lengths may
+  * differ by more than 2). Idempotent under the optimizer's fixpoint
+  * iteration: a comparison already accompanied by its guard conjunct
+  * is left alone.
   *
   * Registered via [[graft.GraftExtensions]]
   * (`injectOptimizerRule`) — the engine's example of extending
   * Catalyst's LOGICAL optimization, alongside the physical-side
   * [[graft.functions.FloatVecDot]] codegen expression.
   */
-object EditDistancePrefilter extends Rule[LogicalPlan] {
+object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def guardFor(a: Expression, b: Expression, d: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), d)
@@ -38,15 +44,19 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
+      // Only comparisons that ARE top-level conjuncts imply the guard
+      // for every surviving row; nested occurrences (NOT/OR/CASE) do
+      // not, and must be left untouched.
+      val conjuncts = splitConjunctivePredicates(cond)
       val guards = scala.collection.mutable.ArrayBuffer.empty[Expression]
-      cond.foreach {
+      conjuncts.foreach {
         // only the un-thresholded 2-arg form compared to a literal
         // bound; the thresholded variant already early-exits its DP
         case LessThanOrEqual(Levenshtein(a, b, None), d: Literal)
-            if !cond.exists(isGuard(_, a, b)) =>
+            if !conjuncts.exists(isGuard(_, a, b)) =>
           guards += guardFor(a, b, d)
         case LessThan(Levenshtein(a, b, None), d: Literal)
-            if !cond.exists(isGuard(_, a, b)) =>
+            if !conjuncts.exists(isGuard(_, a, b)) =>
           guards += guardFor(a, b, d)
         case _ => ()
       }

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Guaranteed-unique id of a classic session (`sessionUUID` is
+    * `private[sql]`), or None for non-classic implementations. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

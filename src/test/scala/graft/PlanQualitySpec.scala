@@ -124,6 +124,31 @@ class PlanQualitySpec extends AnyFunSuite {
       manual.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("q67 fuzzy match is a composite-key shuffle join, not a full-table broadcast") {
+    // the query must not DEMAND a broadcast of the part table (the
+    // build side stops fitting in an executor at 100×); with the
+    // broadcast thresholds off, the natural plan must be a shuffle
+    // equi-join partitioned on the composite (brand, length-bucket)
+    // blocking key — AQE may still CHOOSE to broadcast at test scale,
+    // which is fine and exactly the point of leaving it to the planner
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q67_fuzzy_name_match")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"q67 must not broadcast a full-table side:\n${plan.take(1500)}")
+      assert(plan.contains("p_brand") && plan.contains("len_bucket"),
+        s"join must partition on the composite blocking key:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("join strategy hints are honored: shuffle_hash avoids the sort, merge forces it") {
     val li = graft.Tables(spark, sf, "lineitem")
     val ord = graft.Tables(spark, sf, "orders")

@@ -47,4 +47,46 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
       assert(got == want, s"threshold $threshold: got ${got.size}, want ${want.size}")
     }
   }
+
+  /** Fixture where x/y lengths differ by > 2 for some rows, so a wrongly
+    * conjoined length guard would visibly drop rows.
+    */
+  private def nestedFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lev-nested").toString
+    Seq(
+      (0L, "abc", "abc"),        // lev = 0
+      (1L, "abc", "abd"),        // lev = 1
+      (2L, "abc", "abcdefgh"),   // lev = 5, len diff 5
+      (3L, "x", "xxxxxxxx"),     // lev = 7, len diff 7
+      (4L, "hello", "helso")     // lev = 1
+    ).toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("comparison under NOT is not guarded (rows with large length diff survive)") {
+    val df = nestedFixture().filter(!(org.apache.spark.sql.functions.levenshtein(col("x"), col("y")) <= lit(2)))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("abs("),
+      "rule must NOT fire on a negated comparison")
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"NOT case corrupted: got $got")
+  }
+
+  test("comparison under OR is not guarded (disjunct rows survive)") {
+    val df = nestedFixture()
+      .filter(col("id") === lit(3L) || org.apache.spark.sql.functions.levenshtein(col("x"), col("y")) <= lit(1))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("abs("),
+      "rule must NOT fire on a disjunct comparison")
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 3L, 4L), s"OR case corrupted: got $got")
+  }
+
+  test("top-level conjunct alongside other predicates is still guarded") {
+    val df = nestedFixture()
+      .filter(col("id") >= lit(0L) && org.apache.spark.sql.functions.levenshtein(col("x"), col("y")) <= lit(1))
+    assert(df.queryExecution.optimizedPlan.toString.contains("abs("),
+      "rule must fire when the comparison is a top-level conjunct")
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 4L), s"conjunct case wrong: got $got")
+  }
 }
