@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.AsOf.queries, operators.AsOf.oracleSql),
       (operators.Analytics.queries, operators.Analytics.oracleSql),
       (operators.StreamingParity.queries, operators.StreamingParity.oracleSql),
+      (streaming.ProtoParity.queries, streaming.ProtoParity.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,261 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.types._
+
+/** Hand-rolled protobuf wire-format codec — the reference's ONLY
+  * record format (its caller-supplied `Parser<T>`, KPW:85-89, applied
+  * per record at KPW:269-277; test schema test-message.proto:5-10).
+  * `protobuf-java` / `spark-protobuf` are absent from the offline
+  * environment, so the varint + length-delimited wire format
+  * (public spec: protobuf.dev/programming-guides/encoding) is decoded
+  * directly — ~100 lines for the full scalar-field surface.
+  *
+  * Decode semantics mirror protobuf-java's proto2 parser:
+  *  - unknown fields are skipped by wire type (forward compatibility);
+  *  - repeated occurrences of a scalar field: last one wins;
+  *  - a `required` field missing from the payload, a truncated varint
+  *    or length run, a wire-type mismatch on a known field, or a
+  *    deprecated group tag ⇒ the record is UNDECODABLE — the codec
+  *    returns a null struct, which [[Pipeline.start]] turns into the
+  *    reference's fail-stop (FailFast, KPW:272-277) or a dead-letter
+  *    row (DeadLetter), per policy;
+  *  - absent `optional` fields decode to null (matching what the
+  *    reference's proto→parquet writer materializes).
+  */
+sealed abstract class ProtoType(val wireType: Int, val sparkType: DataType)
+object ProtoType {
+  // varint (wire 0)
+  case object Int32 extends ProtoType(0, IntegerType)
+  case object Int64 extends ProtoType(0, LongType)
+  case object UInt32 extends ProtoType(0, IntegerType) // wraps like protobuf-java
+  case object UInt64 extends ProtoType(0, LongType)
+  case object SInt32 extends ProtoType(0, IntegerType) // zigzag
+  case object SInt64 extends ProtoType(0, LongType) // zigzag
+  case object Bool extends ProtoType(0, BooleanType)
+  // 64-bit (wire 1)
+  case object Fixed64 extends ProtoType(1, LongType)
+  case object SFixed64 extends ProtoType(1, LongType)
+  case object PDouble extends ProtoType(1, DoubleType)
+  // length-delimited (wire 2)
+  case object PString extends ProtoType(2, StringType)
+  case object PBytes extends ProtoType(2, BinaryType)
+  // 32-bit (wire 5)
+  case object Fixed32 extends ProtoType(5, IntegerType)
+  case object SFixed32 extends ProtoType(5, IntegerType)
+  case object PFloat extends ProtoType(5, FloatType)
+}
+
+/** One scalar message field: proto field number, output column name,
+  * scalar type, and proto2 `required` flag. */
+final case class ProtoField(number: Int, name: String, tpe: ProtoType,
+    required: Boolean = false)
+
+final class ProtoDecodeException(msg: String) extends RuntimeException(msg)
+
+/** Low-level wire-format reader/writer. Throws [[ProtoDecodeException]]
+  * on malformed input — the codec maps that to "undecodable". */
+object ProtoWire {
+
+  /** Read one base-128 varint starting at `pos`; returns (value, next
+    * position). Malformed when it overruns the buffer or exceeds the
+    * 10-byte maximum. */
+  def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = pos
+    while (shift < 64) {
+      if (p >= b.length) throw new ProtoDecodeException(s"truncated varint at $pos")
+      val byte = b(p)
+      v |= (byte & 0x7fL) << shift
+      p += 1
+      if ((byte & 0x80) == 0) return (v, p)
+      shift += 7
+    }
+    throw new ProtoDecodeException(s"varint longer than 10 bytes at $pos")
+  }
+
+  private def readLittleEndian(b: Array[Byte], pos: Int, n: Int): (Long, Int) = {
+    if (pos + n > b.length) throw new ProtoDecodeException(s"truncated fixed$n at $pos")
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(pos + i) & 0xffL); i -= 1 }
+    (v, pos + n)
+  }
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  /** Decode `bytes` against `fields` into column values ordered like
+    * the descriptor list (null = absent optional). */
+  def decode(fields: Seq[ProtoField], bytes: Array[Byte]): Array[Any] = {
+    val byNumber = fields.iterator.zipWithIndex
+      .map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val out = new Array[Any](fields.length)
+    val seen = new Array[Boolean](fields.length)
+    var p = 0
+    while (p < bytes.length) {
+      val (tag, p1) = readVarint(bytes, p)
+      val fieldNum = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (fieldNum <= 0) throw new ProtoDecodeException(s"invalid field number $fieldNum")
+      byNumber.get(fieldNum) match {
+        case Some((f, i)) =>
+          if (wire != f.tpe.wireType)
+            throw new ProtoDecodeException(
+              s"field ${f.name}: wire type $wire, expected ${f.tpe.wireType}")
+          p = wire match {
+            case 0 =>
+              val (v, p2) = readVarint(bytes, p1)
+              out(i) = f.tpe match {
+                case ProtoType.Int32 | ProtoType.UInt32 => v.toInt
+                case ProtoType.Int64 | ProtoType.UInt64 => v
+                case ProtoType.SInt32 => zigzag(v).toInt
+                case ProtoType.SInt64 => zigzag(v)
+                case ProtoType.Bool => v != 0L
+                case t => throw new ProtoDecodeException(s"bad varint type $t")
+              }
+              p2
+            case 1 =>
+              val (v, p2) = readLittleEndian(bytes, p1, 8)
+              out(i) = f.tpe match {
+                case ProtoType.PDouble => java.lang.Double.longBitsToDouble(v)
+                case _ => v
+              }
+              p2
+            case 2 =>
+              val (len, p2) = readVarint(bytes, p1)
+              if (len < 0 || p2 + len > bytes.length)
+                throw new ProtoDecodeException(s"length $len overruns buffer at $p2")
+              val end = p2 + len.toInt
+              out(i) = f.tpe match {
+                case ProtoType.PString =>
+                  new String(bytes, p2, len.toInt, java.nio.charset.StandardCharsets.UTF_8)
+                case _ => java.util.Arrays.copyOfRange(bytes, p2, end)
+              }
+              end
+            case 5 =>
+              val (v, p2) = readLittleEndian(bytes, p1, 4)
+              out(i) = f.tpe match {
+                case ProtoType.PFloat => java.lang.Float.intBitsToFloat(v.toInt)
+                case _ => v.toInt
+              }
+              p2
+            case w => throw new ProtoDecodeException(s"unsupported wire type $w")
+          }
+          seen(i) = true
+        case None =>
+          // unknown field: skip by wire type (groups 3/4 unsupported)
+          p = wire match {
+            case 0 => readVarint(bytes, p1)._2
+            case 1 => readLittleEndian(bytes, p1, 8)._2
+            case 2 =>
+              val (len, p2) = readVarint(bytes, p1)
+              if (len < 0 || p2 + len > bytes.length)
+                throw new ProtoDecodeException(s"length $len overruns buffer at $p2")
+              p2 + len.toInt
+            case 5 => readLittleEndian(bytes, p1, 4)._2
+            case w => throw new ProtoDecodeException(s"unsupported wire type $w")
+          }
+      }
+    }
+    fields.iterator.zipWithIndex.foreach { case (f, i) =>
+      if (f.required && !seen(i))
+        throw new ProtoDecodeException(s"missing required field ${f.name}")
+    }
+    out
+  }
+
+  // ---- encoder (tests + the oracle-gated roundtrip query) ----
+
+  def writeVarint(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeLittleEndian(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** Canonical encoding: fields in descriptor order, nulls omitted. */
+  def encode(fields: Seq[ProtoField], values: Seq[Any]): Array[Byte] = {
+    require(fields.length == values.length, "one value per field")
+    val out = new java.io.ByteArrayOutputStream()
+    fields.iterator.zip(values.iterator).foreach { case (f, v) =>
+      if (v != null) {
+        writeVarint(out, (f.number.toLong << 3) | f.tpe.wireType)
+        f.tpe match {
+          case ProtoType.Int32 => writeVarint(out, v.asInstanceOf[Int].toLong) // sign-extends like protobuf
+          case ProtoType.UInt32 => writeVarint(out, v.asInstanceOf[Int].toLong & 0xffffffffL)
+          case ProtoType.Int64 | ProtoType.UInt64 => writeVarint(out, v.asInstanceOf[Long])
+          case ProtoType.SInt32 =>
+            val x = v.asInstanceOf[Int].toLong; writeVarint(out, (x << 1) ^ (x >> 63))
+          case ProtoType.SInt64 =>
+            val x = v.asInstanceOf[Long]; writeVarint(out, (x << 1) ^ (x >> 63))
+          case ProtoType.Bool => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+          case ProtoType.Fixed64 | ProtoType.SFixed64 =>
+            writeLittleEndian(out, v.asInstanceOf[Long], 8)
+          case ProtoType.PDouble =>
+            writeLittleEndian(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+          case ProtoType.PString =>
+            val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+          case ProtoType.PBytes =>
+            val b = v.asInstanceOf[Array[Byte]]
+            writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+          case ProtoType.Fixed32 | ProtoType.SFixed32 =>
+            writeLittleEndian(out, v.asInstanceOf[Int].toLong & 0xffffffffL, 4)
+          case ProtoType.PFloat =>
+            writeLittleEndian(out,
+              java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
+        }
+      }
+    }
+    out.toByteArray
+  }
+}
+
+/** Protobuf [[RecordCodec]] over a field-descriptor list (the generic
+  * equivalent of supplying a `Parser<T>` to the reference's builder,
+  * KPW:683-687). Decode runs as one deserializer call per record —
+  * the same cost shape as `spark-protobuf`'s `from_protobuf`, which
+  * this swaps in for verbatim when the jar is available.
+  */
+final case class ProtoCodec(fields: Seq[ProtoField]) extends RecordCodec {
+  require(fields.nonEmpty, "at least one field")
+  require(fields.map(_.number).distinct.length == fields.length, "duplicate field numbers")
+  require(fields.map(_.name).distinct.length == fields.length, "duplicate field names")
+
+  override val schema: StructType =
+    StructType(fields.map(f => StructField(f.name, f.tpe.sparkType, nullable = true)))
+
+  // null iff undecodable — the RecordCodec contract FailFast/DeadLetter key on
+  private val u = functions.udf(new UDF1[Array[Byte], Row] {
+    override def call(bytes: Array[Byte]): Row =
+      if (bytes == null) null
+      else try Row.fromSeq(ProtoWire.decode(fields, bytes).toIndexedSeq)
+      catch { case _: ProtoDecodeException => null }
+  }, schema)
+
+  override def decode(bytes: Column): Column = u(bytes)
+}
+
+/** The reference's test schema (test-message.proto:5-10): descriptor,
+  * codec, and a canonical encoder for fixtures and the gate query. */
+object SampleMessageProto {
+  val fields: Seq[ProtoField] = Seq(
+    ProtoField(1, "query", ProtoType.PString, required = true),
+    ProtoField(2, "timestamp", ProtoType.Int64, required = true),
+    ProtoField(3, "page_number", ProtoType.Int32),
+    ProtoField(4, "result_per_page", ProtoType.Int32))
+
+  def codec: ProtoCodec = ProtoCodec(fields)
+
+  def encode(query: String, timestamp: Long, pageNumber: Integer,
+      resultPerPage: Integer): Array[Byte] =
+    ProtoWire.encode(fields, Seq(query, timestamp, pageNumber, resultPerPage))
+}

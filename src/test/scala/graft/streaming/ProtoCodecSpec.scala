@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration._
+
+/** Protobuf wire-format codec tests: golden bytes pinned to the PUBLIC
+  * encoding spec (so the hand-rolled parser is checked against an
+  * external truth, not itself), decode/encode roundtrips over the
+  * scalar-type surface, protobuf-java-compatible edge semantics
+  * (unknown fields, last-wins, required enforcement), and the
+  * reference's golden pipeline roundtrip (KafkaProtoParquetWriterTest
+  * testMaxOpenDuration shape, KPWT:112-137) through ProtoCodec.
+  */
+class ProtoCodecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def hex(s: String): Array[Byte] =
+    s.split(" ").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  test("golden bytes: canonical encoding from the public spec") {
+    // protobuf.dev encoding guide: varint 150 = 0x96 0x01; tag(1,len) =
+    // 0x0A; tag(2,varint) = 0x10. SampleMessage(query="testing",
+    // timestamp=150) therefore has exactly these 12 bytes.
+    val want = hex("0A 07 74 65 73 74 69 6E 67 10 96 01")
+    val got = SampleMessageProto.encode("testing", 150L, null, null)
+    assert(got.toSeq == want.toSeq)
+    val row = ProtoWire.decode(SampleMessageProto.fields, want)
+    assert(row.toSeq == Seq("testing", 150L, null, null))
+  }
+
+  test("roundtrip across the scalar type surface incl. negatives and zigzag") {
+    import ProtoType._
+    val fields = Seq(
+      ProtoField(1, "a_i32", Int32), ProtoField(2, "a_i64", Int64),
+      ProtoField(3, "a_s32", SInt32), ProtoField(4, "a_s64", SInt64),
+      ProtoField(5, "a_bool", Bool), ProtoField(6, "a_str", PString),
+      ProtoField(7, "a_bytes", PBytes), ProtoField(8, "a_f32", Fixed32),
+      ProtoField(9, "a_f64", Fixed64), ProtoField(10, "a_flt", PFloat),
+      ProtoField(11, "a_dbl", PDouble))
+    val cases: Seq[Seq[Any]] = Seq(
+      Seq(0, 0L, 0, 0L, false, "", Array.emptyByteArray, 0, 0L, 0f, 0.0),
+      Seq(-1, -1L, -1, -1L, true, "héllo ∆", Array[Byte](1, 2, -3), -7, -7L, -1.5f, 3.14),
+      Seq(Int.MaxValue, Long.MaxValue, Int.MinValue, Long.MinValue, true,
+        "x" * 300, Array.fill[Byte](300)(9), Int.MinValue, Long.MinValue,
+        Float.MinPositiveValue, Double.MaxValue))
+    for (vals <- cases) {
+      val bytes = ProtoWire.encode(fields, vals)
+      val back = ProtoWire.decode(fields, bytes)
+      (back.toSeq, vals).zipped.foreach {
+        case (g: Array[Byte], w: Array[Byte]) => assert(g.toSeq == w.toSeq)
+        case (g, w) => assert(g == w, s"got $g want $w")
+      }
+    }
+  }
+
+  test("unknown fields are skipped; repeated scalar occurrence: last wins") {
+    val base = SampleMessageProto.encode("q", 1L, 2, null)
+    // append unknown field 99 (varint), unknown field 98 (length-
+    // delimited), then field 3 AGAIN with a new value
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    ProtoWire.writeVarint(out, (99L << 3) | 0); ProtoWire.writeVarint(out, 12345L)
+    ProtoWire.writeVarint(out, (98L << 3) | 2); ProtoWire.writeVarint(out, 3L)
+    out.write(Array[Byte](7, 8, 9), 0, 3)
+    ProtoWire.writeVarint(out, (3L << 3) | 0); ProtoWire.writeVarint(out, 42L)
+    val row = ProtoWire.decode(SampleMessageProto.fields, out.toByteArray)
+    assert(row.toSeq == Seq("q", 1L, 42, null))
+  }
+
+  test("malformed inputs are undecodable: truncation, overrun, mismatch, missing required") {
+    val good = SampleMessageProto.encode("q", 1L, null, null)
+    def bad(b: Array[Byte]): Unit =
+      intercept[ProtoDecodeException](ProtoWire.decode(SampleMessageProto.fields, b))
+    bad(good.dropRight(1)) // truncated trailing varint
+    bad(hex("0A 7F 68 69")) // declared length 127 overruns 2-byte payload
+    bad(hex("0D 01 02 03 04")) // field 1 with wire type 5: mismatch
+    bad(hex("0A 01 68")) // only field 1 — required timestamp missing
+    bad(hex("10 96 01")) // only field 2 — required query missing
+    bad(Array.fill[Byte](11)(-1)) // varint > 10 bytes
+    bad(hex("0B")) // group tag (wire 3): unsupported/deprecated
+    // and the codec maps the throw to a null struct (DeadLetter fuel):
+    import spark.implicits._
+    val df = Seq(good, good.dropRight(1)).toDF("value")
+      .select(SampleMessageProto.codec.decode(col("value")).as("r"))
+    assert(df.filter(col("r").isNull).count() == 1)
+    assert(df.filter(col("r").isNotNull).count() == 1)
+  }
+
+  test("pipeline golden roundtrip through ProtoCodec (reference KPWT:112-137 shape)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-proto-out").toString
+    val cfg = PipelineConfig(targetDir = out,
+      checkpointDir = Files.createTempDirectory("graft-proto-ckpt").toString,
+      maxFileOpenDuration = 1.second)
+    val n = 500
+    val stream = MemoryStream[Array[Byte]](31, spark, None)
+    stream.addData((0 until n).map(i => SampleMessageProto.encode(
+      s"query$i", 1700000000000L + i, if (i % 3 == 0) null else Int.box(i % 7),
+      if (i % 5 == 0) null else Int.box(i % 13))))
+    val h = new Pipeline(cfg).start(stream.toDF(), SampleMessageProto.codec)
+    try h.processAllAvailable() finally h.stop()
+
+    val back = spark.read.schema(SampleMessageProto.codec.schema).parquet(out)
+    assert(back.count() == n)
+    val got = back.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)))).toSet
+    val want = (0 until n).map(i => (s"query$i", 1700000000000L + i,
+      if (i % 3 == 0) None else Some(i % 7),
+      if (i % 5 == 0) None else Some(i % 13))).toSet
+    assert(got == want)
+  }
+
+  test("malformed proto bytes dead-letter; valid records flow (KPW:272-277 upgrade)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-proto-dl").toString
+    val dl = Files.createTempDirectory("graft-proto-dl-dir").toString
+    val cfg = PipelineConfig(targetDir = out,
+      checkpointDir = Files.createTempDirectory("graft-proto-dl-ckpt").toString,
+      deadLetterDir = Some(dl), maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](32, spark, None)
+    stream.addData(Seq(
+      SampleMessageProto.encode("ok1", 1L, 2, 3),
+      Array[Byte](0x0A, 0x7F), // truncated length-delimited
+      SampleMessageProto.encode("ok2", 2L, null, null),
+      hex("10 05"))) // missing required query
+    val h = new Pipeline(cfg).start(stream.toDF(), SampleMessageProto.codec,
+      DecodeErrorPolicy.DeadLetter)
+    try h.processAllAvailable() finally h.stop()
+    val kept = spark.read.schema(SampleMessageProto.codec.schema).parquet(out)
+    assert(kept.count() == 2)
+    assert(kept.select("query").collect().map(_.getString(0)).toSet == Set("ok1", "ok2"))
+    assert(spark.read.parquet(dl).count() == 2)
+  }
+
+  test("FailFast on malformed proto reproduces the reference fail-stop") {
+    import spark.implicits._
+    val cfg = PipelineConfig(targetDir = Files.createTempDirectory("graft-proto-ff").toString,
+      checkpointDir = Files.createTempDirectory("graft-proto-ff-ckpt").toString,
+      maxFileOpenDuration = 1.second)
+    val stream = MemoryStream[Array[Byte]](33, spark, None)
+    stream.addData(Seq(SampleMessageProto.encode("ok", 1L, null, null),
+      Array[Byte](-1, -1, -1)))
+    val h = new Pipeline(cfg).start(stream.toDF(), SampleMessageProto.codec,
+      DecodeErrorPolicy.FailFast)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        h.processAllAvailable()
+      }
+      assert(e.getMessage.contains("undecodable") ||
+        Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+    } finally h.stop()
+  }
+}
