@@ -28,6 +28,14 @@ object GraftSession {
       // without it. On a real cluster it belongs in deploy config,
       // sized to executor count, not hard-coded by the engine.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store for every stateful streaming query (the
+      // gate path runs q69/q70/q78/q80 through this session): state
+      // lives off-heap and spills to local disk, so state volume is
+      // bounded by disk — not executor heap — which is the only
+      // 100 TB-credible backend. The default HDFSBackedStateStore
+      // keeps every version of every key on-heap.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
