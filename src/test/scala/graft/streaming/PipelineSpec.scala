@@ -121,6 +121,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.forall(s => s > 0 && s <= cap * 1.1))
   }
 
+  test("steady-state sized roller size accuracy vs the reference band (KPWT:183-186)") {
+    import spark.implicits._
+    val out = tmp("graft-band")
+    val cap = 150L * 1024
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      maxFileSize = cap, maxFileOpenDuration = 1.second,
+      delivery = DeliveryMode.AtLeastOnceSized, writerParallelism = 1)
+    // incompressible uniform records (unique hex, no dictionary wins)
+    // so file size tracks record count and the band is attributable to
+    // the roller, not to compression drift
+    def rec(i: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val payload = (0 until 8).map(k =>
+        md.digest(s"$i-$k".getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString
+      s"""{"query":"$payload","timestamp":$i,"page_number":${i % 7},"result_per_page":${i % 13}}"""
+        .getBytes("UTF-8")
+    }
+    val stream = MemoryStream[Array[Byte]](40, spark, None)
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    val calibrationFiles = scala.collection.mutable.Set.empty[String]
+    var steadyFiles = Seq.empty[(String, Long)]
+    try {
+      var next = 0
+      for (b <- 0 until 6) {
+        stream.addData((next until next + 3000).map(rec))
+        next += 3000
+        h.processAllAvailable()
+        val files = new java.io.File(out).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length))
+        // batches 0-2 calibrate the bytes/record estimate (JSON-sample
+        // prior, then feedback rounds weighted by the early files);
+        // steady state = batch 3 on
+        if (b <= 2) calibrationFiles ++= files.map(_._1)
+        else steadyFiles = files.filterNot(f => calibrationFiles(f._1)).toSeq
+      }
+    } finally h.stop()
+    // each batch's LAST file is a legitimate partial (row count not a
+    // multiple of the cap) — exclude short tails, like the reference
+    // excludes its trailing extra file (KPWT:175-179)
+    val full = steadyFiles.filter(_._2 > cap / 2)
+    assert(full.size >= 3, s"expected several steady-state full files, got $steadyFiles")
+    // Reference asserts 0.9 < cap/len < 1.01 for every full file
+    // (KPWT:183-186): files may OVERSHOOT the cap by up to 11% (it
+    // only checks size after each record is written) but undershoot by
+    // at most 1%. A record-count roller converges from the other side:
+    // measured steady state here is cap/len ∈ [0.998, 1.013] — full
+    // files land within ~1% over to ~1.3% under the cap. The pinned
+    // band (0.9, 1.03) keeps the reference's overshoot bound and
+    // documents the extra 2% undershoot allowance as the price of
+    // capping by record count instead of per-record size checks.
+    val ratios = full.map { case (name, len) =>
+      val ratio = cap.toDouble / len
+      info(f"$name: ${len} bytes, cap/len = $ratio%.3f")
+      ratio
+    }
+    ratios.foreach(ratio =>
+      assert(ratio > 0.9 && ratio < 1.03,
+        f"cap/len = $ratio%.3f outside (0.9, 1.03) band; all: ${ratios.map(r => f"$r%.3f")}"))
+  }
+
   test("sized roller respects the byte cap on the FIRST batch of wide records") {
     import spark.implicits._
     val out = tmp("graft-wide")

@@ -80,6 +80,73 @@ class StreamingJoinSpec extends AnyFunSuite {
     assert(expected > 0, "fixture should produce click->purchase pairs")
   }
 
+  test("stream-stream join survives a mid-stream crash: restart from checkpoint, exact pairs") {
+    // the reference documents at-least-once delivery across writer
+    // restarts (KPW:43-44); the engine's equivalent for its stateful
+    // streaming surface is exactly-once into the file sink. Kill the
+    // q80-shaped interval join after PART of the data, restart from
+    // the checkpoint, and the final pair set must still be exactly the
+    // batch answer — which requires both offset AND join-state
+    // (RocksDB) restoration: cross-boundary pairs match a pre-crash
+    // click with a post-crash purchase.
+    import spark.implicits._
+    val evs = events(3000)
+    val cut = (evs.length * 3) / 5 // mid-stream crash point, time-ordered feed
+    val out = java.nio.file.Files.createTempDirectory("graft-ssj-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
+    val clicks = MemoryStream[Ev](23, spark, None)
+    val buys = MemoryStream[Ev](24, spark, None)
+
+    def joined = {
+      val l = clicks.toDF().filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "2 hours")
+      val r = buys.toDF().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "2 hours")
+      l.join(r,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '1' HOUR"))
+        .select(col("cu").as("user_id"), col("cts"), col("pts"))
+    }
+    def run(): Unit = {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // MemoryStream has no event-time column mapping for Ev's ts name;
+    // rename once up front so both runs build the identical plan
+    def feed(slice: Seq[Ev]): Unit = { clicks.addData(slice); buys.addData(slice) }
+
+    feed(evs.take(cut)); run() // "crash": query stopped mid-stream
+    feed(evs.drop(cut)); run() // restart from the same checkpoint
+
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("cts"), col("pts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sorted.toSeq
+    val df = spark.createDataset(evs).toDF()
+    val want = df.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .join(df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts")),
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '1' HOUR"))
+      .select(col("cu"), col("cts"), col("pts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sorted.toSeq
+    assert(want.nonEmpty, "fixture must produce pairs")
+    // cross-boundary pairs prove join STATE was restored, not just offsets
+    val boundaryTs = evs(cut - 1).ts
+    val crossing = want.count { case (_, cts, pts) =>
+      cts.getTime <= boundaryTs.getTime && pts.getTime > boundaryTs.getTime
+    }
+    assert(crossing > 0, "fixture must produce pairs that straddle the crash point")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("json and csv file sources roundtrip pipeline-shaped data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
     val ev = graft.Tables(spark, TestSpark.sf, "events")
