@@ -26,7 +26,12 @@ object Bench {
     // noise (each rep is a full re-execution; persisted relations
     // keep their memoized reuse exactly as a real workload would).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for targeted local
+    // iteration (e.g. SPARK_GRAFT_BENCH_ONLY=q67,q68); full run when unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -35,17 +40,24 @@ object Bench {
       name -> times.min
     }.toMap
     CacheRegistry.clear(spark) // release operator-persisted relations
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist the artifact: stdout tails get truncated (round 2
-    // recovered only 61/80 per-query times), the file never does
+    val sorted = results.toSeq.sortBy(_._1)
+    // full-precision, full-name artifact → file (never truncated)
+    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      fmt(sorted.map { case (k, v) => k -> v.toString })},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // stdout gets the COMPACT form: the driver recovers this line from
+    // a bounded tail of captured output (round 3's full-name 9-decimal
+    // line overflowed it → "parsed": null). Short keys (qNN) and
+    // 3-decimal times keep the whole line ~1.2 KB for 80+ queries.
+    val compact = fmt(sorted.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> (math.round(v * 1000) / 1000.0).toString })
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0
+      },"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -234,12 +234,22 @@ object Analytics {
       // row's unique bucket (each pair matches in exactly one bucket
       // → no duplicate pairs to dedup away)
       val bucketW = 4
+      // EXPLICIT partition count on both join inputs: the shuffled
+      // rows are tiny (2 copies of part), so AQE's byte-based
+      // coalescing would fold the join to ~1 partition — blind to the
+      // quadratic pair fan-out INSIDE each block (≈13 M levenshtein
+      // evals at sf0.1), serializing the whole DP cost on one core
+      // (measured 6.1 s → 0.9 s with the pin). A user-specified
+      // numPartitions is exempt from AQE coalescing by contract.
+      val blockParts = p.sparkSession.sparkContext.defaultParallelism * 2
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
         .withColumn("len_bucket", explode(array_distinct(array(
           floor((length(col("name_a")) - 2) / bucketW),
           floor((length(col("name_a")) + 2) / bucketW)))))
+        .repartition(blockParts, col("p_brand"), col("len_bucket"))
       val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
         .withColumn("len_bucket", floor(length(col("name_b")) / bucketW))
+        .repartition(blockParts, col("p_brand"), col("len_bucket"))
       a.join(b, Seq("p_brand", "len_bucket"))
         .filter(col("key_a") < col("key_b"))
         // no manual length pre-filter: the EditDistancePrefilter

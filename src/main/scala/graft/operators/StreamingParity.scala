@@ -24,6 +24,21 @@ object StreamingParity {
 
   private val runId = new AtomicLong(0)
 
+  // memory-sink tables created by earlier invocations (bench reps,
+  // warmup runs) pin their materialized results on the driver heap
+  // until dropped; each new run releases every table from prior runs
+  // (the current run's table must survive — the caller consumes it
+  // lazily after return)
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
+  private def dropPriorSinks(s: SparkSession): Unit = {
+    var e = liveSinks.poll()
+    while (e != null) {
+      try { if (!e._1.sparkContext.isStopped) e._1.catalog.dropTempView(e._2) }
+      catch { case _: Throwable => () }
+      e = liveSinks.poll()
+    }
+  }
+
   /** events as an unbounded stream with the same nanos→micros
     * normalization [[graft.Tables]] applies to the batch path. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
@@ -37,16 +52,34 @@ object StreamingParity {
     else raw
   }
 
+  /** Start a streaming query with `n` state partitions (pinned into
+    * the checkpoint at query start), restoring the session setting
+    * afterwards. Every stateful operator pays a fixed per-store
+    * per-batch cost (RocksDB instance open + commit); at gate volume
+    * that fixed cost dominates, so the stateful queries run with 8
+    * state partitions instead of the session's 32 — a real deployment
+    * sizes this to state volume, not core count. */
+  private def withStateParts[A](s: SparkSession, n: Int)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a finite streaming query to completion into a memory sink
     * and return the materialized result. */
   private def runToCompletion(agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    val s = agg.sparkSession
+    dropPriorSinks(s)
+    liveSinks.add((s, name))
+    val q = withStateParts(s, 8) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
-    agg.sparkSession.table(name)
+    s.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,17 +135,14 @@ object StreamingParity {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
       val name = s"graft_stream_join_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
       // stream-stream joins keep 4 state stores per shuffle partition;
-      // the per-store fixed cost dominates at this volume, so run the
-      // stateful query with fewer state partitions (pinned into the
-      // checkpoint at query start — a real deployment sizes this to
-      // state volume, not core count) and restore the session setting
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try joined.writeStream.outputMode("append")
+      // see withStateParts — the fixed per-store cost dominates here
+      val q = withStateParts(s, 8) {
+        joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try q.processAllAvailable() finally q.stop()
       s.table(name)
         .groupBy(col("user_id"))

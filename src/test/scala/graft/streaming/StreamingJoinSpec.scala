@@ -91,7 +91,27 @@ class StreamingJoinSpec extends AnyFunSuite {
     // click with a post-crash purchase.
     import spark.implicits._
     val evs = events(3000)
-    val cut = (evs.length * 3) / 5 // mid-stream crash point, time-ordered feed
+    // Batch answer first: it also DERIVES the crash point. A fixed cut
+    // fraction cannot guarantee a pair straddles the crash (at this
+    // fixture's density no fraction does); instead cut just before the
+    // purchase of the widest click→purchase interval, so at least one
+    // pair matches a pre-crash click with a post-crash purchase.
+    val df = spark.createDataset(evs).toDF()
+    val want = df.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .join(df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts")),
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '1' HOUR"))
+      .select(col("cu"), col("cts"), col("pts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sorted.toSeq
+    assert(want.nonEmpty, "fixture must produce pairs")
+    val widest = want.maxBy { case (_, cts, pts) => pts.getTime - cts.getTime }
+    // boundary = last event strictly before the widest pair's purchase:
+    // its ts is >= the pair's click ts (the click itself qualifies), so
+    // the pair straddles [boundary, boundary+ε]
+    val cut = evs.count(_.ts.getTime < widest._3.getTime)
     val out = java.nio.file.Files.createTempDirectory("graft-ssj-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
     val clicks = MemoryStream[Ev](23, spark, None)
@@ -127,17 +147,6 @@ class StreamingJoinSpec extends AnyFunSuite {
       .select(col("user_id"), col("cts"), col("pts")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
       .sorted.toSeq
-    val df = spark.createDataset(evs).toDF()
-    val want = df.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), col("ts").as("cts"))
-      .join(df.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("pu"), col("ts").as("pts")),
-        col("cu") === col("pu") &&
-          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL '1' HOUR"))
-      .select(col("cu"), col("cts"), col("pts")).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
-      .sorted.toSeq
-    assert(want.nonEmpty, "fixture must produce pairs")
     // cross-boundary pairs prove join STATE was restored, not just offsets
     val boundaryTs = evs(cut - 1).ts
     val crossing = want.count { case (_, cts, pts) =>
