@@ -122,14 +122,17 @@ object StreamingParity {
     // watermark only bounds state retention. The per-user count runs
     // batch-side over the sink output.
     "q80_stream_interval_join" -> ((s, d) => {
-      val purchases = eventStream(s, d)
+      // SELF-join on ONE stream source: both sides are projections of
+      // the same watermarked stream, so the file source is listed and
+      // read once per micro-batch instead of twice (two independent
+      // sources each pay listing + scan + offset-log upkeep)
+      val ev = eventStream(s, d).withWatermark("ts", "2 hours")
+      val purchases = ev
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "2 hours")
-      val clicks = eventStream(s, d)
+      val clicks = ev
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "2 hours")
       val joined = purchases.join(clicks,
         col("user_id") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&

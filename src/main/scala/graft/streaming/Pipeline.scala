@@ -138,6 +138,14 @@ final class Pipeline(cfg: PipelineConfig) {
     * the byte cap (parquet-writer feedback refines it in the sized
     * roller; here a conservative static estimate keeps exactly-once).
     */
+  // NOTE on S6 trigger semantics: ProcessingTime batches fire at
+  // wall-clock MULTIPLES of the interval (Spark's trigger executor),
+  // so the first file lands up to one full interval after start() —
+  // with the reference's 900 s default, up to 15 min of startup
+  // latency the reference itself doesn't have (it opens a file on the
+  // first record). Deployments that care should set
+  // maxFileOpenDuration to their latency budget, not the roll cap;
+  // each micro-batch closes its files at commit regardless.
   private def startNative(df: DataFrame): StreamingQuery =
     df.writeStream
       .format("parquet")
