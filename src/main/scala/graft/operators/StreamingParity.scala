@@ -39,6 +39,43 @@ object StreamingParity {
     }
   }
 
+  /** documents as an unbounded stream (the ingest side of the
+    * incremental-dedup query). */
+  private def docStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
+
+  /** Per-document MinHash band hashes computed ENTIRELY in-row
+    * (tokens → distinct 3-shingles → 16 MinHashes → 4 band hashes as
+    * array transforms over the document's own token list): a pure map
+    * stage with no exchange and no per-key state, so the same Column
+    * expressions band a bounded table and an unbounded stream. Uses
+    * the identical md5 construction as [[TextDedup]] q29 (the i-th
+    * MinHash is the lexicographic min of `md5(i || '|' || shingle)`),
+    * so the DuckDB oracle reproduces signatures with the same SQL.
+    */
+  private[operators] def inRowBands(docs: DataFrame): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+      .filter(size(col("ws")) >= 3) // sequence(1, 0) would count DOWN
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))").as("sh"))
+    val withSig = (0 until 16).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"h$i",
+        expr(s"array_min(transform(sh, x -> md5(cast(concat('$i|', x) AS binary))))"))
+    }
+    withSig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}")).cast("binary")).as("bh"))
+    }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   /** events as an unbounded stream with the same nanos→micros
     * normalization [[graft.Tables]] applies to the batch path. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
@@ -166,6 +203,31 @@ object StreamingParity {
     //    equals the oracle's per-type count(DISTINCT event_id) even
     //    if a duplicate event_id ever spanned two types (id-only
     //    dedup would keep an arbitrary micro-batch-order winner).
+    // q82: INCREMENTAL near-dup dedup — the production shape of
+    // continuous corpus dedup in a training-data pipeline: documents
+    // arrive as a stream, are LSH-banded in-row (map-only — see
+    // inRowBands), and stream-static join against the band index of
+    // the existing corpus; per new doc, the number of distinct corpus
+    // near-duplicates and the canonical (min) match. Corpus = doc_id
+    // % 4 != 0 (persisted index, built once); incoming stream = the
+    // % 4 == 0 docs. State is one row per MATCHED incoming doc (the
+    // complete-mode agg); the candidate generation itself is
+    // stateless, which is what lets this run forever on an unbounded
+    // ingest stream while the corpus index is refreshed out-of-band.
+    "q82_stream_incremental_neardup" -> ((s, d) => {
+      val corpus = graft.CacheRegistry.getOrPersist(s, s"streamdedup.corpusbands:$d") {
+        inRowBands(Tables(s, d, "documents").filter(col("doc_id") % 4 =!= 0))
+          .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
+      }
+      val incoming = inRowBands(docStream(s, d).filter(col("doc_id") % 4 === 0))
+      val agg = incoming.join(corpus, Seq("band", "bh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_band_hits"),
+          size(collect_set(col("corpus_doc"))).cast("long").as("n_near_dups"),
+          min(col("corpus_doc")).as("min_match"))
+      runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}")
+    }),
+
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
         .withWatermark("ts", "24 hours")
@@ -216,6 +278,24 @@ object StreamingParity {
         | ON p.user_id = c.user_id
         |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
         |GROUP BY 1""".stripMargin,
+
+    "q82_stream_incremental_neardup" -> {
+      val sigCols = (0 until 16)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh_all AS (${TextDedup.shinglesSql}),
+         | sig AS (SELECT doc_id, $sigCols FROM sh_all GROUP BY doc_id),
+         | bands AS ($bandSelects)
+         |SELECT i.doc_id, count(*) AS n_band_hits,
+         | CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_near_dups,
+         | min(c.doc_id) AS min_match
+         |FROM (SELECT * FROM bands WHERE doc_id % 4 = 0) i
+         |JOIN (SELECT * FROM bands WHERE doc_id % 4 <> 0) c
+         | ON i.band = c.band AND i.bh = c.bh
+         |GROUP BY 1""".stripMargin
+    },
 
     "q70_stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events,

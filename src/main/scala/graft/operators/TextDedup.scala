@@ -60,8 +60,9 @@ object TextDedup {
         .as("shingle"))
       .distinct()
 
-  /** Same relation in DuckDB SQL (1-based list indexing). */
-  private val shinglesSql: String =
+  /** Same relation in DuckDB SQL (1-based list indexing). Shared with
+    * the streaming incremental-dedup oracle (StreamingParity q82). */
+  private[operators] val shinglesSql: String =
     """SELECT DISTINCT doc_id, unnest(list_transform(
       |   generate_series(1, greatest(len(ws)-2, 0)),
       |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Doc(doc_id: Long, text: String)
+
+/** The q82 incremental-dedup construction under micro-batch
+  * boundaries: documents arriving across SEVERAL micro-batches must
+  * produce exactly the result of banding them all at once — the
+  * property that makes the stream-static band join a correct
+  * continuous-ingest dedup (candidate generation is stateless in-row
+  * banding; only the final per-doc aggregate holds state).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val corpusDocs = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog"),
+    Doc(2L, "pack my box with five dozen liquor jugs"),
+    Doc(3L, "sphinx of black quartz judge my vow today"))
+
+  private val incoming = Seq(
+    // near-identical to doc 1 — must match
+    Doc(100L, "the quick brown fox jumps over the lazy dog"),
+    // shares most shingles with doc 2 — should bucket with it
+    Doc(101L, "pack my box with five dozen liquor jugs again"),
+    // unrelated — must not match
+    Doc(102L, "completely different words having nothing shared whatsoever"))
+
+  test("incremental band-join dedup equals the all-at-once batch answer") {
+    import spark.implicits._
+    val corpus = StreamingParity.inRowBands(corpusDocs.toDF("doc_id", "text"))
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
+
+    val stream = MemoryStream[Doc](30, spark, None)
+    val agg = StreamingParity.inRowBands(stream.toDF())
+      .join(corpus, Seq("band", "bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_band_hits"),
+        size(collect_set(col("corpus_doc"))).cast("long").as("n_near_dups"),
+        min(col("corpus_doc")).as("min_match"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("inc_dedup").start()
+    try {
+      // one incoming doc per micro-batch: candidates for doc N must be
+      // unaffected by which batch carried it
+      incoming.foreach { d => stream.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("inc_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = StreamingParity.inRowBands(incoming.toDF("doc_id", "text"))
+      .join(corpus, Seq("band", "bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_band_hits"),
+        size(collect_set(col("corpus_doc"))).cast("long").as("n_near_dups"),
+        min(col("corpus_doc")).as("min_match"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == batch)
+    val byDoc = got.map(t => t._1 -> t).toMap
+    assert(byDoc.contains(100L) && byDoc(100L)._4 == 1L,
+      "identical doc must match its corpus twin across the batch boundary")
+    assert(!byDoc.contains(102L), "unrelated doc must not produce candidates")
+  }
+}
