@@ -119,6 +119,48 @@ object TextDedup {
     (0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * ${1L << b}")
       .mkString(" + ")
 
+  // ---- 60-bit SimHash (q83 pair generation) ----
+  //
+  // q30's 16-bit fingerprint is a compact sketch, but 16 bits cannot
+  // GENERATE pairs: at 5 k docs the birthday bound alone yields ~10^4
+  // coincidental low-hamming pairs. 60 bits (15 md5 hex digits —
+  // bit 63 left clear so the BIGINT stays positive and arithmetic
+  // shifts agree across engines) makes random collisions vanish
+  // (P[hd≤3] ≈ 4·10^-13 per pair) while true near-dups stay within a
+  // few bits. Same engine-portable digit construction as the 16-bit
+  // form, over a PRE-hashed token column so md5 runs once per token,
+  // not once per bit.
+  private val SimHash60Bits = 60
+  private val SimHash60BandBits = 15 // 4 bands; hamming ≤ 3 ⇒ ≥1 band equal
+
+  private def simhash60Contrib(b: Int): String = {
+    val charIdx = b / 4 + 1
+    val pw = 1 << (3 - b % 4)
+    s"(2 * (CAST(floor((instr('0123456789abcdef', substr(h, $charIdx, 1)) - 1) / $pw) AS INT) % 2) - 1)"
+  }
+
+  private def simhash60SumCols: Seq[String] =
+    (0 until SimHash60Bits).map(b => s"sum(${simhash60Contrib(b)}) AS s$b")
+
+  private def simhash60Fp: String =
+    (0 until SimHash60Bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * CAST(${1L << b} AS BIGINT)")
+      .mkString(" + ")
+
+  /** (doc_id, fp) — 60-bit token-frequency-weighted SimHash per doc.
+    * Persisted: the q83 band join reads it twice. */
+  private[operators] def simhash60(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"textdedup.simhash60:$d") {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(expr(simhash60SumCols.head).as("s0"),
+          simhash60SumCols.tail.map(c => expr(c)): _*)
+        .select(col("doc_id"), expr(s"CAST($simhash60Fp AS BIGINT)").as("fp"))
+    }
+
   /** MinHash+LSH candidate near-duplicate pairs (doc_a < doc_b) —
     * shared by q29 and the q49 corpus-clean pipeline.
     */
@@ -305,6 +347,36 @@ object TextDedup {
         .select(col("doc_id"), expr(s"CAST($simhashFingerprint AS BIGINT)").as("simhash"))
     }),
 
+    // q83: SimHash NEAR-DUP PAIRS — closes the dedup matrix's last
+    // modality gap (q30 emits fingerprints; this emits the pairs).
+    // Blocking is the pigeonhole construction: 60 bits split into 4
+    // bands of 15 — any pair within hamming ≤ 3 differs in ≤ 3 bands,
+    // so it agrees EXACTLY on at least one and meets in that band's
+    // equi-join bucket (recall 1.0 by construction, verified against
+    // the unblocked all-pairs join in TextDedupSpec). Fan-out is
+    // bounded by bucket size; at 100 TB the band join partitions on
+    // (band, v) like every other LSH bucket join in the engine. All
+    // arithmetic is exact integer math — bit-identical to the oracle.
+    "q83_simhash_neardup" -> ((s, d) => {
+      val fps = simhash60(s, d)
+      val bands = fps.select(col("doc_id"), col("fp"), explode(array(
+        (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(fp, ${SimHash60BandBits * b}) & 32767").as("v"))
+        }: _*)).as("bv"))
+        .select(col("doc_id"), col("fp"), col("bv.band").as("band"), col("bv.v").as("v"))
+      val l = bands.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("band"), col("v"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band"), col("v"))
+      l.join(r, Seq("band", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").as("hdist"))
+        .filter(col("hdist") <= 3)
+        .distinct() // a pair can agree on several bands
+    }),
+
     // q33: per-language text-quality statistics (token count, word
     // length, stopword ratio) — the quality-scoring primitives of a
     // training-data pipeline.
@@ -436,6 +508,24 @@ object TextDedup {
          |     unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
          |    FROM documents)
          |  GROUP BY doc_id)""".stripMargin
+    },
+
+    "q83_simhash_neardup" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, fp, $b AS band, (fp >> ${SimHash60BandBits * b}) & 32767 AS v FROM fps"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |   md5(unnest(regexp_extract_all(lower(text), '\\S+'))) AS h
+         |  FROM documents),
+         | sums AS (SELECT doc_id, ${simhash60SumCols.mkString(", ")}
+         |  FROM toks GROUP BY doc_id),
+         | fps AS (SELECT doc_id, CAST($simhash60Fp AS BIGINT) AS fp FROM sums),
+         | bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hdist
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
     },
 
     "q33_text_stats" ->

@@ -143,6 +143,13 @@ class PlanQualitySpec extends AnyFunSuite {
         s"q67 must not broadcast a full-table side:\n${plan.take(1500)}")
       assert(plan.contains("p_brand") && plan.contains("len_bucket"),
         s"join must partition on the composite blocking key:\n${plan.take(1500)}")
+      // the shuffled bytes are tiny but the pair fan-out inside each
+      // block is quadratic: the join inputs pin an explicit partition
+      // count (REPARTITION_BY_NUM), exempt from AQE's byte-based
+      // coalescing — without it the whole levenshtein cost lands on
+      // ~1 post-coalesce partition (measured 6.1 s vs 0.9 s at sf0.1)
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"join inputs must pin an explicit partition count:\n${plan.take(1500)}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)

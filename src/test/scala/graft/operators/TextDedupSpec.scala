@@ -47,6 +47,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 band blocking has recall 1.0 vs the unblocked all-pairs join") {
+    // pigeonhole guarantee: hamming <= 3 over 4 bands of 15 bits means
+    // at least one band matches exactly, so the banded equi-join must
+    // produce EXACTLY the pairs of the quadratic all-pairs comparison
+    val banded = q("q83_simhash_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hdist")))
+      .sorted.toSeq
+    val fps = TextDedup.simhash60(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+    val all = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      hd = java.lang.Long.bitCount(fa ^ fb) if hd <= 3
+    } yield (a, b, hd)).sorted.toSeq
+    assert(banded == all)
+    assert(banded.nonEmpty, "fixture must contain simhash near-dups")
+    assert(fps.forall { case (_, fp) => fp >= 0 && fp < (1L << 60) })
+  }
+
   test("q33 stats rows per language, ratios in [0,1]") {
     val rows = q("q33_text_stats").collect()
     assert(rows.map(_.getAs[String]("lang")).toSet ==
