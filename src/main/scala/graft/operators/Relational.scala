@@ -130,6 +130,20 @@ object Relational {
           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
     }),
 
+    // q84: right-outer join — the probe side preserved instead of the
+    // build side (orders ⟖ customer keeps order-less customers). Plans
+    // identically to q05's left-outer with sides swapped; gated
+    // separately so every join type in SURVEY §2.2's inventory has
+    // its own oracle entry.
+    "q84_join_right_outer" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+    }),
+
     // q06: left-semi join (EXISTS).
     "q06_join_semi" -> ((s, d) => {
       t(s, d, "customer")
@@ -406,6 +420,12 @@ object Relational {
          | coalesce(${sqlDsum("o_totalprice")}, 0.0) AS spend
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey""".stripMargin,
+
+    "q84_join_right_outer" ->
+      s"""SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+         | coalesce(${sqlDsum("o_totalprice")}, 0.0) AS spend
+         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
 
     "q06_join_semi" ->
       """SELECT c_custkey, c_name FROM customer

@@ -377,6 +377,47 @@ object TextDedup {
         .distinct() // a pair can agree on several bands
     }),
 
+    // q85: heavy hitters via a count-min sketch — boilerplate-shingle
+    // detection, the approximate-frequency primitive of a
+    // training-data pipeline (the exact groupBy this approximates is
+    // the thing you CANNOT afford over 100 TB of n-grams). The sketch
+    // is expressed declaratively: 4 hash rows × 4096 buckets, cell
+    // sums via explode+groupBy (mergeable across partitions, batches
+    // and streams by construction — they are just sums), estimate =
+    // min over rows. Gated by the classic CM guarantees against the
+    // exact document frequencies of the top-20 shingles: est ≥ true
+    // (always) and est ≤ true + 2N/w (holds deterministically here —
+    // hashes are fixed md5, data is fixed). All-integer arithmetic.
+    "q85_heavy_hitters" -> ((s, d) => {
+      val w = 4096 // 3 md5 hex digits
+      def bucket(md5Col: String): String =
+        s"((instr('0123456789abcdef', substr($md5Col, 1, 1)) - 1) * 256" +
+          s" + (instr('0123456789abcdef', substr($md5Col, 2, 1)) - 1) * 16" +
+          s" + (instr('0123456789abcdef', substr($md5Col, 3, 1)) - 1))"
+      // UNFILTERED shingles: the df cap would remove exactly the heavy
+      // hitters this query exists to find
+      val ex = shingles(s, d)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+      val rows4 = s.range(4).select(col("id").cast("int").as("r"))
+      val hashed = ex.crossJoin(broadcast(rows4))
+        .withColumn("m", md5(concat(col("r").cast("string"), lit("|"), col("shingle"))))
+        .withColumn("b", expr(bucket("m")))
+      val cells = hashed.groupBy(col("r"), col("b")).agg(sum(col("c")).as("cell"))
+      val n = ex.agg(sum(col("c")).as("n"))
+      val top = ex.orderBy(col("c").desc, md5(col("shingle"))).limit(20)
+      top.crossJoin(broadcast(rows4))
+        .withColumn("m", md5(concat(col("r").cast("string"), lit("|"), col("shingle"))))
+        .withColumn("b", expr(bucket("m")))
+        .join(cells, Seq("r", "b"))
+        .groupBy(col("shingle"), col("c"))
+        .agg(min(col("cell")).as("est"))
+        .crossJoin(broadcast(n))
+        .select(col("shingle").as("term"), col("c").as("exact_df"), col("est"),
+          (col("est") >= col("c")).as("lower_ok"),
+          (col("est") <= col("c") +
+            expr(s"CAST(ceil(2.0 * n / $w) AS BIGINT)")).as("upper_ok"))
+    }),
+
     // q33: per-language text-quality statistics (token count, word
     // length, stopword ratio) — the quality-scoring primitives of a
     // training-data pipeline.
@@ -508,6 +549,32 @@ object TextDedup {
          |     unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
          |    FROM documents)
          |  GROUP BY doc_id)""".stripMargin
+    },
+
+    "q85_heavy_hitters" -> {
+      def bucket(m: String): String =
+        s"((instr('0123456789abcdef', substr($m, 1, 1)) - 1) * 256" +
+          s" + (instr('0123456789abcdef', substr($m, 2, 1)) - 1) * 16" +
+          s" + (instr('0123456789abcdef', substr($m, 3, 1)) - 1))"
+      s"""WITH sh_all AS ($shinglesSql),
+         | ex AS (SELECT shingle, count(*) AS c FROM sh_all GROUP BY shingle),
+         | rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         | hashed AS (SELECT shingle, c, r,
+         |   ${bucket("md5(r || '|' || shingle)")} AS b
+         |  FROM ex CROSS JOIN rows4),
+         | cells AS (SELECT r, b, CAST(sum(c) AS BIGINT) AS cell
+         |  FROM hashed GROUP BY r, b),
+         | n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ex),
+         | top AS (SELECT shingle, c FROM ex ORDER BY c DESC, md5(shingle) LIMIT 20),
+         | est AS (SELECT t.shingle, t.c, min(cells.cell) AS est
+         |  FROM top t CROSS JOIN rows4
+         |  JOIN cells ON cells.r = rows4.r
+         |   AND cells.b = ${bucket("md5(rows4.r || '|' || t.shingle)")}
+         |  GROUP BY t.shingle, t.c)
+         |SELECT shingle AS term, c AS exact_df, est,
+         | est >= c AS lower_ok,
+         | est <= c + CAST(ceil(2.0 * n.n / 4096) AS BIGINT) AS upper_ok
+         |FROM est CROSS JOIN n""".stripMargin
     },
 
     "q83_simhash_neardup" -> {
