@@ -15,11 +15,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    [[FloatVecDot]] directly;
   *  - the [[graft.plans.EditDistancePrefilter]] optimizer rule, which
   *    places the length-difference lower bound in front of
-  *    `levenshtein(a,b) <= d` predicates.
+  *    `levenshtein(a,b) <= d` predicates;
+  *  - the [[graft.plans.TopKPerGroupStrategy]] planner strategy, which
+  *    plans the native two-phase [[graft.plans.TopKPerGroupExec]] for
+  *    [[graft.plans.TopKPerGroupLogical]] nodes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+    e.injectPlannerStrategy(session => graft.plans.TopKPerGroupStrategy(
+      session.conf.get("graft.topk.partialMaxGroups", (1 << 20).toString).toInt))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -106,6 +106,22 @@ object Relational3 {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
     }),
 
+    // q91: top-3 orders per customer through the NATIVE two-phase
+    // top-k operator (graft.plans.TopKPerGroupExec — LogicalPlan +
+    // SparkStrategy + SparkPlan, injected by GraftExtensions). The
+    // window row_number formulation shuffles every order row; the
+    // native plan's partial phase caps the exchange at 3 rows per
+    // customer per input partition. Oracle is the window form.
+    "q91_topk_native" -> ((s, d) => {
+      graft.plans.TopKPerGroup.topK(
+        t(s, d, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     // q90: TPC-H Q2 pattern — cheapest supplier per part (no partsupp
     // table in this schema, so unit cost is derived as the minimum
     // observed extendedprice/quantity per part×supplier). min() over
@@ -180,6 +196,14 @@ object Relational3 {
         | AND NOT EXISTS (SELECT 1 FROM orders
         |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+
+    "q91_topk_native" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q90_min_cost_supplier" ->
       """WITH cost AS (

@@ -12,12 +12,47 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column → catalyst Expression conversion. (The lazy
+    * `ExpressionUtils.expression` wrapper — `ColumnNodeExpression` —
+    * is only unwrapped by the analyzer; a custom logical node built
+    * outside `Dataset` combinators needs the converted tree up
+    * front, and the wrapper's api-internal nodes are not
+    * task-serializable.) */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Guaranteed-unique id of a classic session (`sessionUUID` is
     * `private[sql]`), or None for non-classic implementations. */
   def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] = s match {
     case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
     case _ => None
+  }
+
+  /** Analyzed logical plan of a DataFrame (for building custom
+    * logical nodes on top of it). */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
+  /** `Dataset.ofRows` (private[sql]): wrap a custom logical node back
+    * into the public DataFrame surface. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Resolves `UnresolvedAttribute`s in a Column expression against a
+    * DataFrame's analyzed output (name resolution only — the column
+    * set a custom node built on that frame can legally reference). */
+  def resolver(df: org.apache.spark.sql.DataFrame): Expression => Expression = {
+    val plan = analyzed(df)
+    e => e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        plan.resolve(u.nameParts, org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
+          .getOrElse(throw new IllegalArgumentException(
+            s"column ${u.name} not in ${plan.output.map(_.name).mkString(", ")}"))
+    }
   }
 }
