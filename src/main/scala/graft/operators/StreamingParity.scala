@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.LongType
   * affect the result. In production the identical pipeline reads
   * Kafka; only the source wiring string changes.
   */
+/** Typed rows for the q92 arbitrary-state pipeline (file-top-level so
+  * the case-class encoders have no outer scope). */
+case class UserEvent(user_id: Long, ts_us: Long, value_micro: Long)
+case class UserProfile(
+    user_id: Long, n_events: Long, total_micro: Long, first_us: Long, last_us: Long)
+
 object StreamingParity {
 
   private val runId = new AtomicLong(0)
@@ -228,6 +234,54 @@ object StreamingParity {
       runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}")
     }),
 
+    // q92: ARBITRARY stateful streaming (flatMapGroupsWithState) under
+    // the oracle gate — a per-user profile (count / exact money total
+    // in integer micro-units / first- and last-seen event time) held
+    // as explicit GroupState across micro-batches. Emissions are the
+    // running state, monotone in n_events, so the batch-side max-struct
+    // over the Update-mode sink selects the final state per user no
+    // matter how the stream was micro-batched — the determinism
+    // argument the monoid aggregates get for free, recovered for
+    // imperative state. Money goes through DECIMAL(20,6)→BIGINT
+    // micro-units per row (exact, associative), never double addition.
+    "q92_stream_state_profile" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = eventStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long").as("value_micro"))
+        .as[UserEvent]
+      val updated = ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[UserProfile, UserProfile](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, batch: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+            var p = state.getOption
+              .getOrElse(UserProfile(user, 0L, 0L, Long.MaxValue, Long.MinValue))
+            batch.foreach { e =>
+              p = UserProfile(user, p.n_events + 1, p.total_micro + e.value_micro,
+                math.min(p.first_us, e.ts_us), math.max(p.last_us, e.ts_us))
+            }
+            state.update(p)
+            Iterator.single(p)
+        }
+      val name = s"graft_stream_state_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      val q = withStateParts(s, 8) {
+        updated.toDF().writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(name).start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_micro"),
+          col("first_us"), col("last_us"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_micro").as("total_micro"),
+          timestamp_micros(col("m.first_us")).as("first_ts"),
+          timestamp_micros(col("m.last_us")).as("last_ts"))
+    }),
+
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
         .withWatermark("ts", "24 hours")
@@ -296,6 +350,13 @@ object StreamingParity {
          | ON i.band = c.band AND i.bh = c.bh
          |GROUP BY 1""".stripMargin
     },
+
+    "q92_stream_state_profile" ->
+      """SELECT user_id, count(*) AS n_events,
+        | sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS total_micro,
+        | CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        | CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q70_stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events,

@@ -196,4 +196,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q92 state-profile pattern is micro-batch-boundary invariant") {
+    // the gate runs q92 over one file (often one batch); this drives
+    // the same fold through 3 uneven batches and asserts the
+    // max-struct post-process still recovers the exact batch answer
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val evs = events().take(500)
+    val stream = MemoryStream[Ev](31, spark, None)
+    val updated = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { e =>
+            n += 1
+            cents += BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toLongExact
+          }
+          state.update((n, cents))
+          Iterator.single((user, n, cents))
+      }
+    val q = updated.toDF("user_id", "n", "cents").writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("q92_inv").start()
+    try {
+      evs.grouped(180).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("q92_inv")
+      .groupBy("user_id").agg(max(struct(col("n"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.n"), col("m.cents"))
+      .as[(Long, Long, Long)].collect().toMap2
+    val want = evs.groupBy(_.user_id).map { case (u, es) =>
+      u -> (es.size.toLong, es.map(e => BigDecimal(e.value)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum)
+    }
+    assert(got == want)
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(t => t._1 -> (t._2, t._3)).toMap
+  }
 }
