@@ -78,6 +78,39 @@ object ScaleOps {
       .agg(sum(col("_partial")).cast("long").as("n_distinct"))
   }
 
+  /** Compact a parquet directory written by a streaming sink (or any
+    * producer of many small files) into files of roughly
+    * `targetFileBytes`, preserving every row and the schema.
+    *
+    * Streaming ingest at one-file-per-trigger-per-writer produces
+    * thousands of KB-scale files per day; at read time each costs a
+    * listing entry, a footer fetch, and a task, so scan parallelism
+    * degenerates into scheduler overhead (the classic small-file
+    * problem). Compaction is the standing maintenance job every
+    * large-scale table needs.
+    *
+    * The output file count is sized from the directory's actual bytes
+    * (compression-ratio-free: parquet in → parquet out), written to a
+    * fresh directory and atomically visible by directory swap at the
+    * caller's convenience — never rewrites in place, so readers of the
+    * old directory are undisturbed (the same temp-then-commit
+    * discipline as the reference's sink, KPW:409-417). Uses
+    * `coalesce`, not `repartition`: compaction must not pay a
+    * shuffle — it only merges read splits.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(inPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut.toLong
+  }
+
   /** Count Exchange (shuffle) operators in a query's final physical
     * plan — the metric every scale review here starts from.
     */

@@ -63,6 +63,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("compactParquet merges small files, preserves rows, and never shuffles") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"
+    // 64 tiny files — the shape a streaming sink leaves behind
+    spark.range(0, 64000).withColumn("v", col("id") * 2)
+      .repartition(64).write.parquet(inDir)
+    val inFiles = new java.io.File(inDir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val df = spark.read.parquet(inDir)
+    ScaleOps.compactParquet(spark, inDir, outDir, targetFileBytes = 1L << 20)
+    val outFiles = new java.io.File(outDir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles < inFiles, s"expected fewer files, got $outFiles")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 64000)
+    assert(out.agg(sum("v")).head.getLong(0) == df.agg(sum("v")).head.getLong(0))
+    // coalesce-only plan: compaction must not pay an exchange
+    val compacted = spark.read.parquet(inDir).coalesce(2)
+    assert(ScaleOps.countShuffles(compacted) == 0)
+  }
+
   test("runtime bloom-filter join pruning injects might_contain on the big side") {
     // Catalyst's InjectRuntimeFilter builds a bloom filter from the
     // selective (filtered) side of a shuffle join and applies it as a
