@@ -130,19 +130,26 @@ object Relational3 {
     // is |parts| rows; the final equality join is keyed on partkey and
     // both post-aggregation sides are far smaller than lineitem.
     "q90_min_cost_supplier" -> ((s, d) => {
-      val cost = t(s, d, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-      val best = cost.groupBy(col("l_partkey").as("b_partkey"))
-        .agg(min(col("unit_cost")).as("min_cost"))
+      // the p_size predicate reaches lineitem FIRST (broadcast
+      // semi-reduction): per-part minima are unchanged by dropping
+      // other parts' rows, so the big aggregation runs over the
+      // filtered slice — TPC-H Q2's partsupp-pruning, Spark-first.
+      // One shuffle chain: agg on (partkey, suppkey), then the
+      // per-part min as a window over the already-aggregated cost
+      // relation (≤ |filtered parts| × |suppliers| rows — the window's
+      // repartition on partkey moves almost nothing).
       val p15 = t(s, d, "part").filter(col("p_size") === 15)
         .select(col("p_partkey"), col("p_name"))
-      cost
-        .join(best, col("l_partkey") === col("b_partkey") &&
-          col("unit_cost") === col("min_cost"))
+      val cost = t(s, d, "lineitem")
         .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      cost
+        .withColumn("min_cost", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("min_cost"))
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .select(col("p_partkey"), col("p_name"), col("s_name"),
+        .select(col("l_partkey").as("p_partkey"), col("p_name"), col("s_name"),
           round(col("s_acctbal"), 2).as("s_acctbal"), col("unit_cost"))
     }))
 
