@@ -52,6 +52,15 @@ object GraftSession {
       // numKeys bookkeeping does a read-before-every-write purely for
       // a metrics counter; the engine's operators never consume it
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      // Finite gate/bench runs stop after processAllAvailable — the
+      // trailing no-data micro-batch (watermark-driven state eviction
+      // with no new input) costs a full batch cycle per stateful query
+      // without changing any emitted result for these query shapes
+      // (complete/update-mode aggs re-emit on data; inner interval
+      // joins emit on match). Production continuous pipelines should
+      // re-enable it so idle streams still evict state.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_NODATA_BATCHES", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
