@@ -377,6 +377,35 @@ object TextDedup {
         .distinct() // a pair can agree on several bands
     }),
 
+    // q93: unigram language-model surprisal — the LM-based quality
+    // score of a training-data pipeline (low surprisal ⇒ boilerplate/
+    // repetitive text, high ⇒ rare-token-dense). The corpus unigram
+    // model (token→count) is derived from the same token relation it
+    // scores, with add-1 smoothing over the vocabulary; per-doc score
+    // is the mean negative log-probability. Shapes at 100 TB: the
+    // vocab aggregation and the token→vocab equi-join both key on
+    // `tok` — the join input is ALREADY partitioned by tok from the
+    // aggregation, so the probe side's shuffle is the only data
+    // movement, and stopword-key skew is AQE-split. (A production
+    // variant caps the broadcastable model at top-K tokens + an OOV
+    // bucket; the unbounded-vocab join form is the one that always
+    // works.) round(avg, 4) absorbs sub-ulp ln() and summation-order
+    // jitter, the same policy as q45's geomean.
+    "q93_lm_surprisal" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val stats = vocab.agg(sum(col("cnt")).cast("long").as("total"),
+        count(lit(1)).as("vsize"))
+      toks.join(vocab, "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (-log((col("cnt") + 1).cast("double") /
+            (col("total") + col("vsize")).cast("double"))).as("sup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("sup")), 4).as("surprisal"))
+    }),
+
     // q85: heavy hitters via a count-min sketch — boilerplate-shingle
     // detection, the approximate-frequency primitive of a
     // training-data pipeline (the exact groupBy this approximates is
@@ -550,6 +579,18 @@ object TextDedup {
          |    FROM documents)
          |  GROUP BY doc_id)""".stripMargin
     },
+
+    "q93_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        | vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        | stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vsize
+        |  FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(-ln((cnt + 1) / CAST(total + vsize AS DOUBLE))), 4) AS surprisal
+        |FROM toks JOIN vocab USING (tok), stats
+        |GROUP BY doc_id""".stripMargin,
 
     "q85_heavy_hitters" -> {
       def bucket(m: String): String =
