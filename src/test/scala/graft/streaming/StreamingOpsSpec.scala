@@ -197,6 +197,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState state survives a mid-stream crash (checkpoint restore)") {
+    // kill the q92-shaped profile fold after part of the data, restart
+    // from the same checkpoint: final per-user counts must equal the
+    // batch answer, which requires the GroupState (not just source
+    // offsets) to have been restored — a reset state would restart
+    // counts at zero for every pre-crash user
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val evs = events().take(600)
+    val stream = MemoryStream[Ev](32, spark, None)
+    val out = java.nio.file.Files.createTempDirectory("graft-fmgs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fmgs-ckpt").toString
+    def counted = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[Long]) =>
+          val now = state.getOption.getOrElse(0L) + batch.size
+          state.update(now)
+          Iterator.single((user, now))
+      }.toDF("user_id", "n")
+    def run(): Unit = {
+      // the parquet sink is append-only; Update-mode emissions land via
+      // foreachBatch (at-least-once — replays only re-emit a state
+      // snapshot, absorbed by the max-per-user readback)
+      val q = counted.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stream.addData(evs.take(350)); run() // "crash" mid-stream
+    stream.addData(evs.drop(350)); run() // restart from checkpoint
+    val got = spark.read.parquet(out)
+      .groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = evs.groupBy(_.user_id).map { case (u, es) => (u, es.size.toLong) }
+    assert(got == want)
+  }
+
   test("q92 state-profile pattern is micro-batch-boundary invariant") {
     // the gate runs q92 over one file (often one batch); this drives
     // the same fold through 3 uneven batches and asserts the
