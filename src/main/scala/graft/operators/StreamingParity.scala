@@ -282,6 +282,25 @@ object StreamingParity {
           timestamp_micros(col("m.last_us")).as("last_ts"))
     }),
 
+    // q94: stream–static enrichment — the unbounded fact stream joined
+    // to a bounded dimension BEFORE aggregation, the canonical "attach
+    // metadata at ingest" shape of a training-data pipeline. The
+    // static side re-plans per micro-batch as an ordinary broadcast
+    // hash join (no state, no watermark — the join itself is
+    // stateless); only the downstream aggregation is stateful. At
+    // 100 TB the dim stays broadcast-able because it is a dimension
+    // table — the stream side never shuffles for the join at all.
+    "q94_stream_enrich" -> ((s, d) => {
+      val dim = broadcast(Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = eventStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+      runToCompletion(agg, s"graft_stream_enrich_${runId.incrementAndGet()}")
+    }),
+
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
         .withWatermark("ts", "24 hours")
@@ -357,6 +376,12 @@ object StreamingParity {
         | CAST(min(ts) AS TIMESTAMP) AS first_ts,
         | CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q94_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q70_stream_dedup_count" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events,
