@@ -62,27 +62,32 @@ object Similarity {
     * streams through both, nothing but the k×dim centroids is ever
     * driver-resident.
     */
-  def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Nearest-centroid assignment of every vector in `e` to the k-row
+    * `cents` (cid, cv) relation — one broadcast join, ties by cid. */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      // ||v-c||² = v·v - 2 v·c + c·c ; v·v constant per vec — omit
+      .withColumn("d2",
+        vec_dot(col("cv"), col("cv")) - lit(2.0) * vec_dot(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (col("d2") + vec_dot(col("embedding"), col("embedding"))).as("dist2"))
+  }
+
+  /** The Lloyd loop alone: returns the final k-row (cid, cv) centroid
+    * table (persisted; released via CacheRegistry). */
+  def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.functions.{transform => arr_transform}
     def toFloat(c: Column): Column = arr_transform(c, x => x.cast("float"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        // ||v-c||² = v·v - 2 v·c + c·c ; v·v constant per vec — omit
-        .withColumn("d2",
-          vec_dot(col("cv"), col("cv")) - lit(2.0) * vec_dot(col("embedding"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          (col("d2") + vec_dot(col("embedding"), col("embedding"))).as("dist2"))
-    }
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
     var prev: Option[DataFrame] = None
     for (_ <- 0 until iters) {
-      val assigned = assign(centroids)
+      val assigned = assignTo(e, centroids)
       // persist each iteration's k-row centroid table: without it the
       // lazy lineage re-executes every earlier iteration inside every
       // later one (plan size grows quadratically with iters)
@@ -107,9 +112,13 @@ object Similarity {
       centroids = next
     }
     prev.foreach(graft.CacheRegistry.register(e.sparkSession, _))
-    assign(centroids).select(col("vec_id"), col("cid").as("cluster"),
-      round(sqrt(col("dist2")), 4).as("dist"))
+    centroids
   }
+
+  def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame =
+    assignTo(e, lloydCentroids(e, k, iters))
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(sqrt(col("dist2")), 4).as("dist"))
 
   // ---------------------------------------------------------------
 
@@ -191,6 +200,49 @@ object Similarity {
     // that cell only. At 100 TB: centroids are k×dim rows (broadcast
     // side), the cell search is an equi-join on the cell id — the
     // same plan IVF indexes run in production, never a cross join.
+    // q95: product quantization + asymmetric-distance (ADC) search —
+    // the compressed-domain ANN component of a production vector
+    // store. The 64-dim space is split into 4 subspaces of 16 dims;
+    // each gets its own Lloyd codebook (k=4, 2 iterations, the same
+    // decimal-sum determinism as q48), every vector is encoded as 4
+    // small codes, and queries rank candidates by the SUM of
+    // per-subspace query→centroid distances looked up from a
+    // |Q|×m×k table — never touching the original floats. At 100 TB
+    // this is the operator that makes brute-force affordable: the
+    // scan side carries 4 codes (≈1 byte each) instead of 256 bytes
+    // of floats, the LUT is broadcast, and the ADC join is
+    // code-equi-keyed. Per-pair distances sum EXACTLY m decimal
+    // terms, so the estimate is partitioning-independent.
+    "q95_pq_adc" -> ((s, d) => {
+      val (m, sub, k, iters, nq, topk) = (4, 16, 4, 2, 5, 5)
+      val e = t(s, d, "embeddings")
+      val parts = (0 until m).map { j =>
+        val se = e.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+        val cents = lloydCentroids(se, k, iters)
+        val codes = assignTo(se, cents)
+          .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
+        val lut = se.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("query_id"), lit(j).as("sub"), col("cid").as("code"),
+            (vec_dot(col("cv"), col("cv"))
+              - lit(2.0) * vec_dot(col("qv"), col("cv"))
+              + vec_dot(col("qv"), col("qv"))).as("d2"))
+        (codes, lut)
+      }
+      val codes = parts.map(_._1).reduce(_ unionAll _)
+      val lut = parts.map(_._2).reduce(_ unionAll _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2").asc, col("cand_id").asc)
+      codes.join(broadcast(lut), Seq("sub", "code"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(round(sum(col("d2").cast("decimal(30,12)")).cast("double"), 6).as("adc_d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topk)
+        .select(col("query_id"), col("cand_id"), col("adc_d2"), col("rank"))
+    }),
+
     "q62_ivf_search" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val ex = e.select(col("label"),
@@ -282,6 +334,55 @@ object Similarity {
        |SELECT vec_id, cid AS cluster, round(sqrt(d2 + vv), 4) AS dist FROM afinal""".stripMargin
   }
 
+  /** DuckDB twin of q95: per-subspace unrolled Lloyd (the q48
+    * construction over array slices), PQ encoding, LUT build, and the
+    * decimal-summed ADC ranking. */
+  private def pqOracleSql(m: Int, sub: Int, k: Int, iters: Int, nq: Int, topk: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def assign(src: String, prev: String, out: String) =
+      s"""$out AS (SELECT vec_id, cid, embedding FROM (
+         | SELECT e.vec_id, c.cid, e.embedding,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+         | FROM $src e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    def update(ain: String, cout: String) =
+      s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
+         | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
+         | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
+         |    unnest(embedding) AS x FROM $ain)
+         | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    val perSub = (0 until m).flatMap { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      Seq(
+        s"s${j}e AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        s"s${j}c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM s${j}e WHERE vec_id < $k)") ++
+        (1 to iters).flatMap(i =>
+          Seq(assign(s"s${j}e", s"s${j}c${i - 1}", s"s${j}a$i"), update(s"s${j}a$i", s"s${j}c$i"))) ++
+        Seq(
+          s"""s${j}codes AS (SELECT vec_id, $j AS sub, cid AS code
+             | FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+             |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+             |   FROM s${j}e e CROSS JOIN s${j}c$iters c) WHERE rn = 1)""".stripMargin,
+          s"""s${j}lut AS (SELECT q.vec_id AS query_id, $j AS sub, c.cid AS code,
+             |  ${dot("c.cv", "c.cv")} - 2 * ${dot("q.embedding", "c.cv")}
+             |   + ${dot("q.embedding", "q.embedding")} AS d2
+             | FROM (SELECT * FROM s${j}e WHERE vec_id < $nq) q CROSS JOIN s${j}c$iters c)""".stripMargin)
+    }
+    val unions = Seq(
+      s"codes AS (${(0 until m).map(j => s"SELECT * FROM s${j}codes").mkString(" UNION ALL ")})",
+      s"lut AS (${(0 until m).map(j => s"SELECT * FROM s${j}lut").mkString(" UNION ALL ")})")
+    s"""WITH ${(perSub ++ unions).mkString(",\n")}
+       |SELECT query_id, cand_id, adc_d2, rank FROM (
+       | SELECT query_id, cand_id, adc_d2,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2 ASC, cand_id ASC) AS INT) AS rank
+       | FROM (SELECT query_id, vec_id AS cand_id,
+       |    round(CAST(sum(CAST(d2 AS DECIMAL(30,12))) AS DOUBLE), 6) AS adc_d2
+       |   FROM codes JOIN lut USING (sub, code) GROUP BY 1, 2))
+       |WHERE rank <= $topk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
@@ -289,6 +390,7 @@ object Similarity {
     val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
     Map(
       "q48_ivf_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+      "q95_pq_adc" -> pqOracleSql(m = 4, sub = 16, k = 4, iters = 2, nq = 5, topk = 5),
       "q31_ann_bruteforce" ->
         s"""SELECT query_id, cand_id, cos_sim, rn FROM (
            | SELECT query_id, cand_id, cos_sim,

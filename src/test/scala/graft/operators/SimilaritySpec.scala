@@ -116,4 +116,22 @@ class SimilaritySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("q95 PQ/ADC: dense ranks, non-decreasing estimates, self in top-k") {
+    import spark.implicits._
+    val rows = Similarity.queries("q95_pq_adc")(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), s"ranks not dense for query $q")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"ADC estimate not monotone in rank for query $q")
+      // the query's own vector quantizes to its own codes, so its ADC
+      // distance is the sum of the query's residuals — in practice the
+      // minimum; a PQ whose self-recall fails is miscoded
+      assert(rs.exists(_._2 == q), s"query $q missing from its own top-5")
+    }
+  }
 }
