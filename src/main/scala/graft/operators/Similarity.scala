@@ -214,25 +214,64 @@ object Similarity {
     // code-equi-keyed. Per-pair distances sum EXACTLY m decimal
     // terms, so the estimate is partitioning-independent.
     "q95_pq_adc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{transform => arr_transform}
       val (m, sub, k, iters, nq, topk) = (4, 16, 4, 2, 5, 5)
+      // ALL m codebooks train in one keyed Lloyd loop: the working
+      // relation is (vec_id, sub, sv) and centroids are keyed by
+      // (sub, cid), so each iteration is ONE broadcast join + ONE
+      // aggregation over every subspace at once — m-independent job
+      // count, the one-pass-per-iteration shape PQ training needs
+      // over a 100 TB corpus (4 separate loops cost 4× the scans and
+      // materializations for identical math — subspaces never
+      // interact).
       val e = t(s, d, "embeddings")
-      val parts = (0 until m).map { j =>
-        val se = e.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-        val cents = lloydCentroids(se, k, iters)
-        val codes = assignTo(se, cents)
-          .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
-        val lut = se.filter(col("vec_id") < nq)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .crossJoin(broadcast(cents))
-          .select(col("query_id"), lit(j).as("sub"), col("cid").as("code"),
+      val se = e.select(col("vec_id"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("sub"), slice(col("embedding"), j * sub + 1, sub).as("sv"))
+      }: _*)).as("p"))
+        .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      // argmin as a lexicographic struct-min: (d2, cid) is unique per
+      // centroid so min(struct) picks exactly the window row_number=1
+      // row — but as a partial-aggregable hash agg (map-side combine,
+      // no sort), not a per-key sort. sv rides along un-compared.
+      def assignSub(cents: DataFrame): DataFrame =
+        se.join(broadcast(cents), "sub")
+          .select(col("vec_id"), col("sub"), struct(
             (vec_dot(col("cv"), col("cv"))
-              - lit(2.0) * vec_dot(col("qv"), col("cv"))
-              + vec_dot(col("qv"), col("qv"))).as("d2"))
-        (codes, lut)
+              - lit(2.0) * vec_dot(col("sv"), col("cv"))).as("d2"),
+            col("cid"), col("sv")).as("dc"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.cid").as("cid"),
+            col("m.sv").as("sv"))
+      var cents = se.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 0 until iters) {
+        val next = assignSub(cents)
+          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg((sum(col("x").cast("decimal(30,10)")).cast("double") /
+            count(lit(1))).as("mn"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+          .select(col("sub"), col("cid"),
+            arr_transform(expr("transform(pm, p -> p.mn)"), x => x.cast("float")).as("cv"))
+          .persist()
+        next.count()
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(next)
+        cents = next
       }
-      val codes = parts.map(_._1).reduce(_ unionAll _)
-      val lut = parts.map(_._2).reduce(_ unionAll _)
+      prev.foreach(graft.CacheRegistry.register(s, _))
+      val codes = assignSub(cents)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      val lut = se.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qv"))
+        .join(broadcast(cents), "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          (vec_dot(col("cv"), col("cv"))
+            - lit(2.0) * vec_dot(col("qv"), col("cv"))
+            + vec_dot(col("qv"), col("qv"))).as("d2"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_d2").asc, col("cand_id").asc)
       codes.join(broadcast(lut), Seq("sub", "code"))
