@@ -26,6 +26,11 @@ case class UserEvent(user_id: Long, ts_us: Long, value_micro: Long)
 case class UserProfile(
     user_id: Long, n_events: Long, total_micro: Long, first_us: Long, last_us: Long)
 
+/** Typed rows for the q97 transformWithState pipeline. */
+case class TypedEv(event_type: String, value_micro: Long)
+case class TypeStats(
+    event_type: String, n_events: Long, total_micro: Long, max_micro: Long)
+
 object StreamingParity {
 
   private val runId = new AtomicLong(0)
@@ -282,6 +287,54 @@ object StreamingParity {
           timestamp_micros(col("m.last_us")).as("last_ts"))
     }),
 
+    // q97: Spark 4's transformWithState (stateful v2) under the
+    // oracle gate — per-event-type running stats in an explicit
+    // ValueState, updated per micro-batch. Same determinism
+    // construction as q92: integer micro-unit money, monotone
+    // emissions, batch-side max-struct picks the final state. Needs
+    // the RocksDB provider (the session default; transformWithState
+    // rejects the HDFS-backed store).
+    "q97_stream_tws_stats" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+      val ev = eventStream(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long").as("value_micro"))
+        .as[TypedEv]
+      val processor = new StatefulProcessor[String, TypedEv, TypeStats] {
+        @transient private var st: ValueState[TypeStats] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[TypeStats]("st",
+            org.apache.spark.sql.Encoders.product[TypeStats],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[TypedEv],
+            timerValues: TimerValues): Iterator[TypeStats] = {
+          var p = if (st.exists()) st.get() else TypeStats(key, 0L, 0L, Long.MinValue)
+          rows.foreach { e =>
+            p = TypeStats(key, p.n_events + 1, p.total_micro + e.value_micro,
+              math.max(p.max_micro, e.value_micro))
+          }
+          st.update(p)
+          Iterator.single(p)
+        }
+      }
+      val updated = ev.groupByKey(_.event_type)
+        .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      val name = s"graft_stream_tws_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      val q = withStateParts(s, 8) {
+        updated.toDF().writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(name).start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_events"), col("total_micro"), col("max_micro"))).as("m"))
+        .select(col("event_type"), col("m.n_events").as("n_events"),
+          col("m.total_micro").as("total_micro"), col("m.max_micro").as("max_micro"))
+    }),
+
     // q94: stream–static enrichment — the unbounded fact stream joined
     // to a bounded dimension BEFORE aggregation, the canonical "attach
     // metadata at ingest" shape of a training-data pipeline. The
@@ -375,6 +428,12 @@ object StreamingParity {
         | sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS total_micro,
         | CAST(min(ts) AS TIMESTAMP) AS first_ts,
         | CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q97_stream_tws_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        | sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS total_micro,
+        | max(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS max_micro
         |FROM events GROUP BY 1""".stripMargin,
 
     "q94_stream_enrich" ->

@@ -377,6 +377,28 @@ object TextDedup {
         .distinct() // a pair can agree on several bands
     }),
 
+    // q96: BPE-style piece tokenization — the GPT-2 pre-tokenizer
+    // shape (letter runs / digit runs / punctuation runs, each with
+    // an optional leading space) as a pure-alternation regex that
+    // Java regex and RE2 interpret identically. This is the
+    // token-count a training pipeline actually budgets with (piece
+    // count ≈ BPE token count), vs q35's whitespace words. A pure map
+    // + two-level aggregation: explode is per-doc local, the only
+    // shuffle is the per-source rollup.
+    "q96_bpe_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"), lit(0))).as("piece"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_pieces"),
+          countDistinct(col("piece")).as("n_vocab"),
+          round(count(lit(1)).cast("double") / countDistinct(col("doc_id")), 6)
+            .as("pieces_per_doc"))
+    }),
+
     // q93: unigram language-model surprisal — the LM-based quality
     // score of a training-data pipeline (low surprisal ⇒ boilerplate/
     // repetitive text, high ⇒ rare-token-dense). The corpus unigram
@@ -579,6 +601,19 @@ object TextDedup {
          |    FROM documents)
          |  GROUP BY doc_id)""".stripMargin
     },
+
+    "q96_bpe_tokens" ->
+      """SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_pieces,
+        | CAST(count(DISTINCT piece) AS BIGINT) AS n_vocab,
+        | round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 6)
+        |   AS pieces_per_doc
+        |FROM (SELECT doc_id, source,
+        |   unnest(regexp_extract_all(lower(text),
+        |     ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9[:space:]]+')) AS piece
+        |  FROM documents)
+        |GROUP BY source""".stripMargin,
 
     "q93_lm_surprisal" ->
       """WITH toks AS (
