@@ -35,6 +35,31 @@ object Analytics {
     // is in {0,1} (exact 12.5% expectation, reproducible across
     // engines/partitionings — rand()-based sampling is neither).
     // At 100 TB the filter is a per-row map, no shuffle.
+    // q99: importance-weighted sampling — each row kept with
+    // probability proportional to its weight (quantity/50), decided
+    // by a deterministic md5-derived uniform so the sample is
+    // reproducible across runs, partitionings, and engines (the same
+    // portability construction as q54/q85: hex digits decoded via
+    // instr, compared in exact integer arithmetic). This is the
+    // temperature/quality-weighted downsample step of a training-data
+    // pipeline, as a pure scan-side filter — no shuffle at all before
+    // the final rollup.
+    "q99_weighted_sample" -> ((s, d) => {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      t(s, d, "lineitem")
+        .withColumn("h", md5(concat(col("l_orderkey").cast("string"),
+          lit("|"), col("l_linenumber").cast("string"))))
+        .withColumn("u16",
+          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        // u16/65536 < qty/50  ⇔  u16*50 < qty*65536 (exact integers)
+        .filter(col("u16") * lit(50.0) < col("l_quantity") * lit(65536.0))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_qty"))
+    }),
+
     "q54_sample_hash" -> ((s, d) => {
       t(s, d, "orders")
         .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1)
@@ -395,6 +420,20 @@ object Analytics {
   // ---------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q99_weighted_sample" -> {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""SELECT l_returnflag, count(*) AS n_kept,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         |   / count(*), 6) AS avg_qty
+         |FROM (SELECT l_returnflag, l_extendedprice, l_quantity,
+         |   ${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)} AS u16
+         |  FROM (SELECT *, md5(CAST(l_orderkey AS VARCHAR) || '|'
+         |     || CAST(l_linenumber AS VARCHAR)) AS h FROM lineitem))
+         |WHERE u16 * 50.0 < l_quantity * 65536.0
+         |GROUP BY 1""".stripMargin
+    },
+
     "q54_sample_hash" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

@@ -122,6 +122,28 @@ object Relational3 {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // q98: explicit bloom-filter join pruning — the build side's keys
+    // are compacted into a bloom filter (a scalar subquery, ~100 KB
+    // for 100k keys), the probe scan is pre-filtered by membership,
+    // and the exact semi-join afterwards removes the false positives,
+    // so the result is EXACT while the join shuffle carries only the
+    // ~selectivity fraction of lineitem. This is Catalyst's own
+    // InjectRuntimeFilter mechanism (same catalyst expressions),
+    // surfaced declaratively for pipelines that want the pruning
+    // guaranteed rather than threshold-dependent.
+    "q98_bloom_prune" -> ((s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bf = urgent.agg(
+        graft.scale.ScaleOps.bloomAgg(col("o_orderkey"), 100000L).as("bf"))
+      t(s, d, "lineitem")
+        .filter(graft.scale.ScaleOps.bloomMightContain(bf.scalar(), col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // q90: TPC-H Q2 pattern — cheapest supplier per part (no partsupp
     // table in this schema, so unit cost is derived as the minimum
     // observed extendedprice/quantity per part×supplier). min() over
@@ -211,6 +233,14 @@ object Relational3 {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3""".stripMargin,
+
+    "q98_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
 
     "q90_min_cost_supplier" ->
       """WITH cost AS (

@@ -78,6 +78,34 @@ object ScaleOps {
       .agg(sum(col("_partial")).cast("long").as("n_distinct"))
   }
 
+  /** Bloom-filter build over a key column, as a Column aggregate —
+    * the catalyst `BloomFilterAggregate` Catalyst uses for its own
+    * runtime join pruning, surfaced for explicit pipelines (it is
+    * not in the public function registry). Combine with
+    * [[bloomMightContain]] as a pre-join semi-filter: the bloom
+    * passes every true key (no false negatives), the exact join
+    * removes the false positives, so the final result is EXACT while
+    * the probe side's shuffle carries only rows that might match —
+    * at 100 TB, the difference between shuffling the fact table and
+    * shuffling the ~selectivity fraction of it.
+    */
+  def bloomAgg(key: Column, estimatedItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Bridge.expression(key), Literal(estimatedItems), Literal(estimatedItems * 8))
+        .toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomAgg]]-built filter. */
+  def bloomMightContain(bloom: Column, key: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(bloom), Bridge.expression(key)))
+  }
+
   /** Compact a parquet directory written by a streaming sink (or any
     * producer of many small files) into files of roughly
     * `targetFileBytes`, preserving every row and the schema.
