@@ -144,6 +144,27 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size chunking for audio payloads: 256-byte windows, no
+    * overlap, last window ragged — the segmentation shape feeding a
+    * feature extractor (spectrogram frames, ASR windows). Unlike
+    * [[sampleFrames]]' fixed count, the chunk COUNT varies per record
+    * with payload length.
+    */
+  case class AudioChunk(media_id: Long, chunk_no: Int, chunk_bytes: Array[Byte])
+
+  def chunkAudio(media: Dataset[MediaRecord], window: Int): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    require(window > 0)
+    media.filter(_.media_type == "audio").flatMap { m =>
+      val n = m.payload.length
+      val nChunks = math.max(1, (n + window - 1) / window)
+      (0 until nChunks).iterator.map { c =>
+        AudioChunk(m.media_id, c,
+          m.payload.slice(c * window, math.min(n, (c + 1) * window)))
+      }
+    }
+  }
+
   // ---------------------------------------------------------------
   // Oracle-checked query: the binary-column plumbing (payload sizes,
   // fingerprints, media-type demographics). Decode itself is not
@@ -163,6 +184,23 @@ object Multimodal {
         .select(col("media_id"), col("frame_no"),
           octet_length(col("frame_bytes")).cast("long").as("frame_len"),
           md5(col("frame_bytes")).as("frame_fp"))
+    }),
+
+    // q100: audio chunking under the gate — variable chunk count per
+    // record (vs q64's fixed frame count), verified per-chunk by
+    // length + fingerprint and per-media by reassembly arithmetic
+    // (sum of chunk lengths = payload length, ragged tail exact).
+    "q100_audio_chunks" -> ((s, d) => {
+      chunkAudio(mediaTable(s, d), window = 256).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(octet_length(col("chunk_bytes"))).cast("long").as("total_bytes"),
+          max(octet_length(col("chunk_bytes"))).cast("long").as("max_chunk"),
+          min(octet_length(col("chunk_bytes"))).cast("long").as("min_chunk"),
+          md5(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(chunk_no AS cn, " +
+              "md5(chunk_bytes) AS fp))), x -> x.fp)")).cast("binary"))
+            .as("chunks_fp"))
     }),
 
     // q79: the resize stub under the gate — per media type, record
@@ -204,6 +242,23 @@ object Multimodal {
         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
         | CAST(length(fb) AS BIGINT) AS frame_len, md5(fb) AS frame_fp
         |FROM frames""".stripMargin,
+
+    "q100_audio_chunks" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+        |chunks AS (
+        |  SELECT media_id, c AS chunk_no,
+        |   substr(text, c * 256 + 1, least(256, len - c * 256)) AS cb
+        |  FROM aud, (SELECT unnest(generate_series(0, 200)) AS c)
+        |  WHERE c = 0 OR c * 256 < len)
+        |SELECT media_id,
+        | count(*) AS n_chunks,
+        | CAST(sum(length(cb)) AS BIGINT) AS total_bytes,
+        | CAST(max(length(cb)) AS BIGINT) AS max_chunk,
+        | CAST(min(length(cb)) AS BIGINT) AS min_chunk,
+        | md5(string_agg(md5(cb), '' ORDER BY chunk_no)) AS chunks_fp
+        |FROM chunks GROUP BY media_id""".stripMargin,
 
     "q79_resize_stats" ->
       """SELECT media_type, count(*) AS n_media,
