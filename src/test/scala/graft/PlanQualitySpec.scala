@@ -173,6 +173,20 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q98 bloom prefilter lands on the lineitem side ahead of the semi-join") {
+    val df = graft.SparkEntry.queries("q98_bloom_prune")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the membership probe must sit on the probe (fact) side as a
+    // Filter — pruning BEFORE the join — not be optimized away
+    assert(plan.contains("might_contain"), plan.take(1200))
+    val filterIdx = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Join LeftSemi") || l.contains("SemiJoin") || l.contains("LeftSemi"))
+    assert(filterIdx > joinIdx, // deeper in the tree = later in the printout
+      s"bloom filter not below the semi-join (filter@$filterIdx join@$joinIdx)")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
