@@ -89,6 +89,32 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("equals the window formulation for generated data and k (seeded)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // skewed group sizes, duplicate order values (tie-break matters),
+    // and negative values; three k regimes (under/at/over group size)
+    val genRow = for {
+      g <- Gen.frequency((5, Gen.choose(0, 3)), (3, Gen.choose(4, 20)), (1, Gen.const(99)))
+      v <- Gen.frequency((3, Gen.choose(-5, 5)), (1, Gen.const(0)))
+      id <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (g, v, id)
+    val rows = Gen.listOfN(3000, genRow)(Gen.Parameters.default, Seed(13L)).get
+      .distinctBy(_._3) // unique tiebreak key
+    import spark.implicits._
+    val df = rows.toDF("g", "v", "id")
+    for (k <- Seq(1, 3, 1000)) {
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .as[(Int, Int, Long)].collect().toSet
+      val got = TopKPerGroup.topK(df, Seq(col("g")),
+        Seq(col("v").desc, col("id").asc), k)
+        .as[(Int, Int, Long)].collect().toSet
+      assert(got == expected, s"mismatch at k=$k")
+    }
+  }
+
   test("composes with downstream operators (filter + agg on top)") {
     val agg = nativeTop3.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).as[Long].head()
