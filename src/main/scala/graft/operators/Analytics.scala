@@ -35,6 +35,56 @@ object Analytics {
     // is in {0,1} (exact 12.5% expectation, reproducible across
     // engines/partitionings — rand()-based sampling is neither).
     // At 100 TB the filter is a per-row map, no shuffle.
+    // q101: time-series gap-fill — resample each user's event stream
+    // onto an hourly grid between their first and last event, carrying
+    // the last observed value forward through empty hours. The
+    // canonical feature-engineering resample: grid generation is an
+    // in-row sequence() explode (no shuffle), the observed-value pick
+    // is an order-unambiguous max_by on a zero-padded (ts, event_id)
+    // string key (portable lexicographic = numeric order), and the
+    // forward fill is one cumulative window per user. Scale: one
+    // shuffle on user_id for each of agg/window; grid size is bounded
+    // by active span, not corpus size.
+    "q101_gapfill" -> ((s, d) => {
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit("|"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      val ev = t(s, d, "events")
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max_by(col("value"), key).as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h").as("bucket"),
+          last(col("v"), ignoreNulls = true).over(w).as("value"),
+          col("v").isNotNull.as("observed"))
+    }),
+
+    // q102: cohort retention — users bucketed by first-activity week,
+    // activity counted per (cohort, week-offset). Integer-only
+    // arithmetic end to end; two keyed shuffles (per-user min, then
+    // the cohort rollup).
+    "q102_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("cohort"),
+          (datediff(col("w").cast("date"), col("cohort").cast("date")) / 7)
+            .cast("int").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // q99: importance-weighted sampling — each row kept with
     // probability proportional to its weight (quantity/50), decided
     // by a deterministic md5-derived uniform so the sample is
@@ -420,6 +470,36 @@ object Analytics {
   // ---------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q101_gapfill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |   arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|'
+        |     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |     date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY 1))
+        |SELECT user_id, h AS bucket,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        | v IS NOT NULL AS observed
+        |FROM grid LEFT JOIN hourly USING (user_id, h)""".stripMargin,
+
+    "q102_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events),
+        |first AS (SELECT user_id, min(w) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort,
+        | CAST(date_diff('day', CAST(cohort AS DATE), CAST(w AS DATE)) / 7 AS INT)
+        |   AS week_offset,
+        | CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q99_weighted_sample" -> {
       def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
       s"""SELECT l_returnflag, count(*) AS n_kept,
