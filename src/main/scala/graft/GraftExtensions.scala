@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Engine extensions, registered via `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (see [[GraftSession]]) or
@@ -32,5 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_date_spine"),
+      new ExpressionInfo("graft.plans.GraftTableFunctions", "graft_date_spine"),
+      (args: Seq[Expression]) =>
+        graft.plans.GraftTableFunctions.dateSpine(args): LogicalPlan))
   }
 }
