@@ -85,6 +85,57 @@ object Analytics {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // q105: sequence packing — the batch-construction step of LLM
+    // pre-training: documents are concatenated per language in doc_id
+    // order and cut into fixed token-budget (2048) batches; a document
+    // belongs to the batch its first token lands in. All-integer
+    // arithmetic (token counts + one running sum), so the gate compare
+    // is exact. Shapes at scale: the running sum is a window
+    // partitioned BY LANGUAGE (each partition sorts independently —
+    // nothing global); the production variant sub-partitions further
+    // by shard key exactly like this per-lang form, so the plan is the
+    // scale plan. Token counting itself is in-row (size of the token
+    // array — no explode, no shuffle before the window).
+    "q105_sequence_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("batch", floor((col("cum") - col("n_tok")) / 2048).cast("int"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+    // q107: multi-source mixture sampling — the dataset-mixing step of
+    // a training-data pipeline: each source gets its own sampling rate
+    // (here (src# % 4 + 1) × 12.5%, a stand-in for mixture weights
+    // from a data recipe), applied with the same deterministic
+    // md5-uniform as q54/q99 so the mix is reproducible across
+    // engines, runs and partitionings. Pure scan-side filter — the
+    // rate lookup is arithmetic on the source key itself (a real
+    // recipe joins a broadcast rate dim), and nothing shuffles before
+    // the per-source rollup.
+    "q107_source_mix" -> ((s, d) => {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      t(s, d, "documents")
+        .withColumn("h", md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+        .withColumn("u16",
+          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        .withColumn("thresh",
+          (expr("CAST(substr(source, 4) AS INT)") % 4 + 1) * 8192)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("u16") < col("thresh"), 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum(when(col("u16") < col("thresh"), col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"))
+    }),
+
     // q99: importance-weighted sampling — each row kept with
     // probability proportional to its weight (quantity/50), decided
     // by a deterministic md5-derived uniform so the sample is
@@ -499,6 +550,31 @@ object Analytics {
         | CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
         |FROM ev JOIN first USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q105_sequence_pack" ->
+      """SELECT lang, CAST(floor((cum - n_tok) / 2048) AS INT) AS batch,
+        | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc
+        |FROM (SELECT doc_id, lang, n_tok,
+        |   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS n_tok FROM documents))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q107_source_mix" -> {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN u16 < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN u16 < thresh THEN n_chars ELSE 0 END) AS BIGINT)
+         |   AS kept_chars
+         |FROM (SELECT source, n_chars,
+         |   ${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)} AS u16,
+         |   (CAST(substr(source, 4) AS INT) % 4 + 1) * 8192 AS thresh
+         |  FROM (SELECT *, md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
+         |    FROM documents))
+         |GROUP BY 1""".stripMargin
+    },
 
     "q99_weighted_sample" -> {
       def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"

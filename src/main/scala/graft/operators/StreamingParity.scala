@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -198,6 +199,71 @@ object StreamingParity {
       s.table(name)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // q103: watermarked stream-stream LEFT OUTER interval join — q80's
+    // join with the unmatched side surfaced: purchases with no
+    // same-user click in the preceding hour emerge as null-extended
+    // rows once the watermark proves no future match can arrive (Spark
+    // then evicts the left-side state and emits the null match exactly
+    // once). Because outer results are held until that proof, a finite
+    // run must keep the watermark moving after the data ends the way a
+    // production stream's continuous arrivals do: the query unions the
+    // file stream with a tiny MemoryStream and appends sentinel rows
+    // in two trailing micro-batches — the first advances max event
+    // time far past the data, the second runs a batch UNDER the
+    // advanced watermark so the eviction output drains
+    // deterministically before stop (noDataMicroBatches is disabled
+    // for finite gate runs; see GraftSession).
+    //
+    // Sentinel subtlety: Catalyst pushes each side's event_type filter
+    // BELOW the EventTimeWatermark node, so a sentinel only advances a
+    // side's watermark if it PASSES that side's filter (the
+    // multi-watermark policy takes the min across nodes — one starved
+    // node pins the global watermark). Each flush batch therefore
+    // carries one sentinel purchase AND one sentinel click, keyed
+    // user_id = -1 so they can never join with real rows (and the
+    // sentinel purchase's own null-emission — impossible anyway, the
+    // watermark never passes its event time — is excluded batch-side).
+    "q103_stream_left_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val fileEv = eventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val flush =
+        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
+      val flushDf = flush.toDF()
+        .select(explode(array(lit("purchase"), lit("click"))).as("event_type"),
+          lit(-1L).as("user_id"),
+          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      val name = s"graft_stream_loj_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      val q = withStateParts(s, 8) {
+        joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+      }
+      try {
+        q.processAllAvailable()
+        flush.addData(1); q.processAllAvailable()
+        flush.addData(2); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_ts")).as("n_matched"),
+          (count(lit(1)) - count(col("c_ts"))).as("n_no_click"))
     }),
 
     // q70: streaming dedup-then-count — watermarked
@@ -422,6 +488,17 @@ object StreamingParity {
          | ON i.band = c.band AND i.bh = c.bh
          |GROUP BY 1""".stripMargin
     },
+
+    "q103_stream_left_outer_join" ->
+      """SELECT p.user_id, count(*) AS n_rows, count(c.c_ts) AS n_matched,
+        | count(*) - count(c.c_ts) AS n_no_click
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.c_user
+        |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+        |GROUP BY 1""".stripMargin,
 
     "q92_stream_state_profile" ->
       """SELECT user_id, count(*) AS n_events,

@@ -533,6 +533,96 @@ object TextDedup {
           countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_tokens"),
           sum(ceil(length(col("tok")) / 4.0)).cast("long").as("n_subtokens"))
+    }),
+
+    // q104: benchmark decontamination — the pre-training hygiene pass
+    // that removes eval-set leakage: a corpus document is contaminated
+    // if it shares any 8-gram with the benchmark set (the k-gram
+    // overlap rule used for public eval suites). Benchmark = doc_id %
+    // 10 = 7 (a stand-in for the external eval corpus), corpus = the
+    // rest. Plan shape at 100 TB: 8-gram generation is the same
+    // map-only in-row transform as [[shingles]] (no exchange), and the
+    // probe is an equi-join against the BROADCAST distinct benchmark
+    // gram set — benchmark suites are tiny by construction (and when
+    // one is not, the same plan degrades to a shuffle equi-join on the
+    // gram, never to anything quadratic). Output rows are only the
+    // contaminated docs with their distinct overlapping-gram counts.
+    "q104_decontaminate" -> ((s, d) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-7), i -> concat_ws(' ', " +
+            "ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6]))"))
+          .as("gram"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 10 === 7)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"))
+    }),
+
+    // q106: bigram PMI collocation scoring — the association measure
+    // behind phrase mining / tokenizer-merge candidates. Counts are
+    // exact integers (bigram, left-unigram, right-unigram, corpus
+    // totals); the score is the PMI LIFT p(ab)/(p(a)p(b)) — PMI
+    // without the final ln(), which both ranks identically (ln is
+    // monotone) and, unlike ln, is bit-deterministic across engines:
+    // every integer product here fits a double exactly, so one IEEE
+    // division yields the identical bits in Spark and DuckDB, where
+    // libm ln() is allowed to differ in the last ulp (measured: one
+    // sf0.1 bigram landed on a 4-dp rounding boundary and flipped).
+    // Membership in the result is decided ONLY by the integer support
+    // threshold (n_ab >= 20), so no float can change the row set.
+    // Shapes at scale: two hash aggregations (bigram, unigram) + two
+    // equi-joins keyed on the unigram — the bigram relation arrives at
+    // each join already partitioned by one of its words; corpus totals
+    // are a broadcast 1-row cross.
+    "q106_bigram_pmi" -> ((s, d) => {
+      val ws = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+      val uni = ws.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS wa, ws[i] AS wb))"))
+          .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 20)
+      val totals = broadcast(
+        uni.agg(sum(col("n_w")).cast("long").as("n_uni"),
+          count(lit(1)).as("vocab"))
+          .crossJoin(ws.select(
+            sum(greatest(size(col("ws")) - 1, lit(0))).cast("long").as("n_bi"))))
+      bi.join(uni.withColumnRenamed("w", "wa").withColumnRenamed("n_w", "n_a"), "wa")
+        .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("n_w", "n_b"), "wb")
+        .crossJoin(totals)
+        .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"), col("n_ab"),
+          round(expr("(n_ab * 1.0 * n_uni * n_uni) / (n_a * 1.0 * n_b * n_bi)"), 6)
+            .as("lift"))
+    }),
+
+    // q108: per-document token entropy — the repetitiveness/diversity
+    // quality signal (low entropy ⇒ looped boilerplate). Computed from
+    // exact per-(doc, token) counts via the algebraic identity
+    // H = ln(n) - Σ c·ln(c) / n, so the only float work is one ln per
+    // distinct token and the per-doc sum, rounded 4 dp (q93 policy).
+    // Two keyed aggregations — (doc, tok) then doc — both map-side
+    // combinable; no joins, no broadcast, nothing driver-side.
+    "q108_token_entropy" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(expr("ln(sum(c)) - sum(c * ln(c)) / sum(c)"), 4).as("entropy"))
     }))
 
   // ---------------------------------------------------------------
@@ -710,5 +800,50 @@ object TextDedup {
         | CAST(sum(ceil(length(tok) / 4.0)) AS BIGINT) AS n_subtokens
         |FROM (SELECT doc_id, source,
         |   unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents)
-        |GROUP BY source""".stripMargin)
+        |GROUP BY source""".stripMargin,
+
+    "q104_decontaminate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(ws)-7, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |      || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))
+        |    AS gram
+        |  FROM (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS ws FROM documents)),
+        | bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+        |SELECT g.doc_id, count(*) AS n_hit_grams
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 10 <> 7
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "q106_bigram_pmi" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        | uni AS (SELECT w, count(*) AS n_w FROM
+        |   (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        | bi AS (SELECT wa, wb, count(*) AS n_ab FROM (
+        |   SELECT unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+        |     i -> struct_pack(wa := ws[i], wb := ws[i+1]))) AS p FROM t)
+        |   ,LATERAL (SELECT p.wa AS wa, p.wb AS wb)
+        |  GROUP BY wa, wb HAVING count(*) >= 20),
+        | totals AS (SELECT
+        |   (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_uni,
+        |   (SELECT CAST(sum(greatest(len(ws)-1, 0)) AS BIGINT) FROM t) AS n_bi)
+        |SELECT bi.wa || ' ' || bi.wb AS bigram, bi.n_ab,
+        | round((n_ab * 1.0 * n_uni * n_uni) / (ua.n_w * 1.0 * ub.n_w * n_bi), 6)
+        |  AS lift
+        |FROM bi JOIN uni ua ON bi.wa = ua.w JOIN uni ub ON bi.wb = ub.w
+        |CROSS JOIN totals""".stripMargin,
+
+    "q108_token_entropy" ->
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | count(*) AS n_distinct,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |     unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |GROUP BY doc_id""".stripMargin)
 }
