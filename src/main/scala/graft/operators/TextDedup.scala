@@ -603,7 +603,10 @@ object TextDedup {
         .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("n_w", "n_b"), "wb")
         .crossJoin(totals)
         .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"), col("n_ab"),
-          round(expr("(n_ab * 1.0 * n_uni * n_uni) / (n_a * 1.0 * n_b * n_bi)"), 6)
+          // explicit DOUBLE casts: a bare `1.0` literal parses as
+          // DECIMAL in both engines, whose division rules differ
+          round(expr("(CAST(n_ab AS DOUBLE) * n_uni * n_uni)" +
+            " / (CAST(n_a AS DOUBLE) * n_b * n_bi)"), 6)
             .as("lift"))
     }),
 
@@ -831,8 +834,8 @@ object TextDedup {
         |   (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_uni,
         |   (SELECT CAST(sum(greatest(len(ws)-1, 0)) AS BIGINT) FROM t) AS n_bi)
         |SELECT bi.wa || ' ' || bi.wb AS bigram, bi.n_ab,
-        | round((n_ab * 1.0 * n_uni * n_uni) / (ua.n_w * 1.0 * ub.n_w * n_bi), 6)
-        |  AS lift
+        | round((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+        |   / (CAST(ua.n_w AS DOUBLE) * ub.n_w * n_bi), 6) AS lift
         |FROM bi JOIN uni ua ON bi.wa = ua.w JOIN uni ub ON bi.wb = ub.w
         |CROSS JOIN totals""".stripMargin,
 

@@ -167,4 +167,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("approx_ok")))
   }
+
+  test("q105 packing matches a sequential plain-Scala re-pack per language") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        val batch = (cum / 2048).toInt // doc starts at offset `cum`
+        cum += n
+        ((lang, batch), (id, n))
+      }.toSeq
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2._2).sum, vs.map(_._2._1).min))
+    }
+    val got = graft.operators.Analytics.queries("q105_sequence_pack")(spark, sf)
+      .collect().map { r =>
+        (r.getAs[String]("lang"), r.getAs[Int]("batch")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("first_doc")))
+      }.toMap
+    assert(got == expected)
+    // batch ids are dense per language (no doc is longer than the budget)
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids == (0 to ids.max))
+    }
+  }
+
+  test("q107 mixture sampling matches a plain-Scala md5 recomputation") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    def u16(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val thresh = (src.drop(3).toInt % 4 + 1) * 8192
+      val kept = ds.filter(d => u16(d._1) < thresh)
+      src -> ((ds.size.toLong, kept.size.toLong, kept.map(_._3).sum))
+    }
+    val got = graft.operators.Analytics.queries("q107_source_mix")(spark, sf)
+      .collect().map { r =>
+        r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("kept_chars")))
+      }.toMap
+    assert(got == expected)
+    // every configured rate tier is actually exercised by the fixture
+    assert(docs.map(_._2.drop(3).toInt % 4).distinct.length == 4)
+  }
 }

@@ -87,4 +87,66 @@ class TextDedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_subtokens") <= r.getAs[Long]("n_tokens") * 20)
     }
   }
+
+  // plain-Scala reference tokenizer for the independent recomputations
+  private def localToks: Map[Long, Seq[String]] =
+    graft.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .toMap
+
+  test("q104 decontamination equals an independent all-pairs gram recomputation") {
+    val grams = localToks.map { case (id, ws) =>
+      id -> ws.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    }
+    val bench = grams.collect { case (id, g) if id % 10 == 7 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = grams.collect {
+      case (id, g) if id % 10 != 7 && (g & bench).nonEmpty => id -> (g & bench).size.toLong
+    }
+    val got = q("q104_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams")).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("q106 lift matches hand-computed counts and respects the support floor") {
+    val all = localToks.values.toSeq
+    val uni = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = all.flatMap(ws => ws.zip(ws.drop(1))).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum
+    val nBi = all.map(ws => math.max(ws.size - 1, 0).toLong).sum
+    val rows = q("q106_bigram_pmi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Array(wa, wb) = r.getAs[String]("bigram").split(" ", 2)
+      val nAb = r.getAs[Long]("n_ab")
+      assert(nAb >= 20 && bis((wa, wb)) == nAb)
+      val lift = (nAb * 1.0 * nUni * nUni) / (uni(wa) * 1.0 * uni(wb) * nBi)
+      assert(math.abs(r.getAs[Double]("lift") - lift) <= 5e-7)
+    }
+    // completeness: every bigram at/above the floor is present
+    assert(rows.length == bis.count(_._2 >= 20))
+  }
+
+  test("q108 entropy is bounded by ln(distinct) and exact on recomputation") {
+    val rows = q("q108_token_entropy").collect()
+    val toks = localToks
+    assert(rows.length == toks.size)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val k = r.getAs[Long]("n_distinct")
+      // upper slack: the 4-dp rounding can push H above ln(k) by 5e-5
+      // (a doc of all-distinct tokens hits H = ln(k) exactly)
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-4)
+      val ws = toks(r.getAs[Long]("doc_id"))
+      val n = ws.size.toDouble
+      val local = math.log(n) -
+        ws.groupBy(identity).values.map(_.size.toDouble)
+          .map(c => c * math.log(c)).sum / n
+      assert(math.abs(h - local) <= 1e-3)
+      assert(r.getAs[Long]("n_tokens") == ws.size)
+    }
+  }
 }

@@ -171,4 +171,27 @@ class StreamingJoinSpec extends AnyFunSuite {
     val sumCsv = fromCsv.selectExpr("sum(value)").collect().head.getDouble(0)
     assert(math.abs(sumJson - sumCsv) <= 0.01)
   }
+
+  test("q103 streamed left-outer interval join equals the batch left join") {
+    val streamed = graft.operators.StreamingParity
+      .queries("q103_stream_left_outer_join")(spark, TestSpark.sf)
+    val ev = graft.Tables(spark, TestSpark.sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("c_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("c_ts"))).as("n_no_click"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the outer (null-extended) path is genuinely exercised: some
+    // purchases have no click in the preceding hour
+    assert(streamed.agg(sum(col("n_no_click"))).collect().head.getLong(0) > 0)
+  }
 }
