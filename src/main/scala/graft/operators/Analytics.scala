@@ -136,6 +136,80 @@ object Analytics {
             .cast("long").as("kept_chars"))
     }),
 
+    // q110: PageRank over the customer↔supplier purchase graph — the
+    // iterative-graph centrality primitive (source/document authority
+    // weighting in a data-curation pipeline), joining q68's label
+    // propagation as the second Pregel-style operator. Three unrolled
+    // power iterations with damping 0.85 in PURE INTEGER arithmetic:
+    // ranks live in nano-units (1e9 per node), messages are `r div
+    // deg`, damping is `(sum * 85) div 100` — truncation is part of
+    // the operator's definition, identical in both engines, so the
+    // oracle compare is exact with no float anywhere (the same trick
+    // as q48's decimal centroids, pushed all the way to integers).
+    // Teleport needs NO global count: with total mass N×1e9, the
+    // per-node teleport term is the constant 0.15×1e9. Shapes at
+    // scale: one iteration = equi-join of the rank relation with the
+    // degree-annotated edge list (both hash-partitioned by src) + one
+    // partial-aggregated sum by dst — the standard
+    // PageRank-on-dataframes plan; the edge list is built once and
+    // persisted; nothing is ever driver-resident.
+    "q110_pagerank" -> ((s, d) => {
+      val ed = graft.CacheRegistry.getOrPersist(s, s"pagerank.edges:$d") {
+        val pairs = t(s, d, "orders")
+          .select(col("o_custkey").as("cust"), col("o_orderkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("cust"), (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        edges.join(deg, "src")
+      }
+      var r = ed.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val sums = r.join(ed, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        r = r.select(col("node"))
+          .join(sums, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000000L) + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+              .as("r"))
+      }
+      r.filter(col("node") >= 1000000000L)
+        .select((col("node") - 1000000000L).as("s_suppkey"), col("r").as("rank_nano"))
+    }),
+
+    // q109: winsorized robust aggregation — outlier clipping at the
+    // per-group p05/p95 before averaging, the denoising step applied
+    // to quality scores / reward signals before they steer a data
+    // recipe. Two passes: exact per-group percentiles (one hash agg),
+    // broadcast the tiny per-group edge table back onto the scan, clip
+    // with least/greatest, aggregate. Clip membership counts are
+    // integers; the percentile edges are bit-identical cross-engine
+    // except when interpolation lands strictly between data points
+    // AND libm assembles it differently — in which case no 2-dp data
+    // value can sit on the boundary, so the counts stay exact and the
+    // 4-dp-rounded average absorbs the ulp (q46/q47 policy).
+    "q109_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val edges = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(edges), "l_returnflag")
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("w"),
+          (col("l_extendedprice") < col("lo")).cast("long").as("clip_lo"),
+          (col("l_extendedprice") > col("hi")).cast("long").as("clip_hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("clip_lo")).cast("long").as("n_clip_lo"),
+          sum(col("clip_hi")).cast("long").as("n_clip_hi"),
+          round(avg(col("w")), 4).as("winsorized_avg"))
+    }),
+
     // q99: importance-weighted sampling — each row kept with
     // probability proportional to its weight (quantity/50), decided
     // by a deterministic md5-derived uniform so the sample is
@@ -575,6 +649,45 @@ object Analytics {
          |    FROM documents))
          |GROUP BY 1""".stripMargin
     },
+
+    "q110_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT $prev.node,
+           |   150000000 + (CAST(coalesce(s.s, 0) AS BIGINT) * 85) // 100 AS r
+           |  FROM $prev LEFT JOIN (
+           |   SELECT dst, CAST(sum(r // deg) AS BIGINT) AS s
+           |   FROM $prev JOIN ed ON $prev.node = ed.src GROUP BY 1) s
+           |  ON $prev.node = s.dst)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         | edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+         | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         | ed AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+         | r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+         | ${iter("r0", "r1")},
+         | ${iter("r1", "r2")},
+         | ${iter("r2", "r3")}
+         |SELECT node - 1000000000 AS s_suppkey, r AS rank_nano
+         |FROM r3 WHERE node >= 1000000000""".stripMargin
+    },
+
+    "q109_winsorize" ->
+      """WITH edges AS (
+        |  SELECT l_returnflag,
+        |   quantile_cont(l_extendedprice, 0.05) AS lo,
+        |   quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_lo,
+        | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_hi,
+        | round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS winsorized_avg
+        |FROM lineitem JOIN edges USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
 
     "q99_weighted_sample" -> {
       def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"

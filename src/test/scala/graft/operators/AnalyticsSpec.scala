@@ -197,6 +197,52 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 pagerank matches a plain-Scala integer power iteration") {
+    val ords = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges0 = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1) + 1000000000L)))
+      .distinct
+    val edges = edges0 ++ edges0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.keys.map(n => n -> (150000000L + sums.getOrElse(n, 0L) * 85 / 100)).toMap
+    }
+    val expected = r.collect { case (n, v) if n >= 1000000000L => (n - 1000000000L) -> v }
+    val got = graft.operators.Analytics.queries("q110_pagerank")(spark, sf)
+      .collect().map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Long]("rank_nano")).toMap
+    assert(got == expected)
+    // hub property: suppliers aggregate customer mass, so their mean
+    // rank must exceed the initial per-node mass
+    assert(got.values.sum / got.size > 1000000000L)
+  }
+
+  test("q109 winsorized aggregate clips ~5% per tail and stays within [lo, hi]") {
+    val rows = graft.operators.Analytics.queries("q109_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val lo = r.getAs[Long]("n_clip_lo")
+      val hi = r.getAs[Long]("n_clip_hi")
+      // interpolated p05/p95: strictly less than 5% of rows can sit
+      // strictly outside the edge on each side (+1 slack for ties)
+      assert(lo <= n / 20 + 1 && hi <= n / 20 + 1)
+      assert(lo > 0 && hi > 0, "both tails should clip on real data")
+      val raw = graft.Tables(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === r.getAs[String]("l_returnflag"))
+        .agg(avg(col("l_extendedprice"))).collect().head.getDouble(0)
+      // clipping pulls tails toward the center but cannot move the
+      // mean outside the raw value range
+      assert(math.abs(r.getAs[Double]("winsorized_avg") - raw) < raw)
+    }
+  }
+
   test("q107 mixture sampling matches a plain-Scala md5 recomputation") {
     val docs = graft.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("source"), col("n_chars")).collect()
