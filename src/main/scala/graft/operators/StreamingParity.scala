@@ -249,13 +249,19 @@ object StreamingParity {
       val name = s"graft_stream_loj_${runId.incrementAndGet()}"
       dropPriorSinks(s)
       liveSinks.add((s, name))
+      // first sentinel pair rides IN batch 0 with the file data: rows
+      // are never late against the initial watermark, and the batch's
+      // event-time max already includes the sentinel — so one trailing
+      // batch (second sentinel) suffices to drain evictions: 2 batches
+      // total instead of 3 (each batch cycle opens/commits every state
+      // store, the dominant fixed cost at gate volume)
+      flush.addData(1)
       val q = withStateParts(s, 8) {
         joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
       }
       try {
         q.processAllAvailable()
-        flush.addData(1); q.processAllAvailable()
         flush.addData(2); q.processAllAvailable()
       } finally q.stop()
       s.table(name)
