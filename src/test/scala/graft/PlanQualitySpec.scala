@@ -187,6 +187,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom filter not below the semi-join (filter@$filterIdx join@$joinIdx)")
   }
 
+  test("q104 decontamination probes the benchmark grams via broadcast, never a shuffle join") {
+    val plan = executedPlan("q104_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "benchmark gram set must stay on the broadcast side")
+  }
+
+  test("q105 packing windows are partitioned by language, never a single global sort") {
+    val plan = executedPlan("q105_sequence_pack")
+    assert(plan.contains("hashpartitioning(lang"), plan.take(1200))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "a global (unpartitioned) running sum would serialize the corpus on one task")
+  }
+
+  test("q109 winsorize broadcasts the per-group edge table back onto the scan") {
+    val plan = executedPlan("q109_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q110 pagerank iterations reuse the persisted edge list") {
+    val plan = executedPlan("q110_pagerank")
+    // 3 iterations must scan the one cached edge relation, not rebuild
+    // the orders×lineitem join per round
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 3, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
