@@ -136,6 +136,53 @@ object Analytics {
             .cast("long").as("kept_chars"))
     }),
 
+    // q111: exact-k stratified sampling — "take exactly 50 docs per
+    // language, reproducibly" (q71 gives per-stratum RATES; recipes
+    // usually want exact counts). Ranking key is an md5 of the row
+    // key, so the sample is deterministic across engines, runs and
+    // partitionings, and selection runs through the NATIVE
+    // TopKPerGroup operator (graft.plans): the partial phase caps
+    // each input partition's contribution at k rows per stratum
+    // BEFORE the exchange — at 100 TB the shuffle carries
+    // O(partitions × k × strata) rows, not the corpus. Oracle is the
+    // window row_number formulation.
+    "q111_strata_sample" -> ((s, d) => {
+      graft.plans.TopKPerGroup.topK(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(concat(lit("samp|"), col("doc_id").cast("string"))).as("rk")),
+        Seq(col("lang")),
+        Seq(col("rk").asc, col("doc_id").asc),
+        k = 50)
+        .select(col("lang"), col("doc_id"), col("rk"))
+    }),
+
+    // q112: median/MAD robust outlier detection — the heavy-tail
+    // screen that survives the outliers it hunts (mean/stddev do
+    // not). Three passes, each a G-row broadcast back onto the scan:
+    // per-group median, median absolute deviation around it, then the
+    // |x - med| > 5·MAD count. Counts are integers; med/MAD are
+    // rounded 4 dp on output only (q46 policy) — the threshold
+    // compare itself runs on the full-precision values, identical in
+    // both engines because the interpolated median arithmetic is
+    // (q109's argument) bit-stable wherever a data point could sit on
+    // the boundary.
+    "q112_mad_outliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("med"))
+        .agg(expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+      li.join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum((abs(col("l_extendedprice") - col("med")) > col("mad") * 5)
+            .cast("long")).cast("long").as("n_outliers"))
+        .select(col("l_returnflag"), round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+    }),
+
     // q110: PageRank over the customer↔supplier purchase graph — the
     // iterative-graph centrality primitive (source/document authority
     // weighting in a data-curation pipeline), joining q68's label
@@ -649,6 +696,29 @@ object Analytics {
          |    FROM documents))
          |GROUP BY 1""".stripMargin
     },
+
+    "q111_strata_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, rk,
+        |   row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+        |  FROM (SELECT lang, doc_id,
+        |    md5('samp|' || CAST(doc_id AS VARCHAR)) AS rk FROM documents))
+        |WHERE rn <= 50""".stripMargin,
+
+    "q112_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        | mad AS (
+        |  SELECT l_returnflag, med,
+        |   quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+        |  FROM lineitem JOIN med USING (l_returnflag) GROUP BY 1, 2)
+        |SELECT l_returnflag, round(med, 4) AS med, round(mad, 4) AS mad,
+        | count(*) AS n,
+        | CAST(sum(CASE WHEN abs(l_extendedprice - med) > mad * 5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem JOIN mad USING (l_returnflag)
+        |GROUP BY l_returnflag, med, mad""".stripMargin,
 
     "q110_pagerank" -> {
       def iter(prev: String, cur: String): String =

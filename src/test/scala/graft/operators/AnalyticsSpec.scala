@@ -197,6 +197,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q111 takes exactly min(50, stratum size) docs per language, md5-ranked") {
+    val perLang = graft.Tables(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.operators.Analytics.queries("q111_strata_sample")(spark, sf)
+      .collect()
+    val got = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong)
+    perLang.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(50L, n), s"lang $lang")
+    }
+    // ranking key really is the md5 of the row key (reproducibility)
+    rows.take(20).foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"samp|${r.getAs[Long]("doc_id")}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("rk") == hex)
+    }
+  }
+
+  test("q112 MAD outliers: totals cover the table, outliers are a small tail") {
+    val rows = graft.operators.Analytics.queries("q112_mad_outliers")(spark, sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.Tables(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val out = r.getAs[Long]("n_outliers")
+      assert(out >= 0 && out < n / 10, "a 5-MAD screen flags well under 10%")
+      assert(r.getAs[Double]("mad") > 0)
+    }
+  }
+
   test("q110 pagerank matches a plain-Scala integer power iteration") {
     val ords = graft.Tables(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey")).collect()
