@@ -272,6 +272,60 @@ object StreamingParity {
           (count(lit(1)) - count(col("c_ts"))).as("n_no_click"))
     }),
 
+    // q113: watermarked stream-stream FULL OUTER interval join —
+    // completes q103's story with BOTH sides' state evicting into
+    // null-extended output: purchases with no click in the preceding
+    // hour AND clicks that preceded no purchase within the hour each
+    // surface exactly once when the watermark passes their windows.
+    // Same sentinel mechanics as q103 (one flush purchase + one flush
+    // click per trailing batch, filter-pushdown-proof, user_id = -1
+    // excluded batch-side). The batch-side rollup is keyed on the
+    // COALESCED user id because either side may be null in a full
+    // outer result.
+    "q113_stream_full_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val fileEv = eventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val flush =
+        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
+      val flushDf = flush.toDF()
+        .select(explode(array(lit("purchase"), lit("click"))).as("event_type"),
+          lit(-1L).as("user_id"),
+          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      val name = s"graft_stream_foj_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      flush.addData(1)
+      val q = withStateParts(s, 8) {
+        joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+      }
+      try {
+        q.processAllAvailable()
+        flush.addData(2); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+          col("p_ts"), col("c_ts"))
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("p_ts").isNotNull && col("c_ts").isNotNull, 1)).as("n_matched"),
+          count(when(col("c_ts").isNull, 1)).as("n_lonely_purchases"),
+          count(when(col("p_ts").isNull, 1)).as("n_lonely_clicks"))
+    }),
+
     // q70: streaming dedup-then-count — watermarked
     // dropDuplicatesWithinWatermark inside the stream, then per-type
     // counts; the streamed HLL user estimate is validated against the
@@ -503,6 +557,21 @@ object StreamingParity {
         |LEFT JOIN (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
         |  FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.c_user
+        |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+        |GROUP BY 1""".stripMargin,
+
+    "q113_stream_full_outer_join" ->
+      """SELECT coalesce(p.p_user, c.c_user) AS user_id,
+        | count(*) AS n_rows,
+        | count(CASE WHEN p.p_ts IS NOT NULL AND c.c_ts IS NOT NULL THEN 1 END)
+        |   AS n_matched,
+        | count(CASE WHEN c.c_ts IS NULL THEN 1 END) AS n_lonely_purchases,
+        | count(CASE WHEN p.p_ts IS NULL THEN 1 END) AS n_lonely_clicks
+        |FROM (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click') c
+        | ON p.p_user = c.c_user
         |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
         |GROUP BY 1""".stripMargin,
 

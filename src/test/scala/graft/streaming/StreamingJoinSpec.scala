@@ -194,4 +194,22 @@ class StreamingJoinSpec extends AnyFunSuite {
     // purchases have no click in the preceding hour
     assert(streamed.agg(sum(col("n_no_click"))).collect().head.getLong(0) > 0)
   }
+
+  test("q113 streamed full-outer join exercises null emission on BOTH sides") {
+    val streamed = graft.operators.StreamingParity
+      .queries("q113_stream_full_outer_join")(spark, TestSpark.sf)
+    val agg = streamed.agg(
+      sum(col("n_matched")).as("m"),
+      sum(col("n_lonely_purchases")).as("lp"),
+      sum(col("n_lonely_clicks")).as("lc")).collect().head
+    assert(agg.getAs[Long]("m") > 0)
+    assert(agg.getAs[Long]("lp") > 0, "purchase-side eviction must emit")
+    assert(agg.getAs[Long]("lc") > 0, "click-side eviction must emit")
+    // row accounting: total rows = matched + both lonely sides
+    val rows = streamed.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_matched") +
+        r.getAs[Long]("n_lonely_purchases") + r.getAs[Long]("n_lonely_clicks"))
+    }
+  }
 }
