@@ -195,6 +195,89 @@ class StreamingJoinSpec extends AnyFunSuite {
     assert(streamed.agg(sum(col("n_no_click"))).collect().head.getLong(0) > 0)
   }
 
+  test("outer-join state survives a crash: pending unmatched rows null-emit after restart") {
+    // q103/q113's distinct recovery path vs the inner-join crash test:
+    // an unmatched left row is HELD in state until the watermark
+    // proves no match can arrive — so a crash before that proof must
+    // restore the pending row and still emit its null-extended result
+    // exactly once. Kill the query mid-stream, restart from the
+    // checkpoint, then advance the watermark with sentinels; the final
+    // output must equal the batch LEFT JOIN bit-for-bit.
+    import spark.implicits._
+    val evs = events(2000)
+    val df = spark.createDataset(evs).toDF()
+    val bp = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val bc = df.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val want = bp.join(bc,
+      col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL '1' HOUR") &&
+        col("cts") <= col("pts"), "left_outer")
+      .select(col("pu"), col("pts"), col("cts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+      .sortBy(t => (t._1, t._2.getTime, t._3.map(_.getTime).getOrElse(0L)))
+      .toSeq
+    // cut after the widest matched pair's click so a matched pair
+    // straddles the crash (right-side state), and late enough that
+    // some earlier unmatched purchase is still pending (left-side
+    // state: watermark at crash = max_seen - 2h, so any unmatched
+    // purchase within 2h below it is provably still held)
+    val widest = want.collect { case (u, pts, Some(cts)) => (u, pts, cts) }
+      .maxBy { case (_, pts, cts) => pts.getTime - cts.getTime }
+    val cut = evs.count(_.ts.getTime < widest._2.getTime)
+    assert(cut > 0 && cut < evs.size)
+
+    val out = java.nio.file.Files.createTempDirectory("graft-loj-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-loj-ckpt").toString
+    val purchases = MemoryStream[Ev](26, spark, None)
+    val clicks = MemoryStream[Ev](27, spark, None)
+    def joined = {
+      val l = purchases.toDF().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "2 hours")
+      val r = clicks.toDF().filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "2 hours")
+      l.join(r,
+        col("pu") === col("cu") &&
+          col("cts") >= col("pts") - expr("INTERVAL '1' HOUR") &&
+          col("cts") <= col("pts"), "left_outer")
+        .select(col("pu").as("user_id"), col("pts"), col("cts"))
+    }
+    def run(): Unit = {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def feed(slice: Seq[Ev]): Unit = { purchases.addData(slice); clicks.addData(slice) }
+    def sentinel(days: Int): Seq[Ev] = {
+      val ts = new java.sql.Timestamp(
+        evs.map(_.ts.getTime).max + days * 24L * 3600 * 1000)
+      Seq(Ev(-1L, ts, -1L, "purchase", 0.0), Ev(-2L, ts, -1L, "click", 0.0))
+    }
+    feed(evs.take(cut)); run() // crash mid-stream: unmatched rows pending
+    feed(evs.drop(cut)); run() // restart: state restored, rest of data
+    feed(sentinel(1)); run()   // advance watermark past all data
+    feed(sentinel(2)); run()   // drain evictions under the new watermark
+
+    val got = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("pts"),
+        Option(r.getAs[java.sql.Timestamp]("cts"))))
+      .sortBy(t => (t._1, t._2.getTime, t._3.map(_.getTime).getOrElse(0L)))
+      .toSeq
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    // the recovery paths were genuinely exercised
+    val boundary = evs(cut - 1).ts.getTime
+    assert(want.exists { case (_, pts, c) =>
+      c.isEmpty && pts.getTime <= boundary }, "a pre-crash unmatched purchase")
+    assert(want.exists { case (_, pts, c) =>
+      c.exists(_.getTime <= boundary) && pts.getTime > boundary },
+      "a matched pair straddling the crash")
+  }
+
   test("q113 streamed full-outer join exercises null emission on BOTH sides") {
     val streamed = graft.operators.StreamingParity
       .queries("q113_stream_full_outer_join")(spark, TestSpark.sf)
