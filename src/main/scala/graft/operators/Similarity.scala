@@ -331,9 +331,62 @@ object Similarity {
           round(avg(sqrt(col("sq"))), 4).as("avg_norm"),
           round(min(sqrt(col("sq"))), 4).as("min_norm"),
           round(max(sqrt(col("sq"))), 4).as("max_norm"))
+    }),
+
+    // q114: int8 affine quantization accounting — the embedding
+    // compression step (fp32 → uint8 per-vector min/max scaling) that
+    // cuts an ANN index's footprint 4×. Codes are computed ENTIRELY
+    // in-row with higher-order array functions (array_min/max + one
+    // `aggregate` lambda — no explode, no shuffle before the label
+    // rollup), and every gated output is an INTEGER (code sums,
+    // saturation counts), so the compare is bit-exact: the only float
+    // work is (x-mn)/scale in IEEE double, identical in both engines
+    // after explicit casts (floats widen exactly). floor+clip handles
+    // the x=mx edge where a/(a/255) rounds to either side of 255;
+    // constant vectors (scale 0) map to code 0 by definition.
+    "q114_int8_quantize" -> ((s, d) => {
+      val q = "least(CAST(floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) " +
+        "/ sc) AS BIGINT), 255)"
+      t(s, d, "embeddings")
+        .withColumn("mn", expr("array_min(embedding)"))
+        .withColumn("mx", expr("array_max(embedding)"))
+        .withColumn("sc",
+          expr("(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255"))
+        .withColumn("qsum", expr(
+          s"CASE WHEN mx = mn THEN 0 ELSE aggregate(embedding, 0L, (acc, x) -> acc + $q) END"))
+        .withColumn("nsat", expr(
+          s"CASE WHEN mx = mn THEN 0 ELSE size(filter(embedding, x -> $q = 255)) END"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("qsum")).cast("long").as("sum_codes"),
+          sum(col("nsat")).cast("long").as("n_saturated_dims"),
+          sum((col("nsat") > 0).cast("long")).cast("long").as("n_saturated_vecs"))
     }))
 
   // ---------------------------------------------------------------
+
+  /** DuckDB twin of q114's quantization lambda. */
+  private val int8QuantizeOracle: String = {
+    val q = "least(CAST(floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))" +
+      " / sc) AS BIGINT), 255)"
+    s"""SELECT label, count(*) AS n_vecs,
+       | CAST(sum(qsum) AS BIGINT) AS sum_codes,
+       | CAST(sum(nsat) AS BIGINT) AS n_saturated_dims,
+       | CAST(sum(CASE WHEN nsat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_saturated_vecs
+       |FROM (
+       | SELECT label,
+       |  CASE WHEN mx = mn THEN 0 ELSE CAST(list_sum(list_transform(
+       |    embedding, x -> $q)) AS BIGINT) END AS qsum,
+       |  CASE WHEN mx = mn THEN 0 ELSE len(list_filter(
+       |    embedding, x -> $q = 255)) END AS nsat
+       | FROM (
+       |  SELECT label, embedding, mn, mx,
+       |   (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255 AS sc
+       |  FROM (SELECT label, embedding, list_min(embedding) AS mn,
+       |     list_max(embedding) AS mx FROM embeddings)))
+       |GROUP BY 1""".stripMargin
+  }
 
   /** Unrolled-Lloyd DuckDB oracle for [[kmeansAssign]] (k=8,
     * iters=3). Reproducible across engines because every
@@ -428,6 +481,7 @@ object Similarity {
     val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
     Map(
+      "q114_int8_quantize" -> int8QuantizeOracle,
       "q48_ivf_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
       "q95_pq_adc" -> pqOracleSql(m = 4, sub = 16, k = 4, iters = 2, nq = 5, topk = 5),
       "q31_ann_bruteforce" ->

@@ -134,4 +134,39 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs.exists(_._2 == q), s"query $q missing from its own top-5")
     }
   }
+
+  test("q114 int8 codes match a plain-Scala quantizer and bound the corpus") {
+    val vecs = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expected = vecs.groupBy(_._1).map { case (label, vs) =>
+      val per = vs.map { case (_, v) =>
+        val mn = v.min; val mx = v.max
+        if (mx == mn) (0L, 0L)
+        else {
+          val sc = (mx.toDouble - mn.toDouble) / 255
+          val qs = v.map(x =>
+            math.min(math.floor((x.toDouble - mn.toDouble) / sc).toLong, 255L))
+          (qs.sum, qs.count(_ == 255L).toLong)
+        }
+      }
+      label -> ((vs.size.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.count(_._2 > 0).toLong))
+    }
+    val got = Similarity.queries("q114_int8_quantize")(spark, TestSpark.sf)
+      .collect().map { r =>
+        r.getAs[Int]("label") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_codes"),
+            r.getAs[Long]("n_saturated_dims"), r.getAs[Long]("n_saturated_vecs")))
+      }.toMap
+    assert(got == expected)
+    // codes stay inside [0, 255] in aggregate (dim from the data; the
+    // max dim usually saturates, but a/(a/255) may floor to 254 in
+    // IEEE, so no per-vector saturation is asserted)
+    val dim = vecs.head._2.size.toLong
+    got.values.foreach { case (n, sum, satDims, satVecs) =>
+      assert(sum >= 0 && sum <= n * dim * 255L)
+      assert(satVecs <= n && satDims >= satVecs)
+    }
+  }
 }
