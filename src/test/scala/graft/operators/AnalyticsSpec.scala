@@ -197,6 +197,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 merged partials equal the direct aggregate and pass the sketch bound") {
+    val rows = graft.operators.Analytics.queries("q115_incremental_rollup")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+    val direct = graft.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("tv"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.foreach { r =>
+      val (n, tv) = direct(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      // decimal partial sums merge exactly — bit-equal, not approximately
+      assert(r.getAs[Double]("total_value") == tv)
+    }
+  }
+
   test("q111 takes exactly min(50, stratum size) docs per language, md5-ranked") {
     val perLang = graft.Tables(spark, sf, "documents")
       .groupBy(col("lang")).count().collect()
