@@ -136,6 +136,62 @@ object Analytics {
             .cast("long").as("kept_chars"))
     }),
 
+    // q116: data-quality audit — the constraint pass every ingest
+    // runs before data is trusted: null rates, duplicate keys,
+    // referential integrity, domain bounds. One row per check with
+    // its violation count; all integers, so the gate is exact. Plan
+    // shapes: each check is a scan-side aggregate or an anti-join on
+    // the key — the orphan check is the same broadcast/shuffle
+    // equi-join as any dim join, and the duplicate check is one hash
+    // agg; a 100 TB audit runs them all in one pass group, none of
+    // them quadratic.
+    "q116_dq_audit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val orphans = ev.join(broadcast(cust),
+          col("user_id") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orphan_user_ids").as("check"), col("violations"))
+      val dupIds = ev.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("duplicate_event_ids").as("check"), col("violations"))
+      val nullVals = ev.filter(col("value").isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("null_values").as("check"), col("violations"))
+      val negVals = ev.filter(col("value") < 0)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("negative_values").as("check"), col("violations"))
+      // domain check: 'error' rows are the fixture's out-of-domain type
+      val badType = ev.filter(!col("event_type")
+          .isin("click", "view", "purchase", "signup"))
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("unknown_event_type").as("check"), col("violations"))
+      orphans.unionByName(dupIds).unionByName(nullVals)
+        .unionByName(negVals).unionByName(badType)
+    }),
+
+    // q117: snapshot diff — dataset-version comparison (what changed
+    // between yesterday's corpus build and today's): per-user event
+    // counts from the old snapshot (days 1-15) full-outer-joined to
+    // the new (full month), classified added/grown/unchanged. The
+    // plan is one aggregation per snapshot + a full outer equi-join
+    // on the key — at 100 TB both sides aggregate down to |keys|
+    // before the join, so the diff never touches raw rows twice.
+    "q117_snapshot_diff" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val old = ev.filter(dayofmonth(col("ts")) <= 15)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_old"))
+      val neu = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_new"))
+      old.join(neu, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          when(col("n_old").isNull, "added")
+            .when(coalesce(col("n_new"), lit(0L)) > col("n_old"), "grown")
+            .otherwise("unchanged").as("status"))
+    }),
+
     // q115: incremental rollup maintenance — the materialized-view
     // delta pattern: yesterday's aggregate table + today's batch are
     // MERGED from partial aggregates instead of rescanning history.
@@ -731,6 +787,33 @@ object Analytics {
          |    FROM documents))
          |GROUP BY 1""".stripMargin
     },
+
+    "q116_dq_audit" ->
+      """SELECT 'orphan_user_ids' AS check, count(*) AS violations
+        |FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'duplicate_event_ids', count(*) FROM (
+        |  SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'null_values', count(*) FROM events WHERE value IS NULL
+        |UNION ALL
+        |SELECT 'negative_values', count(*) FROM events WHERE value < 0
+        |UNION ALL
+        |SELECT 'unknown_event_type', count(*) FROM events
+        |WHERE event_type NOT IN ('click','view','purchase','signup')""".stripMargin,
+
+    "q117_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT user_id, count(*) AS n_old FROM events
+        |  WHERE CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INT) <= 15
+        |  GROUP BY 1),
+        | neu AS (SELECT user_id, count(*) AS n_new FROM events GROUP BY 1)
+        |SELECT coalesce(old.user_id, neu.user_id) AS user_id,
+        | coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        | CASE WHEN n_old IS NULL THEN 'added'
+        |  WHEN coalesce(n_new, 0) > n_old THEN 'grown'
+        |  ELSE 'unchanged' END AS status
+        |FROM old FULL JOIN neu ON old.user_id = neu.user_id""".stripMargin,
 
     "q115_incremental_rollup" ->
       """SELECT event_type, count(*) AS n_events,

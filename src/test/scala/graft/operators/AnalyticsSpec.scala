@@ -197,6 +197,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 audit checks are exercised and agree with direct recomputation") {
+    val rows = graft.operators.Analytics.queries("q116_dq_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("check") -> r.getAs[Long]("violations")).toMap
+    assert(rows.keySet == Set("orphan_user_ids", "duplicate_event_ids",
+      "null_values", "negative_values", "unknown_event_type"))
+    // the fixture plants 'error' events — the domain check must fire
+    assert(rows("unknown_event_type") > 0)
+    val errorCount = graft.Tables(spark, sf, "events")
+      .filter(col("event_type") === "error").count()
+    assert(rows("unknown_event_type") == errorCount)
+    // duplicate check recomputed directly
+    val dups = graft.Tables(spark, sf, "events")
+      .groupBy(col("event_id")).count().filter(col("count") > 1).count()
+    assert(rows("duplicate_event_ids") == dups)
+  }
+
+  test("q117 snapshot diff partitions users and counts are monotone") {
+    val rows = graft.operators.Analytics.queries("q117_snapshot_diff")(spark, sf)
+      .collect()
+    val users = graft.Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == users, "every user appears exactly once in the diff")
+    rows.foreach { r =>
+      val old = r.getAs[Long]("n_old"); val neu = r.getAs[Long]("n_new")
+      assert(neu >= old, "the new snapshot is a superset of the old")
+      val status = r.getAs[String]("status")
+      if (old == 0) assert(status == "added")
+      else if (neu > old) assert(status == "grown")
+      else assert(status == "unchanged")
+    }
+    assert(rows.exists(_.getAs[String]("status") == "grown"))
+  }
+
   test("q115 merged partials equal the direct aggregate and pass the sketch bound") {
     val rows = graft.operators.Analytics.queries("q115_incremental_rollup")(spark, sf)
       .collect()
