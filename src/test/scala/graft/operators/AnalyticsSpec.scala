@@ -197,6 +197,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q118 purge removes exactly the requested users' rows, no others") {
+    val rows = graft.operators.Analytics.queries("q118_compliance_purge")(spark, sf)
+      .collect()
+    val direct = graft.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b"),
+        sum((col("user_id") % 97 === 3).cast("long")).as("r"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (b, r) = direct(x.getAs[String]("event_type"))
+      assert(x.getAs[Long]("n_before") == b)
+      assert(x.getAs[Long]("n_removed") == r)
+      assert(x.getAs[Long]("n_after") == b - r)
+    }
+    assert(rows.map(_.getAs[Long]("n_removed")).sum > 0, "fixture must exercise the purge")
+  }
+
   test("q116 audit checks are exercised and agree with direct recomputation") {
     val rows = graft.operators.Analytics.queries("q116_dq_audit")(spark, sf)
       .collect().map(r => r.getAs[String]("check") -> r.getAs[Long]("violations")).toMap
