@@ -136,6 +136,26 @@ object Analytics {
             .cast("long").as("kept_chars"))
     }),
 
+    // q119: zero-filled calendar rollup through the injected SQL
+    // table-valued function — `graft_date_spine(start, end)` (see
+    // graft.plans.GraftTableFunctions) generates the day dimension as
+    // a catalyst Range (optimizer-visible row count, nothing
+    // driver-materialized), LEFT-joined to the per-day aggregate so
+    // silent days surface as explicit zeros: the canonical SLA /
+    // monitoring shape where a MISSING day is the signal. The spine
+    // deliberately extends one day past the fixture (Jan 31) so the
+    // zero-fill path is always exercised.
+    "q119_calendar_spine" -> ((s, d) => {
+      val days = s.sql("SELECT d FROM graft_date_spine('2024-01-01', '2024-01-31')")
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+      days.join(daily, Seq("d"), "left")
+        .select(col("d"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("nu"), lit(0L)).as("n_users"))
+    }),
+
     // q118: compliance purge accounting — targeted deletion (the
     // right-to-be-forgotten job of a data platform): a request set of
     // user ids is removed via broadcast ANTI-join (request sets are
@@ -827,6 +847,17 @@ object Analytics {
          |    FROM documents))
          |GROUP BY 1""".stripMargin
     },
+
+    "q119_calendar_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        | daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM events GROUP BY 1)
+        |SELECT spine.d, coalesce(n, 0) AS n_events, coalesce(nu, 0) AS n_users
+        |FROM spine LEFT JOIN daily USING (d)""".stripMargin,
 
     "q118_compliance_purge" ->
       """SELECT event_type, count(*) AS n_before,

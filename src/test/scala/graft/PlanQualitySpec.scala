@@ -215,6 +215,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q119 date spine plans as a catalyst Range, nothing driver-materialized") {
+    val plan = executedPlan("q119_calendar_spine")
+    assert(plan.contains("Range ("), plan.take(1200))
+    assert(!plan.contains("LocalTableScan"),
+      "the spine must be a generator, not a collected local relation")
+    // zero-filled day actually present (the Jan 31 row)
+    val rows = SparkEntry.queries("q119_calendar_spine")(spark, sf).collect()
+    assert(rows.length == 31 && rows.exists(_.getAs[Long]("n_events") == 0L))
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
