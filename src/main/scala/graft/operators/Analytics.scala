@@ -136,6 +136,27 @@ object Analytics {
             .cast("long").as("kept_chars"))
     }),
 
+    // q120: journey path mining — per-user ordered event-type paths
+    // (the first 3 steps), counted by distinct journey. The ORDERED
+    // collection is collect_list(struct(ts, event_id, type)) +
+    // array_sort: collect_list alone is partitioning-order-dependent,
+    // so the sort key embeds the unique (ts, event_id) tiebreak and
+    // determinism is restored algebraically — the only way an ordered
+    // aggregation is reproducible on a distributed engine (DuckDB's
+    // string_agg ORDER BY states the same contract declaratively).
+    // Shapes at scale: one hash agg keyed by user (in-row sort of a
+    // bounded per-user list), one small agg by path.
+    "q120_journey_paths" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "array_join(transform(slice(array_sort(collect_list(" +
+            "struct(ts, event_id, event_type))), 1, 3), x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // q119: zero-filled calendar rollup through the injected SQL
     // table-valued function — `graft_date_spine(start, end)` (see
     // graft.plans.GraftTableFunctions) generates the day dimension as
@@ -847,6 +868,17 @@ object Analytics {
          |    FROM documents))
          |GROUP BY 1""".stripMargin
     },
+
+    "q120_journey_paths" ->
+      """SELECT path, count(*) AS n_users FROM (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM (
+        |   SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM events)
+        |  WHERE rn <= 3
+        |  GROUP BY user_id)
+        |GROUP BY path""".stripMargin,
 
     "q119_calendar_spine" ->
       """WITH spine AS (
