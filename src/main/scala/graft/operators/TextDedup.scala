@@ -610,6 +610,37 @@ object TextDedup {
             .as("lift"))
     }),
 
+    // q121: vocabulary coverage curve — for the top-100 tokens by
+    // frequency, the cumulative share of the corpus they cover (the
+    // curve that sizes a tokenizer's vocab: "how many types cover 95%
+    // of tokens?"). Exercises the aggregate-then-window pattern: the
+    // global-order running sum runs over the AGGREGATED vocabulary
+    // (thousands of rows), never the corpus — a single-partition
+    // window on post-aggregation data is scale-safe because the
+    // aggregation already reduced the data by orders of magnitude.
+    // Shares are exact integer micro-units (cum×1e6 div total), so the
+    // gate needs no float policy at all. Rank ties broken by token.
+    "q121_vocab_coverage" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .filter(col("rk") <= 100)
+        .crossJoin(broadcast(
+          t(s, d, "documents").select(explode(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("t2"))
+            .agg(count(lit(1)).as("total"))))
+        .select(col("rk"), col("tok"), col("cnt"),
+          expr("(cum * 1000000) div total").as("cum_share_micro"))
+    }),
+
     // q108: per-document token entropy — the repetitiveness/diversity
     // quality signal (low entropy ⇒ looped boilerplate). Computed from
     // exact per-(doc, token) counts via the algebraic identity
@@ -838,6 +869,23 @@ object TextDedup {
         |   / (CAST(ua.n_w AS DOUBLE) * ub.n_w * n_bi), 6) AS lift
         |FROM bi JOIN uni ua ON bi.wa = ua.w JOIN uni ub ON bi.wb = ub.w
         |CROSS JOIN totals""".stripMargin,
+
+    "q121_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        | vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        | ranked AS (
+        |  SELECT tok, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+        |   sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vocab),
+        | total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+        |SELECT rk, tok, cnt,
+        | CAST((cum * 1000000) // total AS BIGINT) AS cum_share_micro
+        |FROM ranked CROSS JOIN total
+        |WHERE rk <= 100""".stripMargin,
 
     "q108_token_entropy" ->
       """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
