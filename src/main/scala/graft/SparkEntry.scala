@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracleSql),
       (operators.AsOf.queries, operators.AsOf.oracleSql),
       (operators.Analytics.queries, operators.Analytics.oracleSql),
+      (operators.Analytics2.queries, operators.Analytics2.oracleSql),
       (operators.StreamingParity.queries, operators.StreamingParity.oracleSql),
       (streaming.ProtoParity.queries, streaming.ProtoParity.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
