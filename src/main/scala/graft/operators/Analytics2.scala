@@ -137,6 +137,140 @@ object Analytics2 {
     // orient by degree instead of id to bound the join fan-out on
     // power-law graphs; id orientation is correct and sufficient at
     // this threshold.
+    // q127: association-rule mining over the co-purchase pairs —
+    // support / confidence / lift for part pairs appearing in ≥ 2
+    // orders, the recommendation-engine building block. All three
+    // metrics are exact integer micro-units (n×1e6 div m): floats
+    // would make the gate engine-ambiguous, and the integer forms are
+    // what a production scorer thresholds on anyway. lift multiplies
+    // three longs before the divide — bounded by n_ab ≤ N and the
+    // 1e6 scale, it stays < 2^63 up to ~10^6 orders per item pair;
+    // beyond that the same expression moves to DECIMAL. Plan shape:
+    // the pair self-join is the only big shuffle; item counts join
+    // back as a (broadcastable) dim keyed by part.
+    "q127_association_rules" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val items = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      // N as a broadcast 1-row aggregate keeps the whole query lazy
+      // (no driver-side count per invocation)
+      val total = op.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(items.withColumnRenamed("pk", "p1").withColumnRenamed("n_item", "n_a"),
+          Seq("p1"))
+        .join(items.withColumnRenamed("pk", "p2").withColumnRenamed("n_item", "n_b"),
+          Seq("p2"))
+        .crossJoin(broadcast(total))
+        .select(col("p1"), col("p2"), col("n_pair"), col("n_a"), col("n_b"),
+          expr("n_pair * 1000000 div n_a").as("conf_ab_micro"),
+          expr("n_pair * 1000000 div n_b").as("conf_ba_micro"),
+          expr("n_pair * n_orders * 1000000 div (n_a * n_b)").as("lift_micro"))
+    }),
+
+    // q128: reciprocal-rank-fusion of two part rankings (by DECIMAL
+    // revenue and by DECIMAL quantity) — the standard zero-tuning way
+    // to merge heterogeneous rankings (search result fusion, feature
+    // ensembling). RRF's 1/(k+r) becomes 1e6 div (60+r) so the fused
+    // score is exact integer; both input ranks carry the p_partkey
+    // tiebreak required for cross-engine determinism, and the money
+    // sums go through DECIMAL per repo policy (a double-sum ORDER BY
+    // would be partitioning-order-dependent). Scale: one groupBy on
+    // partkey, two global sorts of the small aggregate, top-20 out.
+    "q128_rrf_fusion" -> ((s, d) => {
+      val byRev = Window.orderBy(col("revenue").desc, col("l_partkey"))
+      val byQty = Window.orderBy(col("qty").desc, col("l_partkey"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .withColumn("r_rev", row_number().over(byRev))
+        .withColumn("r_qty", row_number().over(byQty))
+        .withColumn("rrf_micro",
+          expr("1000000 div (60 + r_rev) + 1000000 div (60 + r_qty)"))
+        .orderBy(col("rrf_micro").desc, col("l_partkey"))
+        .limit(20)
+        .select(col("l_partkey"), col("r_rev"), col("r_qty"), col("rrf_micro"))
+    }),
+
+    // q129: 7-day rolling distinct users — the engagement metric that
+    // naive SQL writes as a non-equi self-join (BETWEEN d-6 AND d →
+    // nested-loop at scale). The scale-correct plan used here inverts
+    // it: each (day, user) observation CONTRIBUTES to the 7 report
+    // days that cover it, generated as an in-row sequence explode (×7
+    // map-side fan-out, no join), then one distinct-agg keyed by
+    // report day. The trailing semi-join only drops report days past
+    // the observed calendar — a tiny day-dimension join.
+    "q129_rolling_distinct" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      du.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("report_day"))
+        .join(days.withColumnRenamed("day", "report_day"), Seq("report_day"),
+          "left_semi")
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+    }),
+
+    // q130: quantile binning (ntile) — per-type quartile assignment of
+    // `value`, the feature-discretization step before bucketized
+    // training. ntile's unique (value, event_id) tiebreak order makes
+    // bin boundaries engine-deterministic; min/max per bin are raw
+    // stored doubles (exact values, no arithmetic), counts integers.
+    // The per-type sort is the cost — same shape as any ranking
+    // window; a few distinct types means salting would be needed if
+    // one type dominated at 100 TB (see ScaleOps.saltedDistinctCount
+    // for the pattern).
+    "q130_ntile_binning" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    }),
+
+    // q131: repetition-based quality scoring (the Gopher-rule family:
+    // Rae et al. 2021 §A1.1) — per-doc distinct-token ratio, top
+    // unigram share, top bigram share, all in exact integer
+    // micro-units. Documents whose mass concentrates in few (bi)grams
+    // are boilerplate/spam; these three scores are the standard
+    // cheap screens before a corpus reaches training. Everything is
+    // in-row array work (token array, bigram transform) plus two
+    // doc-keyed aggs — one shuffle each, no cross-doc state.
+    "q131_repetition_quality" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("l"))
+        .filter(size(col("l")) >= 2)
+      val base = toks.select(col("doc_id"), size(col("l")).as("n"),
+        size(array_distinct(col("l"))).as("nd"))
+      val topUni = toks
+        .select(col("doc_id"), explode(col("l")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_uni"))
+      val topBi = toks
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
+      base.join(topUni, Seq("doc_id")).join(topBi, Seq("doc_id"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          expr("nd * 1000000 div n").cast("long").as("distinct_micro"),
+          expr("max_uni * 1000000 div n").as("top_unigram_micro"),
+          expr("max_bi * 1000000 div (n - 1)").as("top_bigram_micro"))
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val op = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -215,6 +349,93 @@ object Analytics2 {
         |FROM r
         |GROUP BY term
         |HAVING count(*) >= 5""".stripMargin,
+
+    "q127_association_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        | items AS (SELECT pk, count(*) AS n_item FROM op GROUP BY 1),
+        | pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_pair
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | total AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+        |SELECT p1, p2, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+        | n_pair * 1000000 // ia.n_item AS conf_ab_micro,
+        | n_pair * 1000000 // ib.n_item AS conf_ba_micro,
+        | n_pair * n_orders * 1000000 // (ia.n_item * ib.n_item) AS lift_micro
+        |FROM pairs
+        |JOIN items ia ON ia.pk = p1
+        |JOIN items ib ON ib.pk = p2
+        |CROSS JOIN total""".stripMargin,
+
+    "q128_rrf_fusion" ->
+      """WITH agg AS (
+        |  SELECT l_partkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue,
+        |   sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem GROUP BY 1),
+        | ranked AS (
+        |  SELECT l_partkey,
+        |   row_number() OVER (ORDER BY revenue DESC, l_partkey) AS r_rev,
+        |   row_number() OVER (ORDER BY qty DESC, l_partkey) AS r_qty
+        |  FROM agg)
+        |SELECT l_partkey, r_rev, r_qty,
+        | 1000000 // (60 + r_rev) + 1000000 // (60 + r_qty) AS rrf_micro
+        |FROM ranked
+        |ORDER BY rrf_micro DESC, l_partkey
+        |LIMIT 20""".stripMargin,
+
+    "q129_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | days AS (SELECT DISTINCT day FROM du)
+        |SELECT r.report_day, CAST(count(DISTINCT r.user_id) AS BIGINT) AS u7
+        |FROM (
+        |  SELECT user_id,
+        |   CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE)
+        |    AS report_day
+        |  FROM du) r
+        |WHERE r.report_day IN (SELECT day FROM days)
+        |GROUP BY 1""".stripMargin,
+
+    "q130_ntile_binning" ->
+      """SELECT event_type, quartile, count(*) AS n,
+        | min(value) AS vmin, max(value) AS vmax
+        |FROM (
+        |  SELECT event_type, value,
+        |   ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |    AS quartile
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q131_repetition_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l
+        |  FROM documents),
+        | base AS (
+        |  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd
+        |  FROM toks WHERE len(l) >= 2),
+        | uni AS (
+        |  SELECT doc_id, max(c) AS max_uni FROM (
+        |   SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(l) AS tok FROM toks WHERE len(l) >= 2)
+        |   GROUP BY doc_id, tok)
+        |  GROUP BY 1),
+        | bi AS (
+        |  SELECT doc_id, max(c) AS max_bi FROM (
+        |   SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM (
+        |     SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        |     FROM toks WHERE len(l) >= 2))
+        |   GROUP BY doc_id, bg)
+        |  GROUP BY 1)
+        |SELECT base.doc_id, CAST(n AS BIGINT) AS n_tok,
+        | CAST(nd * 1000000 // n AS BIGINT) AS distinct_micro,
+        | max_uni * 1000000 // n AS top_unigram_micro,
+        | max_bi * 1000000 // (n - 1) AS top_bigram_micro
+        |FROM base
+        |JOIN uni ON uni.doc_id = base.doc_id
+        |JOIN bi ON bi.doc_id = base.doc_id""".stripMargin,
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -71,6 +71,87 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("q127 association rules: confidence/lift identities hold exactly") {
+    val rows = q("q127_association_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPair, nA, nB) = (r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nPair >= 2 && nPair <= math.min(nA, nB),
+        "pair support cannot exceed either item's support")
+      assert(r.getAs[Long]("conf_ab_micro") == nPair * 1000000L / nA)
+      assert(r.getAs[Long]("conf_ba_micro") == nPair * 1000000L / nB)
+      assert(r.getAs[Long]("conf_ab_micro") <= 1000000L)
+    }
+  }
+
+  test("q128 RRF fusion: 20 rows, scores consistent with rank arithmetic") {
+    val rows = q("q128_rrf_fusion").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (rr, rq) = (r.getAs[Int]("r_rev"), r.getAs[Int]("r_qty"))
+      assert(r.getAs[Long]("rrf_micro") ==
+        1000000L / (60 + rr) + 1000000L / (60 + rq))
+    }
+    val scores = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "output must be ordered by fused score descending")
+  }
+
+  test("q129 rolling distinct: u7 >= same-day distinct, covers every active day") {
+    val daily = graft.Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("u1"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = q("q129_rolling_distinct").collect()
+    assert(rows.map(_.getDate(0).toString).toSet == daily.keySet,
+      "one output row per observed day, no spill past the calendar")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u7") >= daily(r.getDate(0).toString),
+        "a 7-day window can never have fewer users than its last day")
+    }
+  }
+
+  test("q130 ntile bins: quartiles partition rows near-evenly, ranges nest") {
+    val rows = q("q130_ntile_binning").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("quartile")).sorted.toSeq == Seq(1, 2, 3, 4))
+      val ns = rs.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, "ntile bins differ by at most one row")
+      val ordered = rs.sortBy(_.getAs[Int]("quartile"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("vmax") <= b.getAs[Double]("vmin"),
+            "quartile value ranges must be non-overlapping and ordered")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q131 repetition scores: bounded by 1e6 and consistent with direct recompute") {
+    val rows = q("q131_repetition_quality").collect()
+    assert(rows.length == graft.Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      Seq("distinct_micro", "top_unigram_micro", "top_bigram_micro").foreach { c =>
+        val v = r.getAs[Long](c); assert(v > 0 && v <= 1000000L, s"$c=$v")
+      }
+    }
+    // spot-check one doc against a plain-Scala recompute
+    val doc = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 7L).select(col("text")).collect().head.getString(0)
+    val toks = doc.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val r7 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r7.getAs[Long]("n_tok") == toks.length)
+    assert(r7.getAs[Long]("distinct_micro") ==
+      toks.distinct.length.toLong * 1000000L / toks.length)
+    assert(r7.getAs[Long]("top_unigram_micro") ==
+      toks.groupBy(identity).values.map(_.length).max.toLong * 1000000L / toks.length)
+    assert(r7.getAs[Long]("top_bigram_micro") ==
+      bigrams.groupBy(identity).values.map(_.size).max.toLong * 1000000L /
+        (toks.length - 1))
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
