@@ -271,6 +271,114 @@ object Analytics2 {
           expr("max_bi * 1000000 div (n - 1)").as("top_bigram_micro"))
     }),
 
+    // q132: multi-touch attribution (linear model) — every purchase
+    // distributes 1e6 micro-credits equally over the user's touches
+    // in the preceding 3 days; per touch-type totals are the
+    // marketing-attribution report. The interval join is bucketed the
+    // scale-correct way: a purchase explodes to its 4 candidate DAY
+    // buckets (purchases are the smaller side) and equi-joins touches
+    // on (user_id, day) with the exact time-range residual — the
+    // standard interval-join decomposition that avoids the non-equi
+    // nested loop a naive BETWEEN join plans. Credits are integer
+    // (1e6 div n_touches), so the gate is exact.
+    "q132_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
+        .withColumn("day",
+          explode(expr("sequence(date_sub(to_date(pt), 3), to_date(pt))")))
+      val tch = ev.select(col("user_id"), col("ts").as("tt"),
+          col("event_type").as("touch_type"))
+        .withColumn("day", to_date(col("tt")))
+      val tp = p.join(tch, Seq("user_id", "day"))
+        .filter(col("tt") < col("pt") &&
+          col("tt") >= col("pt") - expr("INTERVAL 3 DAYS"))
+        .select(col("pid"), col("touch_type"))
+      tp.withColumn("n_t",
+          count(lit(1)).over(Window.partitionBy(col("pid"))))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          sum(expr("1000000 div n_t")).cast("long").as("credit_micro"))
+    }),
+
+    // q133: seasonal anomaly screen — per (event_type, hour-of-day)
+    // the all-days total is the seasonal baseline; a (type, date,
+    // hour) cell is anomalous when its count exceeds 2× its seasonal
+    // average. The ratio is exact integer micro-units
+    // (actual × n_days × 1e6 div baseline_total) — no float division,
+    // so the gate holds. Plan: two aggregates over the same scan
+    // (cells, baselines) joined on the tiny (type, hour) key, the
+    // global day count broadcast as a 1-row aggregate.
+    "q133_seasonal_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        to_date(col("ts")).as("day"), hour(col("ts")).as("hh"))
+      val cells = ev.groupBy(col("event_type"), col("day"), col("hh"))
+        .agg(count(lit(1)).as("actual"))
+      val baseline = ev.groupBy(col("event_type"), col("hh"))
+        .agg(count(lit(1)).as("total"))
+      val nDays = ev.select(col("day")).distinct()
+        .agg(count(lit(1)).as("n_days"))
+      cells.join(baseline, Seq("event_type", "hh"))
+        .crossJoin(broadcast(nDays))
+        .withColumn("ratio_micro",
+          expr("actual * n_days * 1000000 div total"))
+        .filter(col("ratio_micro") >= 2000000L)
+        .select(col("event_type"), col("day"), col("hh"),
+          col("actual"), col("total"), col("ratio_micro"))
+    }),
+
+    // q134: join-key skew profiler — the "do I need salting?"
+    // diagnostic run before any big join: per candidate key, total
+    // rows, distinct keys, the heaviest key's frequency and share,
+    // and a log-bucketed keys-per-frequency histogram. One groupBy
+    // per key column then tiny aggregates — the profile costs one
+    // shuffle per key at any scale. Top-key share ≥ a few percent is
+    // the signal that ScaleOps.saltedJoin is needed.
+    "q134_skew_profile" -> ((s, d) => {
+      def profile(df: DataFrame, key: String, label: String) = {
+        val freq = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        freq.agg(
+            sum(col("c")).cast("long").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_freq"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("keys_f1"),
+            sum(when(col("c").between(2, 9), 1L).otherwise(0L)).cast("long")
+              .as("keys_f2_9"),
+            sum(when(col("c").between(10, 99), 1L).otherwise(0L)).cast("long")
+              .as("keys_f10_99"),
+            sum(when(col("c") >= 100, 1L).otherwise(0L)).cast("long")
+              .as("keys_f100p"))
+          .select(lit(label).as("profiled_key"), col("n_rows"), col("n_keys"),
+            col("max_freq"),
+            expr("max_freq * 1000000 div n_rows").as("top_share_micro"),
+            col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"),
+            col("keys_f100p"))
+      }
+      profile(t(s, d, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(t(s, d, "events"), "user_id", "events.user_id"))
+    }),
+
+    // q135: deterministic train/val/test split — the md5-uniform
+    // 80/10/10 partition of a corpus (same engine-portable u16 hash
+    // as q107/q54; rand() would be irreproducible across engines,
+    // runs and partitionings). Per-split counts/chars/langs are the
+    // manifest a training job records. Scan-side map + one tiny agg.
+    "q135_dataset_split" -> ((s, d) => {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      t(s, d, "documents")
+        .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
+        .withColumn("u16",
+          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        .withColumn("split",
+          when(col("u16") < 52429, "train")
+            .when(col("u16") < 58982, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val op = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -436,6 +544,93 @@ object Analytics2 {
         |FROM base
         |JOIN uni ON uni.doc_id = base.doc_id
         |JOIN bi ON bi.doc_id = base.doc_id""".stripMargin,
+
+    "q132_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pt FROM events
+        |  WHERE event_type = 'purchase'),
+        | tp AS (
+        |  SELECT p.pid, e.event_type AS touch_type
+        |  FROM p JOIN events e ON e.user_id = p.user_id
+        |   AND e.ts < p.pt AND e.ts >= p.pt - INTERVAL 3 DAY),
+        | w AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n_t FROM tp)
+        |SELECT touch_type, count(*) AS n_touches,
+        | CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        | CAST(sum(1000000 // n_t) AS BIGINT) AS credit_micro
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q133_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hh
+        |  FROM events),
+        | cells AS (
+        |  SELECT event_type, day, hh, count(*) AS actual
+        |  FROM ev GROUP BY 1, 2, 3),
+        | baseline AS (
+        |  SELECT event_type, hh, count(*) AS total FROM ev GROUP BY 1, 2),
+        | nd AS (SELECT count(DISTINCT day) AS n_days FROM ev)
+        |SELECT cells.event_type, day, cells.hh, actual, total,
+        | actual * n_days * 1000000 // total AS ratio_micro
+        |FROM cells
+        |JOIN baseline ON baseline.event_type = cells.event_type
+        | AND baseline.hh = cells.hh
+        |CROSS JOIN nd
+        |WHERE actual * n_days * 1000000 // total >= 2000000""".stripMargin,
+
+    "q134_skew_profile" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        | ef AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        | lp AS (
+        |  SELECT 'lineitem.l_orderkey' AS profiled_key,
+        |   CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |   max(c) AS max_freq,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_f1,
+        |   CAST(sum(CASE WHEN c BETWEEN 2 AND 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f2_9,
+        |   CAST(sum(CASE WHEN c BETWEEN 10 AND 99 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f10_99,
+        |   CAST(sum(CASE WHEN c >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f100p
+        |  FROM lf),
+        | ep AS (
+        |  SELECT 'events.user_id' AS profiled_key,
+        |   CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |   max(c) AS max_freq,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_f1,
+        |   CAST(sum(CASE WHEN c BETWEEN 2 AND 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f2_9,
+        |   CAST(sum(CASE WHEN c BETWEEN 10 AND 99 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f10_99,
+        |   CAST(sum(CASE WHEN c >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS keys_f100p
+        |  FROM ef)
+        |SELECT profiled_key, n_rows, n_keys, max_freq,
+        | max_freq * 1000000 // n_rows AS top_share_micro,
+        | keys_f1, keys_f2_9, keys_f10_99, keys_f100p
+        |FROM lp
+        |UNION ALL
+        |SELECT profiled_key, n_rows, n_keys, max_freq,
+        | max_freq * 1000000 // n_rows AS top_share_micro,
+        | keys_f1, keys_f2_9, keys_f10_99, keys_f100p
+        |FROM ep""".stripMargin,
+
+    "q135_dataset_split" -> {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""SELECT split, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM (
+         | SELECT *, CASE WHEN u16 < 52429 THEN 'train'
+         |   WHEN u16 < 58982 THEN 'val' ELSE 'test' END AS split
+         | FROM (
+         |  SELECT n_chars, lang,
+         |   ${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)} AS u16
+         |  FROM (SELECT *, md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+         |    FROM documents)))
+         |GROUP BY 1""".stripMargin
+    },
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -152,6 +152,57 @@ class Analytics2Spec extends AnyFunSuite {
         (toks.length - 1))
   }
 
+  test("q132 attribution: per-purchase credit never exceeds 1e6, counts conserve") {
+    val rows = q("q132_attribution").collect()
+    assert(rows.nonEmpty)
+    // total credit distributed <= 1e6 per attributed purchase (floor
+    // division loses < n_t units per purchase, never gains)
+    val purchases = graft.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val totCredit = rows.map(_.getAs[Long]("credit_micro")).sum
+    assert(totCredit <= purchases * 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_touches"))
+    }
+  }
+
+  test("q133 seasonal anomalies: every emitted cell is >= 2x its baseline mean") {
+    val rows = q("q133_seasonal_anomaly").collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Long]("ratio_micro")
+      assert(ratio >= 2000000L)
+      assert(r.getAs[Long]("actual") <= r.getAs[Long]("total"))
+    }
+  }
+
+  test("q134 skew profile: frequency buckets partition the key space") {
+    val rows = q("q134_skew_profile").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val nKeys = r.getAs[Long]("n_keys")
+      val bucketSum = r.getAs[Long]("keys_f1") + r.getAs[Long]("keys_f2_9") +
+        r.getAs[Long]("keys_f10_99") + r.getAs[Long]("keys_f100p")
+      assert(bucketSum == nKeys, "every key falls in exactly one freq bucket")
+      assert(r.getAs[Long]("max_freq") * 1000000L / r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("top_share_micro"))
+      assert(r.getAs[Long]("n_rows") >= nKeys)
+    }
+  }
+
+  test("q135 dataset split: covers every doc, close to 80/10/10, reproducible") {
+    val rows = q("q135_dataset_split").collect()
+    val total = graft.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    val trainFrac = byName("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // determinism: a second run partitions identically
+    val again = q("q135_dataset_split").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(again == byName)
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
