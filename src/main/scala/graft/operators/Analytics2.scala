@@ -379,6 +379,116 @@ object Analytics2 {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // q136: user growth accounting — per day: new users (first-ever
+    // activity), returning users, and the cumulative registered base.
+    // First-activity is one groupBy(user) min(date); the daily rollup
+    // joins new vs active counts on the tiny day key and the
+    // cumulative base is a window over days (a few hundred rows at
+    // any corpus size — the window input is the AGGREGATE, never the
+    // event log; same aggregate-then-window shape as q121).
+    "q136_user_growth" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      val news = firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val active = ev.distinct().groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"))
+      active.join(news, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
+    // q137: churn segmentation — per user, days idle vs the corpus
+    // max date bucket into active / cooling / churned, keyed by the
+    // user's LAST event type (max_by on the zero-padded (ts,
+    // event_id) key — the q101 order-unambiguous idiom). The global
+    // reference date rides along as a broadcast 1-row aggregate.
+    // One shuffle on user_id; the segment rollup is tiny.
+    "q137_churn_segments" -> ((s, d) => {
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit("|"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      val ev = t(s, d, "events")
+      val refDay = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          max_by(col("event_type"), key).as("last_type"))
+      perUser.crossJoin(broadcast(refDay))
+        .withColumn("days_idle", datediff(col("ref_day"), col("last_day")))
+        .withColumn("segment",
+          when(col("days_idle") <= 3, "active")
+            .when(col("days_idle") <= 7, "cooling").otherwise("churned"))
+        .groupBy(col("segment"), col("last_type"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // q138: RFM segmentation — the classic customer scoring: recency
+    // (days since last order), frequency (order count), monetary
+    // (DECIMAL revenue) quartiled with ntile + the custkey tiebreak,
+    // combined into a 3-digit segment code. Money stays DECIMAL end
+    // to end per repo policy; every ntile order is unique, so codes
+    // are engine-deterministic. The three ntiles share one
+    // un-partitioned sort each over the per-customer AGGREGATE (one
+    // row per customer) — fine to a few hundred million customers;
+    // beyond that ntile becomes a percent_rank bucketing over a
+    // range-partitioned sort.
+    "q138_rfm_segments" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val refDay = o.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("monetary"))
+        .crossJoin(broadcast(refDay))
+        .withColumn("recency_days", datediff(col("ref_day"), col("last_order")))
+      val scored = perCust
+        .withColumn("r", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("o_custkey"))))
+        .withColumn("m", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary")).as("monetary_total"))
+    }),
+
+    // q139: source-distribution divergence — total variation distance
+    // between per-source unigram distributions over the global
+    // top-200 vocabulary, in exact integer micro-units (TVD = half
+    // the L1 gap; floats never appear). The mixture-health check of a
+    // multi-source corpus: a source drifting from the rest shows up
+    // as a high-TVD row. The vocabulary cap is what bounds the
+    // all-pairs stage: |sources|² × 200 cells, trivially small, while
+    // the raw term counting stays one shuffle keyed by (source,
+    // term). Missing terms materialize as zero shares via the
+    // source × vocab grid (a broadcast cross of two tiny dims).
+    "q139_source_divergence" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+            .as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(200).select(col("term"))
+      val st = toks.join(broadcast(vocab), Seq("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      val tot = st.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      val share = st.join(tot, Seq("source"))
+        .select(col("source"), col("term"), expr("n * 1000000 div tot").as("p"))
+      val grid = tot.select(col("source")).crossJoin(broadcast(vocab))
+        .join(share, Seq("source", "term"), "left")
+        .select(col("source"), col("term"), coalesce(col("p"), lit(0L)).as("p"))
+      grid.as("a").join(grid.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+        .agg(sum(abs(col("a.p") - col("b.p"))).as("l1"))
+        .select(col("src1"), col("src2"), expr("l1 div 2").as("tvd_micro"))
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val op = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -631,6 +741,79 @@ object Analytics2 {
          |    FROM documents)))
          |GROUP BY 1""".stripMargin
     },
+
+    "q136_user_growth" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | fd AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        | news AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1),
+        | act AS (SELECT day, count(*) AS n_active FROM ev GROUP BY 1)
+        |SELECT act.day, n_active,
+        | coalesce(n_new, 0) AS n_new,
+        | n_active - coalesce(n_new, 0) AS n_returning,
+        | sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM act LEFT JOIN news ON news.day = act.day""".stripMargin,
+
+    "q137_churn_segments" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+        | pu AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |   max_by(event_type,
+        |    lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+        |     || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
+        |  FROM events GROUP BY 1)
+        |SELECT CASE WHEN ref_day - last_day <= 3 THEN 'active'
+        |  WHEN ref_day - last_day <= 7 THEN 'cooling'
+        |  ELSE 'churned' END AS segment,
+        | last_type, count(*) AS n_users
+        |FROM pu CROSS JOIN ref
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q138_rfm_segments" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day
+        |  FROM orders),
+        | pc AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |   count(*) AS frequency,
+        |   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        | scored AS (
+        |  SELECT o_custkey, monetary,
+        |   ntile(4) OVER (ORDER BY ref_day - last_order, o_custkey) AS r,
+        |   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+        |   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        |  FROM pc CROSS JOIN ref)
+        |SELECT r * 100 + f * 10 + m AS segment,
+        | count(*) AS n_customers, sum(monetary) AS monetary_total
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    "q139_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        | vocab AS (
+        |  SELECT term FROM (
+        |   SELECT term, count(*) AS n FROM toks GROUP BY 1)
+        |  ORDER BY n DESC, term LIMIT 200),
+        | st AS (
+        |  SELECT source, toks.term, count(*) AS n FROM toks
+        |  JOIN vocab ON vocab.term = toks.term
+        |  GROUP BY 1, 2),
+        | tot AS (SELECT source, sum(n) AS tot FROM st GROUP BY 1),
+        | share AS (
+        |  SELECT st.source, term, n * 1000000 // tot AS p
+        |  FROM st JOIN tot ON tot.source = st.source),
+        | grid AS (
+        |  SELECT s.source, v.term, coalesce(p, 0) AS p
+        |  FROM (SELECT source FROM tot) s
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN share ON share.source = s.source AND share.term = v.term)
+        |SELECT a.source AS src1, b.source AS src2,
+        | CAST(sum(abs(a.p - b.p)) // 2 AS BIGINT) AS tvd_micro
+        |FROM grid a JOIN grid b
+        | ON a.term = b.term AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -203,6 +203,60 @@ class Analytics2Spec extends AnyFunSuite {
     assert(again == byName)
   }
 
+  test("q136 user growth: cumulative base is monotone and balances new+returning") {
+    val rows = q("q136_user_growth").collect().sortBy(_.getDate(0).getTime)
+    val totalUsers = graft.Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == totalUsers,
+      "the final cumulative base must equal the distinct-user universe")
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+      cum += r.getAs[Long]("n_new")
+      assert(r.getAs[Long]("cum_users") == cum, "cumulative must be exact prefix sum")
+    }
+  }
+
+  test("q137 churn segments: users partition exactly across segments") {
+    val rows = q("q137_churn_segments").collect()
+    val totalUsers = graft.Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == totalUsers)
+    assert(rows.map(_.getAs[String]("segment")).toSet
+      .subsetOf(Set("active", "cooling", "churned")))
+  }
+
+  test("q138 RFM: codes well-formed, customers partition, quartiles near-even") {
+    val rows = q("q138_rfm_segments").collect()
+    val nCust = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      val code = r.getAs[Int]("segment")
+      val (rr, ff, mm) = (code / 100, code / 10 % 10, code % 10)
+      assert(Seq(rr, ff, mm).forall(x => x >= 1 && x <= 4), s"bad code $code")
+    }
+    // each R quartile holds ~nCust/4 customers (ntile evenness)
+    val byR = rows.groupBy(_.getAs[Int]("segment") / 100)
+      .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+    byR.values.foreach(n => assert(math.abs(n - nCust / 4) <= 1))
+  }
+
+  test("q139 TVD: symmetric-free pair list, bounded by 1e6, self-distance absent") {
+    val rows = q("q139_source_divergence").collect()
+    val nSources = graft.Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "exactly one row per unordered source pair")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src1"), r.getAs[String]("src2"))
+      assert(a < b, "pairs must be canonically ordered")
+      val tvd = r.getAs[Long]("tvd_micro")
+      assert(tvd >= 0 && tvd <= 1000000L)
+    }
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
