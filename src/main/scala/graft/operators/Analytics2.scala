@@ -23,6 +23,24 @@ object Analytics2 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Distinct (order, part) pairs and the support-counted co-purchase
+    * edge list — q126 (triangles) and q127 (association rules) both
+    * start from the same self-join, so the pair relation is persisted
+    * once via [[graft.CacheRegistry]] (the q28/q29 shingle pattern).
+    * The ≥ 2 support threshold is applied by the callers that need
+    * it; the persisted relation carries the raw pair counts.
+    */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"analytics2.copairs:$d") {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n_pair"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q122: SCD Type-2 interval construction (gaps-and-islands) — the
     // warehouse op that turns an event log into a dimension history:
@@ -153,11 +171,7 @@ object Analytics2 {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val items = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-      val pairs = op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("n_pair"))
-        .filter(col("n_pair") >= 2)
+      val pairs = copurchasePairs(s, d).filter(col("n_pair") >= 2)
       // N as a broadcast 1-row aggregate keeps the whole query lazy
       // (no driver-side count per invocation)
       val total = op.select(col("ok")).distinct()
@@ -490,14 +504,7 @@ object Analytics2 {
     }),
 
     "q126_copurchase_triangles" -> ((s, d) => {
-      val op = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
       val e1 = edges.as("e1")
       val e2 = edges.as("e2")
