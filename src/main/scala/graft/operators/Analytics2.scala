@@ -503,6 +503,59 @@ object Analytics2 {
         .select(col("src1"), col("src2"), expr("l1 div 2").as("tvd_micro"))
     }),
 
+    // q140: embedding distribution drift — per-dimension mean shift
+    // between two corpus halves (even/odd vec_id standing in for
+    // old/new snapshots), the model-ops check that a new embedding
+    // batch matches the serving distribution. Floats are quantized to
+    // integer millis FIRST (floor(x × 1000) — f32→f64 widening and
+    // ×1000 are both exact IEEE ops, floor lands identically on both
+    // engines), so every downstream sum is integer-exact and
+    // summation order can't flake the gate — the same reason q110
+    // runs PageRank in integer arithmetic. Plan: posexplode is an
+    // in-row generator (dim× fan-out, no shuffle) and the only
+    // shuffle is the groupBy on the tiny dimension key.
+    "q140_embedding_drift" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id") % 2 === 0, posexplode(col("embedding")))
+        .toDF("is_even", "dim", "x")
+        .select(col("is_even"), col("dim"),
+          floor(col("x").cast("double") * lit(1000.0)).as("milli"))
+        .groupBy(col("dim"))
+        .agg(
+          sum(when(col("is_even"), col("milli"))).cast("long").as("s_even"),
+          sum(when(!col("is_even"), col("milli"))).cast("long").as("s_odd"),
+          sum(when(col("is_even"), 1L).otherwise(0L)).cast("long").as("n_even"),
+          sum(when(!col("is_even"), 1L).otherwise(0L)).cast("long").as("n_odd"))
+        .select(col("dim"), col("s_even"), col("s_odd"),
+          abs(expr("s_even * 1000 div n_even - s_odd * 1000 div n_odd"))
+            .as("drift_milli_x1000"))
+    }),
+
+    // q141: exact distributed percentiles (p50/p90/p99) per event
+    // type — the exact counterpart of q63's GK sketch, for when the
+    // SLA number must be exact, not ε-approximate. The rank
+    // conditions are pure integers (rn × 100 ≤ p × n picks the lower
+    // percentile rank; max over the qualifying prefix is the
+    // percentile value), so no float percent_rank enters the gate.
+    // Cost is one per-type sort — the same shuffle any ranking
+    // window pays; at extreme scale the sort becomes
+    // range-partitioned but the algebra is unchanged.
+    "q141_exact_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(
+          max(when(expr("rn * 2 <= n + 1"), col("value"))).as("p50"),
+          max(when(expr("rn * 10 <= n * 9"), col("value"))).as("p90"),
+          max(when(expr("rn * 100 <= n * 99"), col("value"))).as("p99"),
+          max(col("value")).as("p100"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
@@ -821,6 +874,38 @@ object Analytics2 {
         |FROM grid a JOIN grid b
         | ON a.term = b.term AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    "q140_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 = 0 AS is_even,
+        |   generate_subscripts(embedding, 1) - 1 AS dim,
+        |   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+        |    AS milli
+        |  FROM embeddings)
+        |SELECT dim,
+        | CAST(sum(CASE WHEN is_even THEN milli END) AS BIGINT) AS s_even,
+        | CAST(sum(CASE WHEN NOT is_even THEN milli END) AS BIGINT) AS s_odd,
+        | CAST(abs(sum(CASE WHEN is_even THEN milli END) * 1000
+        |   // sum(CASE WHEN is_even THEN 1 ELSE 0 END)
+        |  - sum(CASE WHEN NOT is_even THEN milli END) * 1000
+        |   // sum(CASE WHEN NOT is_even THEN 1 ELSE 0 END)) AS BIGINT)
+        |  AS drift_milli_x1000
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q141_exact_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type,
+        | max(CASE WHEN rn * 2 <= n + 1 THEN value END) AS p50,
+        | max(CASE WHEN rn * 10 <= n * 9 THEN value END) AS p90,
+        | max(CASE WHEN rn * 100 <= n * 99 THEN value END) AS p99,
+        | max(value) AS p100,
+        | count(*) AS n_rows
+        |FROM ranked GROUP BY 1""".stripMargin,
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

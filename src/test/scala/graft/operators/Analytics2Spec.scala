@@ -257,6 +257,45 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("q140 embedding drift: one row per dimension, drift matches sum arithmetic") {
+    val rows = q("q140_embedding_drift").collect()
+    val dim = graft.Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.length == dim, "one output row per embedding dimension")
+    assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until dim))
+    val nEven = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 2 === 0).count()
+    val nOdd = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 2 === 1).count()
+    rows.foreach { r =>
+      // Spark `div` and DuckDB `//` both truncate toward zero on
+      // negatives (verified against both engines), as does Java's /
+      val expected = math.abs(
+        r.getAs[Long]("s_even") * 1000L / nEven -
+          r.getAs[Long]("s_odd") * 1000L / nOdd)
+      assert(r.getAs[Long]("drift_milli_x1000") == expected)
+    }
+  }
+
+  test("q141 exact percentiles: ordered, p50 equals a plain-Scala recompute") {
+    val rows = q("q141_exact_percentiles").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+      assert(r.getAs[Double]("p99") <= r.getAs[Double]("p100"))
+    }
+    val vals = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull && col("event_type") === "click")
+      .select(col("value"), col("event_id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity).map(_._1)
+    val n = vals.length
+    val r = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(r.getAs[Long]("n_rows") == n)
+    assert(r.getAs[Double]("p50") == vals((n + 1) / 2 - 1),
+      "p50 must be the lower-median order statistic")
+    assert(r.getAs[Double]("p90") == vals(n * 9 / 10 - 1))
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
