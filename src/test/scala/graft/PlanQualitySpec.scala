@@ -225,6 +225,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.length == 31 && rows.exists(_.getAs[Long]("n_events") == 0L))
   }
 
+  test("q122 SCD2: both row_number windows share one user_id exchange") {
+    val plan = executedPlan("q122_scd2_intervals")
+    // the two row_number passes and the lead window must not each pay
+    // a shuffle: hashpartitioning(user_id) satisfies the superset
+    // clustering, so the final plan holds at most 2 exchanges (window
+    // stack + run-collapse agg)
+    assert("Exchange hashpartitioning".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length <= 2, plan.take(1500))
+  }
+
+  test("q129 rolling distinct plans zero nested-loop joins (contribution explode)") {
+    val plan = executedPlan("q129_rolling_distinct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Generate explode"), "the ×7 fan-out must be a generator")
+  }
+
+  test("q132 attribution interval join is an equi-join on (user_id, day)") {
+    val plan = executedPlan("q132_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q126/q127 share one persisted co-purchase pair relation") {
+    val t1 = SparkEntry.queries("q126_copurchase_triangles")(spark, sf)
+    t1.collect()
+    val t2 = SparkEntry.queries("q127_association_rules")(spark, sf)
+    t2.collect()
+    // q127 executed after q126 must read the cached pair relation
+    // instead of re-running the self-join
+    assert(t2.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      t2.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("q124 histogram bounds join is broadcast (no fact-side shuffle for the dim)") {
+    val plan = executedPlan("q124_value_histogram")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
