@@ -556,6 +556,70 @@ object Analytics2 {
           count(lit(1)).as("n_rows"))
     }),
 
+    // q142: incremental SCD2 maintenance — merge a delta batch (days
+    // ≥ 16) into the dimension history built from the prior snapshot
+    // (days ≤ 15) WITHOUT recomputing history: only each user's open
+    // (last) run can interact with the delta, and only the delta's
+    // first run can extend it (same state → merge, else the open run
+    // closes at the delta's start). The gate is the strongest form of
+    // the incremental-correctness claim: the oracle is the FULL
+    // recompute (identical SQL to q122), so the merge path must
+    // reproduce the batch rebuild bit-for-bit. Scale: every join is
+    // keyed by user_id over RUN lists (orders of magnitude smaller
+    // than the event log), and the old snapshot's closed runs are
+    // untouched — the whole point of incremental maintenance.
+    "q142_scd2_merge" -> ((s, d) => {
+      // gaps-and-islands run list of one event slice (no valid_to yet)
+      def runs(ev: DataFrame): DataFrame = {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.withColumn("grp",
+            row_number().over(byUser) - row_number().over(byUserType))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+          .drop("grp")
+      }
+      val ev = t(s, d, "events")
+      val old = runs(ev.filter(dayofmonth(col("ts")) <= 15))
+      val delta = runs(ev.filter(dayofmonth(col("ts")) >= 16))
+      val lastFrom = Window.partitionBy(col("user_id"))
+      val oldF = old.withColumn("is_open",
+        col("valid_from") === max(col("valid_from")).over(lastFrom))
+      val deltaF = delta.withColumn("is_first",
+        col("valid_from") === min(col("valid_from")).over(lastFrom))
+      // the only cross-slice interaction: open old run × first delta
+      // run of the same user AND state fuse into one continued run.
+      // `fused` carries both originals' valid_from so each side's
+      // anti-join removes EXACTLY the run it replaced (a later delta
+      // run may legitimately repeat the fused state).
+      val fused = oldF.filter(col("is_open")).as("o")
+        .join(deltaF.filter(col("is_first")).as("n"),
+          col("o.user_id") === col("n.user_id") &&
+            col("o.event_type") === col("n.event_type"))
+        .select(col("o.user_id").as("user_id"),
+          col("o.event_type").as("event_type"),
+          col("o.valid_from").as("valid_from"),
+          col("n.valid_from").as("delta_from"),
+          (col("o.n_events") + col("n.n_events")).as("n_events"))
+      val oldKept = oldF.drop("is_open").as("r")
+        .join(fused.select(col("user_id"), col("valid_from")).as("f"),
+          col("r.user_id") === col("f.user_id") &&
+            col("r.valid_from") === col("f.valid_from"), "left_anti")
+      val deltaKept = deltaF.drop("is_first").as("r")
+        .join(fused.select(col("user_id"), col("delta_from")).as("f"),
+          col("r.user_id") === col("f.user_id") &&
+            col("r.valid_from") === col("f.delta_from"), "left_anti")
+      val all = oldKept.unionByName(fused.drop("delta_from"))
+        .unionByName(deltaKept)
+      all.withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
@@ -906,6 +970,25 @@ object Analytics2 {
         | max(value) AS p100,
         | count(*) AS n_rows
         |FROM ranked GROUP BY 1""".stripMargin,
+
+    // q142's oracle is the FULL recompute — identical to q122's SQL:
+    // the incremental merge must equal the batch rebuild exactly.
+    "q142_scd2_merge" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_type, min(ts) AS valid_from,
+        |   count(*) AS n_events
+        |  FROM (
+        |   SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS grp
+        |   FROM events)
+        |  GROUP BY user_id, event_type, grp)
+        |SELECT user_id, event_type AS state, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |  AS valid_to,
+        | n_events
+        |FROM runs""".stripMargin,
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -296,6 +296,21 @@ class Analytics2Spec extends AnyFunSuite {
     assert(r.getAs[Double]("p90") == vals(n * 9 / 10 - 1))
   }
 
+  test("q142 incremental SCD2 merge equals the q122 full rebuild row-for-row") {
+    val full = q("q122_scd2_intervals").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Long]("n_events"))).toSet
+    val merged = q("q142_scd2_merge").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Long]("n_events"))).toSet
+    assert(merged == full,
+      "merging the delta into the old snapshot must equal recomputing from scratch")
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
