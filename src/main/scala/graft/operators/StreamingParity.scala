@@ -32,6 +32,10 @@ case class TypedEv(event_type: String, value_micro: Long)
 case class TypeStats(
     event_type: String, n_events: Long, total_micro: Long, max_micro: Long)
 
+/** Typed rows for the q143 streamed count-min sketch. */
+case class KeyedUser(event_type: String, user_id: Long)
+case class CmsState(event_type: String, n_total: Long, cells: Array[Long])
+
 object StreamingParity {
 
   private val runId = new AtomicLong(0)
@@ -131,7 +135,106 @@ object StreamingParity {
     s.table(name)
   }
 
+  /** q143's count-min geometry and row hashes — shared verbatim by the
+    * streaming state update (plain Scala) and the post-process
+    * estimate expression (Column arithmetic), so the two sides are
+    * the same function by construction. h_i(u) = ((u mod M)·P_i +
+    * Q_i) mod M mod W with fixed odd constants; every operand stays
+    * positive so Scala %, Spark pmod and the estimate expression all
+    * agree. */
+  private[graft] object Cms extends Serializable {
+    val Rows = 4
+    val Width = 512
+    val M = 1000003L
+    val P: Array[Long] = Array(31L, 131L, 1031L, 10331L)
+    val Q: Array[Long] = Array(7L, 77L, 777L, 7777L)
+    def bucket(i: Int, u: Long): Int =
+      ((((u % M) + M) % M * P(i) + Q(i)) % M % Width).toInt
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q143: streamed heavy hitters through a count-min sketch held in
+    // transformWithState state — the unbounded-cardinality analogue
+    // of q70's distinct counting: per event type the state is a FIXED
+    // 4×512 cell array + total, whatever the user cardinality. Cell
+    // increments are commutative sums, so micro-batch boundaries
+    // cannot change the final sketch (same argument as q92/q97) and
+    // the run-to-completion result equals a batch-built sketch. The
+    // gate follows q85's sketch-accuracy form: for the exact top-5
+    // users per type (batch-computed candidates), the CM estimate
+    // must dominate the exact count (a hard CM guarantee) and stay
+    // within the n·3/512 error envelope (deterministic for the fixed
+    // hash family + fixture). Estimates are computed declaratively
+    // over the final cells array with the SAME hash arithmetic as the
+    // state update (see [[Cms]]).
+    "q143_stream_cms_hh" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+      val ev = eventStream(s, d)
+        .select(col("event_type"), col("user_id")).as[KeyedUser]
+      val processor = new StatefulProcessor[String, KeyedUser, CmsState] {
+        @transient private var st: ValueState[CmsState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[CmsState]("cms",
+            org.apache.spark.sql.Encoders.product[CmsState],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[KeyedUser],
+            timerValues: TimerValues): Iterator[CmsState] = {
+          var p = if (st.exists()) st.get()
+            else CmsState(key, 0L, new Array[Long](Cms.Rows * Cms.Width))
+          val cells = p.cells.clone()
+          var n = p.n_total
+          rows.foreach { e =>
+            var i = 0
+            while (i < Cms.Rows) {
+              cells(i * Cms.Width + Cms.bucket(i, e.user_id)) += 1L
+              i += 1
+            }
+            n += 1L
+          }
+          p = CmsState(key, n, cells)
+          st.update(p)
+          Iterator.single(p)
+        }
+      }
+      val updated = ev.groupByKey(_.event_type)
+        .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      val name = s"graft_stream_cms_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      val q = withStateParts(s, 8) {
+        updated.toDF().writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(name).start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      // final sketch per type = the row with the largest n_total
+      // (n_total is strictly increasing across a type's batches)
+      val finalSketch = s.table(name).groupBy(col("event_type"))
+        .agg(max(col("n_total")).as("n_total"),
+          max_by(col("cells"), col("n_total")).as("cells"))
+      // exact top-5 candidates per type from the same input (batch
+      // side of the check, like q82's stream-static corpus)
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+      val top = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 5).drop("rn")
+      val est = (0 until Cms.Rows).map { i =>
+        element_at(col("cells"),
+          (pmod(pmod(col("user_id"), lit(Cms.M)) * lit(Cms.P(i)) + lit(Cms.Q(i)),
+            lit(Cms.M)) % lit(Cms.Width.toLong) + lit(i * Cms.Width + 1))
+            .cast("int"))
+      }.reduce(least(_, _))
+      top.join(broadcast(finalSketch), Seq("event_type"))
+        .withColumn("est", est)
+        .select(col("event_type"), col("user_id"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("lower_ok"),
+          (col("est") <= col("exact_n") + expr("n_total * 3 div 512"))
+            .as("upper_ok"))
+    }),
     // q69: the q25 hourly rollup executed as a streaming query.
     // Tumbling event-time window + count + decimal sum: micro-batch
     // partials merge associatively, so the streamed result is
@@ -498,6 +601,19 @@ object StreamingParity {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle asserts the exact top-5 and that BOTH sketch-accuracy
+    // flags hold — lower_ok is the hard CM dominance guarantee,
+    // upper_ok the fixed-hash error envelope (deterministic here,
+    // same gating form as q85)
+    "q143_stream_cms_hh" ->
+      """SELECT event_type, user_id, exact_n,
+        | TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM (
+        |  SELECT event_type, user_id, count(*) AS exact_n,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY count(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rn <= 5""".stripMargin,
     "q69_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         | count(*) AS n,

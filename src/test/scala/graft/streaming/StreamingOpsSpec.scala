@@ -279,4 +279,67 @@ class StreamingOpsSpec extends AnyFunSuite {
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(t => t._1 -> (t._2, t._3)).toMap
   }
+
+  test("q143 CMS state: 3 uneven micro-batches build the same sketch as 1, dominance holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    import graft.operators.{CmsState, KeyedUser, StreamingParity}
+    val Cms = StreamingParity.Cms
+    val evs = events().map(e => KeyedUser(e.event_type, e.user_id))
+
+    def processor = new StatefulProcessor[String, KeyedUser, CmsState] {
+      @transient private var st: ValueState[CmsState] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[CmsState]("cms",
+          org.apache.spark.sql.Encoders.product[CmsState],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[KeyedUser],
+          timerValues: TimerValues): Iterator[CmsState] = {
+        var p = if (st.exists()) st.get()
+          else CmsState(key, 0L, new Array[Long](Cms.Rows * Cms.Width))
+        val cells = p.cells.clone()
+        var n = p.n_total
+        rows.foreach { e =>
+          var i = 0
+          while (i < Cms.Rows) {
+            cells(i * Cms.Width + Cms.bucket(i, e.user_id)) += 1L; i += 1
+          }
+          n += 1L
+        }
+        p = CmsState(key, n, cells)
+        st.update(p)
+        Iterator.single(p)
+      }
+    }
+
+    def run(batches: Seq[Seq[KeyedUser]], tag: String): Map[String, (Long, Seq[Long])] = {
+      val stream = MemoryStream[KeyedUser](700 + tag.hashCode.abs % 100, spark, None)
+      val out = stream.toDS().groupByKey(_.event_type)
+        .transformWithState(processor, TimeMode.None(), OM.Update())
+      val q = out.toDF().writeStream.outputMode(OM.Update())
+        .format("memory").queryName(s"cms_$tag").start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val last = spark.table(s"cms_$tag")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_total")).as("n"), max_by(col("cells"), col("n_total")).as("cells"))
+      last.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    }
+
+    val single = run(Seq(evs), "single")
+    val split = run(Seq(evs.take(100), evs.slice(100, 101), evs.drop(101)), "split")
+    assert(single == split,
+      "cell increments are commutative sums — batch boundaries must not matter")
+
+    // CM dominance: estimate >= exact for every (type, user)
+    val exact = evs.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (KeyedUser(t, u), n) =>
+      val (_, cells) = single(t)
+      val est = (0 until Cms.Rows)
+        .map(i => cells(i * Cms.Width + Cms.bucket(i, u))).min
+      assert(est >= n, s"CM estimate $est below exact $n for ($t,$u)")
+    }
+  }
 }
