@@ -620,6 +620,60 @@ object Analytics2 {
           col("valid_from"), col("valid_to"), col("n_events"))
     }),
 
+    // q144: BPE vocabulary induction — 10 greedy merge steps of the
+    // byte-pair-encoding trainer (Sennrich et al. 2016) run as a
+    // distributed job over the word-type table: each step counts
+    // adjacent token pairs weighted by word frequency (explode over
+    // the in-row token list, one small shuffle keyed by pair),
+    // selects the max pair with a total (weight, a, b) tiebreak, and
+    // rewrites representations with a literal string replace (both
+    // engines substitute left-to-right non-overlapping — verified).
+    // Like q48's k-means, the ONLY driver-side state is the model
+    // itself (10 merge decisions — the algorithm's sequential
+    // dependency, not a shortcut); all counting stays distributed,
+    // and each step's input is the persisted word-type aggregate
+    // (vocabulary-sized, orders below the corpus).
+    "q144_bpe_merges" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("repr", concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")))
+        .select(col("freq"), col("repr"))
+      var reprDf = words.persist()
+      reprDf.count()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to 10) {
+        val top = reprDf
+          .select(col("freq"), split(trim(col("repr")), " ").as("l"))
+          .filter(size(col("l")) >= 2) // sequence(1, 0) would count DOWN
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(l) - 1)," +
+              " j -> struct(element_at(l, j) AS a, element_at(l, j + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("weight"))
+          .orderBy(col("weight").desc, col("a"), col("b"))
+          .limit(1).collect()
+        val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, w))
+        // SQL-literal escape; fixture tokens are plain words, but the
+        // operator shouldn't break on corpora containing quotes
+        val (qa, qb) = (a.replace("'", "''"), b.replace("'", "''"))
+        val next = reprDf.withColumn("repr",
+          expr(s"replace(repr, ' $qa $qb ', ' $qa$qb ')"))
+          .persist()
+        next.count()
+        reprDf.unpersist()
+        reprDf = next
+      }
+      reprDf.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("step", "left_tok", "right_tok", "weight")
+    }),
+
     "q126_copurchase_triangles" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
@@ -989,6 +1043,46 @@ object Analytics2 {
         |  AS valid_to,
         | n_events
         |FROM runs""".stripMargin,
+
+    // q144's oracle unrolls the 10 BPE steps as CTE stages (the q48
+    // unrolled-Lloyd technique): step k counts pairs from r{k-1},
+    // picks the (weight DESC, a, b) max, and rewrites via the same
+    // left-to-right replace().
+    "q144_bpe_merges" -> {
+      // r/m CTEs are MATERIALIZED: each step references its
+      // predecessor more than once, and DuckDB's default per-reference
+      // inlining would expand the 10-step chain exponentially
+      val steps = (1 to 10).map { k =>
+        s""" t$k AS (SELECT freq, string_split(trim(repr), ' ') AS l
+           |   FROM r${k - 1}),
+           | p$k AS (
+           |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq) AS weight FROM (
+           |   SELECT freq, l, unnest(range(1, len(l))) AS i FROM t$k)
+           |  GROUP BY 1, 2),
+           | m$k AS MATERIALIZED (SELECT a, b, weight FROM p$k
+           |   ORDER BY weight DESC, a, b LIMIT 1),
+           | r$k AS MATERIALIZED (
+           |  SELECT freq, replace(repr,
+           |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+           |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS repr
+           |  FROM r${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 10).map { k =>
+        s"SELECT $k AS step, a AS left_tok, b AS right_tok, CAST(weight AS BIGINT) AS weight FROM m$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |   FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1),
+         | r0 AS MATERIALIZED (
+         |  SELECT freq,
+         |   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+         |    AS repr
+         |  FROM words),
+         |$steps
+         |$unions""".stripMargin
+    },
 
     "q126_copurchase_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

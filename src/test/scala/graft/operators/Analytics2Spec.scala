@@ -311,6 +311,45 @@ class Analytics2Spec extends AnyFunSuite {
       "merging the delta into the old snapshot must equal recomputing from scratch")
   }
 
+  test("q144 BPE: all 10 distributed merge decisions match a plain-Scala trainer") {
+    val got = q("q144_bpe_merges").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left_tok"),
+        r.getAs[String]("right_tok"), r.getAs[Long]("weight"))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 10))
+    // reference implementation: greedy BPE on the word-type table
+    var reprs: Map[Vector[String], Long] = graft.Tables(spark, sf, "documents")
+      .select(col("text")).collect().iterator
+      .flatMap(_.getString(0).toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .toSeq.groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.size.toLong
+      }
+    (1 to 10).foreach { step =>
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      reprs.foreach { case (toks, f) =>
+        toks.sliding(2).foreach {
+          case Vector(a, b) =>
+            pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val ((a, b), w) = pairCounts.toSeq
+        .minBy { case ((x, y), n) => (-n, x, y) }
+      assert(got(step - 1) == ((step, a, b, w)),
+        s"step $step: engine chose ${got(step - 1)}, reference chose ($step,$a,$b,$w)")
+      // apply the merge left-to-right non-overlapping
+      reprs = reprs.toSeq.map { case (toks, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.toVector -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+  }
+
   test("q126 triangles: every emitted triple is a closed, id-oriented triangle") {
     val tris = q("q126_copurchase_triangles").collect()
     // rebuild the edge set the same way and verify closure + orientation
