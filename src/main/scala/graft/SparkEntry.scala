@@ -21,6 +21,7 @@ object SparkEntry {
       (operators.AsOf.queries, operators.AsOf.oracleSql),
       (operators.Analytics.queries, operators.Analytics.oracleSql),
       (operators.Analytics2.queries, operators.Analytics2.oracleSql),
+      (operators.Analytics3.queries, operators.Analytics3.oracleSql),
       (operators.StreamingParity.queries, operators.StreamingParity.oracleSql),
       (streaming.ProtoParity.queries, streaming.ProtoParity.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))

@@ -631,9 +631,41 @@ object Analytics2 {
     // Like q48's k-means, the ONLY driver-side state is the model
     // itself (10 merge decisions — the algorithm's sequential
     // dependency, not a shortcut); all counting stays distributed,
-    // and each step's input is the persisted word-type aggregate
-    // (vocabulary-sized, orders below the corpus).
+    // and each step's input is the word-type aggregate
+    // (vocabulary-sized, orders below the corpus). Each step is
+    // localCheckpoint'ed (the q68 pattern): chaining persist() alone
+    // nests k InMemoryRelations by step k, and the quadratic plan
+    // re-canonicalization/stringification cost dominated the compute
+    // (measured 45-100 s at sf0.001 vs ~4 s checkpointed).
     "q144_bpe_merges" -> ((s, d) => {
+      // The merge loop runs 10 × (tiny agg + rewrite) over a
+      // vocabulary-sized table: AQE's per-stage re-optimization is
+      // pure overhead here (measured ~2× the whole loop), so it is
+      // switched off for the loop and restored after. Fixed shuffle
+      // width 4: the vocab table is orders below the corpus at any SF.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try q144Body(s, d)
+      finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
+    }),
+
+    "q126_copurchase_triangles" -> ((s, d) => {
+      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
+        .select(col("p1"), col("p2"))
+      val e1 = edges.as("e1")
+      val e2 = edges.as("e2")
+      val e3 = edges.as("e3")
+      e1.join(e2, col("e1.p2") === col("e2.p1"))
+        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    }))
+
+  private def q144Body(s: SparkSession, d: String): DataFrame = {
       val words = t(s, d, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
@@ -642,8 +674,7 @@ object Analytics2 {
           array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
           lit(" ")))
         .select(col("freq"), col("repr"))
-      var reprDf = words.persist()
-      reprDf.count()
+      var reprDf = words.localCheckpoint() // eager; flat-plan input for step 1
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 10) {
         val top = reprDf
@@ -662,28 +693,16 @@ object Analytics2 {
         // SQL-literal escape; fixture tokens are plain words, but the
         // operator shouldn't break on corpora containing quotes
         val (qa, qb) = (a.replace("'", "''"), b.replace("'", "''"))
-        val next = reprDf.withColumn("repr",
+        // localCheckpoint truncates lineage: step k+1 reads a flat
+        // scan of these blocks (old steps' blocks are dropped by the
+        // ContextCleaner once unreferenced)
+        reprDf = reprDf.withColumn("repr",
           expr(s"replace(repr, ' $qa $qb ', ' $qa$qb ')"))
-          .persist()
-        next.count()
-        reprDf.unpersist()
-        reprDf = next
+          .localCheckpoint()
       }
-      reprDf.unpersist()
       import s.implicits._
       merges.toSeq.toDF("step", "left_tok", "right_tok", "weight")
-    }),
-
-    "q126_copurchase_triangles" -> ((s, d) => {
-      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
-        .select(col("p1"), col("p2"))
-      val e1 = edges.as("e1")
-      val e2 = edges.as("e2")
-      val e3 = edges.as("e3")
-      e1.join(e2, col("e1.p2") === col("e2.p1"))
-        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-    }))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q122_scd2_intervals" ->

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fifth tranche (round 4, continued): privacy + model-inference
+  * operators a production training-data pipeline runs between ingest
+  * and tokenization — PII detection/redaction and linear quality-
+  * classifier scoring.
+  *
+  * Neither exists in the reference (SURVEY.md §2.1 — an ingest pipe);
+  * they extend the LLM-pipeline surface like TextDedup/Analytics.
+  * Repo determinism policy applies: the synthetic-contact suffix in
+  * q145 is constructed identically in both engines (the fixture text
+  * carries no natural PII, so the query plants some — derived purely
+  * from doc_id, never from randomness), regexes are RE2-safe subsets
+  * that Java regex and DuckDB/RE2 evaluate identically, and the
+  * classifier in q146 is exact integer arithmetic over md5-hashed
+  * features (the q54/q85/q99 portability construction).
+  */
+object Analytics3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Email + 4-digit-code patterns: RE2-safe (no backrefs/lookahead),
+    * identical leftmost-first greedy semantics in Java regex and RE2.
+    */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val CodePat  = "\\b\\d{4}\\b"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q145: PII detection + redaction — the compliance pass every
+    // training corpus goes through before tokenization. Each doc gets
+    // a deterministic synthetic contact block (the fixture has no
+    // natural PII; planting it from doc_id keeps the oracle exact),
+    // then one scan detects emails / numeric codes and emits the
+    // redacted text's fingerprint. Plan shape at 100 TB: a pure
+    // per-row map over the corpus — regex extract + replace + md5,
+    // no shuffle at all, trivially whole-stage-codegen'd. Counting
+    // and fingerprinting per doc (not per lang) keeps the gate strong:
+    // any engine disagreement on a single regex match flips a hash.
+    "q145_pii_redaction" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        lower(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@ex"), col("doc_id") % 7, lit(".org ref "),
+          lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"))).as("t2"))
+      aug.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("t2"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(CodePat), lit(0)))
+          .cast("long").as("n_codes"),
+        md5(regexp_replace(regexp_replace(col("t2"), EmailPat, "<EMAIL>"),
+          CodePat, "<NUM>").cast("binary")).as("redacted_md5"))
+    }),
+
+    // q146: quality-classifier inference — a fasttext-shaped linear
+    // model over hashed bag-of-words features, the standard "model
+    // quality filter" stage (CCNet/Llama-style) run as a pure Spark
+    // plan. Feature hash = first 4 md5 hex digits of the token
+    // (u16, engine-portable); weight = u16 % 61 - 30 (a fixed integer
+    // weight table indexed by feature hash — inference-time shape is
+    // identical to a trained model's, the weights here are just a
+    // deterministic stand-in). Score = sum of weights over token
+    // OCCURRENCES (not types), label = score > 0. Plan at 100 TB:
+    // explode + partial-aggregated groupBy on doc_id — near-unique
+    // keys, so map-side combine collapses each doc locally and the
+    // one shuffle carries ~1 row/doc. Exact integers end-to-end.
+    "q146_quality_classifier" -> ((s, d) => {
+      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("tok"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+        .withColumn("wt", expr(
+          s"(${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)})") % 61 - 30)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("wt")).as("score"))
+        .withColumn("quality_pass",
+          when(col("score") > 0, 1L).otherwise(0L))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q145_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    lower(text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org ref ' ||
+        |      lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')) AS t2
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(t2, '\b\d{4}\b')) AS n_codes,
+        |  md5(regexp_replace(regexp_replace(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{4}\b', '<NUM>', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin,
+
+    "q146_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+        |     (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+        |     (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 61 - 30
+        |      AS wt
+        |  FROM tok)
+        |SELECT doc_id, lang, count(*) AS n_tok, sum(wt) AS score,
+        |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+        |FROM w GROUP BY doc_id, lang""".stripMargin)
+}

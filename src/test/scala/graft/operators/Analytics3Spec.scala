@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Analytics3Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def q(name: String) = Analytics3.queries(name)(spark, sf)
+
+  test("q145 PII redaction: planted contact is always found, redacted text is clean") {
+    val rows = q("q145_pii_redaction").collect()
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "one audit row per document")
+    // every doc had exactly one synthetic email planted; natural text
+    // in the fixture carries none, so the detector must report >= 1
+    // (== 1 unless the doc text itself contains an address)
+    assert(rows.forall(_.getAs[Long]("n_emails") >= 1L))
+    // the planted 4-digit ref code is always present
+    assert(rows.forall(_.getAs[Long]("n_codes") >= 1L))
+    // redaction is complete: recompute the redacted text for a sample
+    // of docs and assert no email-shaped span survives
+    val aug = graft.Tables(spark, sf, "documents").limit(20)
+      .select(col("doc_id"),
+        lower(concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@ex"), col("doc_id") % 7, lit(".org ref "),
+          lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"))).as("t2"))
+      .withColumn("red", regexp_replace(regexp_replace(col("t2"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "\\b\\d{4}\\b", "<NUM>"))
+      .collect()
+    aug.foreach { r =>
+      val red = r.getAs[String]("red")
+      assert(!red.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"),
+        s"doc ${r.getAs[Long]("doc_id")}: email survived redaction")
+      assert(red.contains("<EMAIL>"))
+    }
+  }
+
+  test("q146 classifier: scores equal a plain-Scala recompute of the hashed linear model") {
+    val rows = q("q146_quality_classifier").collect()
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "one score row per document (fixture docs all tokenize)")
+    // independent reimplementation (JVM MessageDigest, no Spark)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(25).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      (java.lang.Long.parseLong(hex, 16) % 61) - 30
+    }
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { r =>
+      val toks = "[a-z]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toSeq
+      val row = byId(r.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_tok") == toks.length.toLong)
+      assert(row.getAs[Long]("score") == toks.map(weight).sum)
+      assert(row.getAs[Long]("quality_pass") ==
+        (if (toks.map(weight).sum > 0) 1L else 0L))
+    }
+  }
+}
