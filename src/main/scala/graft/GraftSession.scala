@@ -28,6 +28,16 @@ object GraftSession {
       // without it. On a real cluster it belongs in deploy config,
       // sized to executor count, not hard-coded by the engine.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Survive multi-minute host/VM stalls in local mode: the default
+      // 120 s heartbeat timeout killed a local executor mid-bench when
+      // the VM froze ~150 s (virtualization-level scheduling lag —
+      // kernel logged hrtimer interrupts of 400 ms), after which every
+      // remaining query failed on a dead SparkContext. A local
+      // executor cannot be "lost" in any recoverable sense, so a
+      // generous timeout strictly dominates. On a real cluster this is
+      // deploy config.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // RocksDB state store for every stateful streaming query (the
       // gate path runs q69/q70/q78/q80 through this session): state
       // lives off-heap and spills to local disk, so state volume is

@@ -265,6 +265,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q145 PII redaction is a pure per-row map: zero exchanges, codegen'd scan") {
+    val plan = executedPlan("q145_pii_redaction")
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    // `*(1)` is the whole-stage-codegen stage marker: the entire
+    // regex-audit pipeline runs in one generated function over the scan
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+
+  test("q146 classifier costs one doc_id shuffle with two-phase aggregation") {
+    val plan = executedPlan("q146_quality_classifier")
+    // AQE's toString repeats the tree under "== Initial Plan ==";
+    // count only the final plan section
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1, finalPlan.take(1500))
+    // two HashAggregates = map-side partial + final: each doc collapses
+    // locally, the shuffle carries ~1 row per doc
+    assert("HashAggregate".r.findAllIn(finalPlan).length == 2, finalPlan.take(1500))
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
