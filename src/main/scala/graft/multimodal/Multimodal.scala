@@ -165,6 +165,77 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-fingerprint signature over an opaque payload — the
+    * content-sketch construction media-dedup pipelines use (color
+    * histograms for images, spectral-peak sketches for audio), on the
+    * engine's honest stand-in payloads: hash each consecutive byte
+    * pair into one of 64 buckets, one bit per bucket (bucket count
+    * above the mean bucket count), packed into 4 × 16-bit bands for
+    * LSH-style candidate blocking. A local feature histogram is
+    * alignment-robust — insertions shift byte POSITIONS but barely
+    * move the bigram distribution — which positional block hashes are
+    * not (measured: positional 64-block byte means put the corpus's
+    * nearest pairs at Hamming 10+, the bigram sketch at 0-3).
+    *
+    * The mean comparison is cross-multiplied integers
+    * (`count * 64 > total`) so every bit is exact — no float mean to
+    * disagree with the oracle. Payloads under 64 bytes are skipped
+    * (too few features for a stable 64-bit sketch).
+    */
+  case class MediaSignature(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def fingerprintSignatures(media: Dataset[MediaRecord]): Dataset[MediaSignature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.payload.length >= 64).mapPartitions { it =>
+      it.map { m =>
+        val p = m.payload
+        val n = p.length
+        val cnts = new Array[Long](64)
+        var i = 0
+        while (i < n - 1) {
+          cnts(((p(i) & 0xff) * 31 + (p(i + 1) & 0xff)) % 64) += 1
+          i += 1
+        }
+        val tot = (n - 1).toLong
+        val bands = new Array[Int](4)
+        var bkt = 0
+        while (bkt < 64) {
+          if (cnts(bkt) * 64L > tot) bands(bkt >> 4) |= 1 << (bkt & 15)
+          bkt += 1
+        }
+        MediaSignature(m.media_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
+  /** Near-dup pairs from [[fingerprintSignatures]]. Candidates come
+    * from a band equi-join (any of the 4 16-bit bands equal), NEVER
+    * all-pairs; both full signatures ride along on the exploded band
+    * rows, so the Hamming distance is computed inline on the join
+    * output and the only other exchange is the final pair distinct.
+    * Matching in k bands yields k identical rows → distinct. At
+    * 100 TB: shuffle keyed on (band, value); a near-constant band
+    * value across a corpus (a skew hot key) is AQE-split, and
+    * candidate volume is bounded by band-bucket sizes like q29/q83.
+    */
+  def fingerprintPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = fingerprintSignatures(mediaTable(s, d)).toDF()
+    val bands = sigs.select(col("media_id"), col("b0"), col("b1"),
+      col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+          "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   // ---------------------------------------------------------------
   // Oracle-checked query: the binary-column plumbing (payload sizes,
   // fingerprints, media-type demographics). Decode itself is not
@@ -216,6 +287,38 @@ object Multimodal {
           sum(col("n_bytes")).as("resized_bytes"))
     }),
 
+    // q147: media near-dup via perceptual-fingerprint signatures — the
+    // image/audio-dedup shape (content sketch + multi-index Hamming
+    // search) on the binary column. See [[fingerprintPairs]] for the
+    // plan shape.
+    "q147_media_fingerprint_dedup" -> ((s, d) => fingerprintPairs(s, d)),
+
+    // q148: from pairs to an actionable PURGE MANIFEST — the step a
+    // real curation pipeline executes: transitively close the near-dup
+    // pairs into clusters ([[graft.operators.Components.minLabel]],
+    // the same propagation q68 uses), pick one survivor per cluster
+    // (largest payload, ties to the lowest id — "keep the best copy"),
+    // and account the reclaimable bytes. Only the pair graph — orders
+    // of magnitude below the corpus — enters the iterative loop; the
+    // single corpus-sized op is one equi-join to fetch payload sizes.
+    "q148_dedup_purge_manifest" -> ((s, d) => {
+      val labels = graft.operators.Components.minLabel(
+        fingerprintPairs(s, d), "id_a", "id_b")
+      val sizes = mediaTable(s, d).toDF()
+        .select(col("media_id").as("node"), col("n_bytes"))
+      labels.join(sizes, "node")
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_bytes").as("sz"), (-col("node")).as("negid")))
+            .as("win"),
+          sum(col("n_bytes")).as("tot"))
+        .select(col("lab").as("cluster"),
+          col("cluster_size"),
+          (col("cluster_size") - 1).as("n_removed"),
+          (-col("win.negid")).as("survivor_id"),
+          (col("tot") - col("win.sz")).as("bytes_reclaimed"))
+    }),
+
     "q38_media_stats" -> ((s, d) => {
       mediaTable(s, d).toDF()
         .withColumn("fp", md5(col("payload")))
@@ -227,6 +330,61 @@ object Multimodal {
           min(col("n_bytes")).as("min_bytes"),
           max(col("n_bytes")).as("max_bytes"))
     }))
+
+  /** Shared oracle CTE chain ending in `pairs(id_a, id_b, hamming)` —
+    * the DuckDB twin of [[fingerprintPairs]] (q147 selects it
+    * directly; q148 closes it transitively).
+    */
+  private val fingerprintPairsCte: String =
+    """docs AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, text, length(text) AS len
+      |  FROM documents WHERE length(text) >= 64),
+      |grams AS (
+      |  SELECT media_id,
+      |   (ascii(substr(text, p, 1)) * 31 + ascii(substr(text, p + 1, 1))) % 64
+      |     AS bkt
+      |  FROM (SELECT media_id, text, len,
+      |          unnest(generate_series(1, len - 1)) AS p FROM docs)),
+      |buckets AS (
+      |  SELECT media_id, bkt, count(*) AS c FROM grams GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(c) AS tc FROM buckets GROUP BY 1),
+      |bandbits AS (
+      |  SELECT b.media_id, bkt // 16 AS band,
+      |         CAST(sum(CASE WHEN b.c * 64 > t.tc
+      |                       THEN 1 << CAST(bkt % 16 AS INT) ELSE 0 END)
+      |              AS INT) AS bv
+      |  FROM buckets b JOIN tot t USING (media_id)
+      |  GROUP BY 1, 2),
+      |-- densify: Spark emits all 4 bands per media (an all-zero band
+      |-- is a real band value that can match other all-zero bands);
+      |-- mirror that even when no bigram hashes into a band's range
+      |bands AS MATERIALIZED (
+      |  SELECT t.media_id, g.band, coalesce(bb.bv, 0) AS bv
+      |  FROM tot t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g
+      |  LEFT JOIN bandbits bb
+      |    ON bb.media_id = t.media_id AND bb.band = g.band),
+      |sigs AS MATERIALIZED (
+      |  SELECT media_id,
+      |         coalesce(max(CASE WHEN band = 0 THEN bv END), 0) AS b0,
+      |         coalesce(max(CASE WHEN band = 1 THEN bv END), 0) AS b1,
+      |         coalesce(max(CASE WHEN band = 2 THEN bv END), 0) AS b2,
+      |         coalesce(max(CASE WHEN band = 3 THEN bv END), 0) AS b3
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+      |pairs AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT c.id_a, c.id_b,
+      |      CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |         + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |        AS BIGINT) AS hamming
+      |    FROM cand c
+      |    JOIN sigs sa ON sa.media_id = c.id_a
+      |    JOIN sigs sb ON sb.media_id = c.id_b)
+      |  WHERE hamming <= 3)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q64_frame_sample" ->
@@ -268,6 +426,42 @@ object Multimodal {
         |     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |   text FROM documents)
         |GROUP BY media_type""".stripMargin,
+
+    // Mirrors the Spark construction bit-for-bit: per-char bigram
+    // buckets (payloads are ASCII, so char positions/codes ARE byte
+    // positions/values), cross-multiplied integer mean comparison,
+    // band candidate join, inline Hamming. Reused CTEs are MATERIALIZED
+    // so DuckDB doesn't re-inline the per-char expansion per reference.
+    "q147_media_fingerprint_dedup" ->
+      s"""WITH $fingerprintPairsCte
+        |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+
+    // Same pair CTEs + the q68-style recursive transitive closure,
+    // then survivor selection by (size DESC, id ASC) via row_number.
+    "q148_dedup_purge_manifest" ->
+      s"""WITH RECURSIVE $fingerprintPairsCte,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM edges)
+        |  UNION
+        |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |lab AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node),
+        |sized AS (
+        |  SELECT l.node, l.lab,
+        |         CAST(octet_length(encode(d.text)) AS BIGINT) AS sz
+        |  FROM lab l JOIN documents d ON d.doc_id = l.node),
+        |rn AS (
+        |  SELECT node, lab, sz,
+        |         row_number() OVER (PARTITION BY lab
+        |                            ORDER BY sz DESC, node ASC) AS rk
+        |  FROM sized)
+        |SELECT lab AS cluster,
+        |  CAST(count(*) AS BIGINT) AS cluster_size,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_removed,
+        |  CAST(max(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS survivor_id,
+        |  CAST(sum(sz) - max(sz) AS BIGINT) AS bytes_reclaimed
+        |FROM rn GROUP BY lab""".stripMargin,
 
     "q38_media_stats" ->
       """SELECT media_type, count(*) AS n_media,

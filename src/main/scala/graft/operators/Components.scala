@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation — the
+  * Afrati/Ullman "small-star" style shared by the dedup-clustering
+  * queries (q68 over MinHash pairs, q148 over media-fingerprint
+  * pairs). Each iteration is one edge⋈label join + one
+  * min-aggregation, both hash-partitioned on node id; no driver-side
+  * graph state, so the algorithm holds at any component count.
+  *
+  * Labels are monotone non-increasing, so convergence is detected by
+  * an aggregate sum (exact long arithmetic); the fixpoint — min node
+  * id per component — is unique regardless of iteration schedule,
+  * which is what lets a recursive-CTE oracle reproduce it exactly.
+  */
+object Components {
+
+  /** Min-label connected components over an UNDIRECTED edge list.
+    * `pairs` must have two long columns naming each edge once; both
+    * directions are derived here. Returns (node, lab) for every node
+    * that appears in an edge (isolated nodes are absent by
+    * construction — a node with no pair is its own trivial cluster).
+    */
+  def minLabel(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // localCheckpoint per iteration truncates the lineage — without
+    // it the plan tree doubles every round (each iteration embeds
+    // the previous one twice: the join side and the union side) and
+    // planning cost explodes long before compute does. A production
+    // cluster would use reliable checkpoint() for the same reason
+    // plus executor-loss recovery.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
+    var converged = false
+    var iters = 0
+    // label propagation needs O(component diameter) rounds, and
+    // diameter < node count, so a node-count cap can never fire on
+    // a correct run — it exists to FAIL LOUDLY (not silently return
+    // pre-fixpoint labels) if the convergence detection ever breaks;
+    // a constant cap would silently truncate chain-shaped clusters
+    // deeper than the constant
+    val nNodes = labels.count()
+    val maxIters = math.max(30L, nNodes + 1)
+    while (!converged && iters < maxIters) {
+      val next = edges
+        .join(labels.select(col("node").as("src"), col("lab")), "src")
+        .select(col("dst").as("node"), col("lab"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("lab"))).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters iterations " +
+          s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
+    labels
+  }
+}

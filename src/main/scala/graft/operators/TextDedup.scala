@@ -280,56 +280,12 @@ object TextDedup {
     }),
 
     // q68: near-dup CLUSTERS from the MinHash candidate pairs —
-    // distributed connected components by min-label propagation
-    // (the Afrati/Ullman "small-star" style: each iteration is one
-    // edge⋈label join + one min-aggregation, both hash-partitioned
-    // on node id; no driver-side graph state, so the algorithm holds
-    // at any component count). Labels are monotone non-increasing,
-    // so convergence is detected by an aggregate sum (exact long
-    // arithmetic); the fixpoint — min doc_id per component — is
-    // unique regardless of iteration schedule, which is what lets a
-    // recursive-CTE oracle reproduce it exactly. This completes the
+    // distributed connected components via [[Components.minLabel]]
+    // (min-label propagation; see that object's scaladoc for the
+    // convergence and lineage-truncation story). This completes the
     // dedup story: pairs (q28/q29) → clusters → canonical doc.
     "q68_dedup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // localCheckpoint per iteration truncates the lineage — without
-      // it the plan tree doubles every round (each iteration embeds
-      // the previous one twice: the join side and the union side) and
-      // planning cost explodes long before compute does. A production
-      // cluster would use reliable checkpoint() for the same reason
-      // plus executor-loss recovery.
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).localCheckpoint(true)
-      var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
-      var converged = false
-      var iters = 0
-      // label propagation needs O(component diameter) rounds, and
-      // diameter < node count, so a node-count cap can never fire on
-      // a correct run — it exists to FAIL LOUDLY (not silently return
-      // pre-fixpoint labels) if the convergence detection ever breaks;
-      // a constant cap would silently truncate chain-shaped clusters
-      // deeper than the constant
-      val nNodes = labels.count()
-      val maxIters = math.max(30L, nNodes + 1)
-      while (!converged && iters < maxIters) {
-        val next = edges
-          .join(labels.select(col("node").as("src"), col("lab")), "src")
-          .select(col("dst").as("node"), col("lab"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(sum(col("lab"))).head.getLong(0)
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iters += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"q68 label propagation did not converge in $maxIters iterations " +
-            s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
+      val labels = Components.minLabel(minhashPairs(s, d), "doc_a", "doc_b")
       val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lab")
         .select(col("node").as("doc_id"), col("lab").as("cluster"), col("cluster_size"))

@@ -58,6 +58,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perVideo.values.forall(_ == 5))
   }
 
+  test("fingerprint signatures: deterministic, 16-bit bands, identical payloads collide") {
+    import spark.implicits._
+    val sigs = Multimodal.fingerprintSignatures(media)
+    // one signature per qualifying payload, bands inside 16-bit range
+    assert(sigs.count() == media.filter(_.payload.length >= 64).count())
+    sigs.collect().foreach { s =>
+      Seq(s.b0, s.b1, s.b2, s.b3).foreach(b => assert(b >= 0 && b <= 0xffff))
+    }
+    // identical payloads → identical signatures (distance 0), regardless
+    // of media_id; a perturbed payload changes at least one band
+    val base = media.limit(1).collect().head
+    val twin = Seq(
+      base.copy(media_id = -1L),
+      base.copy(media_id = -2L, payload = base.payload.reverse)).toDS()
+    val twinSigs = Multimodal.fingerprintSignatures(twin)
+      .collect().map(s => s.media_id -> ((s.b0, s.b1, s.b2, s.b3))).toMap
+    val orig = Multimodal.fingerprintSignatures(
+      Seq(base).toDS()).collect().head
+    assert(twinSigs(-1L) == ((orig.b0, orig.b1, orig.b2, orig.b3)))
+  }
+
+  test("q147 pairs are symmetric-free, banded, and within the Hamming bound") {
+    val pairs = Multimodal.queries("q147_media_fingerprint_dedup")(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Long]("hamming") <= 3L)
+    }
+    // distinct applied: no duplicate pairs from multi-band matches
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length == pairs.length)
+  }
+
+  test("q148 purge manifest agrees with a driver-side union-find recompute") {
+    val pairs = Multimodal.queries("q147_media_fingerprint_dedup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // attaching the larger root under the smaller makes each final
+    // root the component minimum — the same label minLabel converges to
+    val byCluster = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    val sizes = media.collect().map(m => m.media_id -> m.n_bytes).toMap
+    val manifest = Multimodal.queries("q148_dedup_purge_manifest")(spark, sf)
+      .collect().map(r => r.getAs[Long]("cluster") -> r).toMap
+    assert(manifest.keySet == byCluster.keySet)
+    byCluster.foreach { case (root, members) =>
+      val r = manifest(root)
+      val survivor = members.maxBy(m => (sizes(m), -m))
+      assert(r.getAs[Long]("cluster_size") == members.length.toLong)
+      assert(r.getAs[Long]("n_removed") == members.length.toLong - 1)
+      assert(r.getAs[Long]("survivor_id") == survivor)
+      assert(r.getAs[Long]("bytes_reclaimed") ==
+        members.map(sizes).sum - sizes(survivor))
+    }
+  }
+
   test("q38 media stats totals match the documents table") {
     val stats = Multimodal.queries("q38_media_stats")(spark, sf)
     val total = stats.agg(sum(col("n_media"))).collect().head.getLong(0)
