@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through instead of routing
+// it via sbt's logger: the driver machine-parses Bench's one-line JSON
+// from stdout, and the logger's "[info] " prefix broke that parse in
+// rounds 3-4 ("parsed": null in BENCH_r0{3,4}.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

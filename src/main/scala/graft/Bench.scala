@@ -38,22 +38,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // A failed rep must never contribute a time: a crashing query
+    // returns in milliseconds and would otherwise masquerade as a
+    // 100× speedup in the artifact (observed in round 4 when a
+    // schema drift broke six queries). Queries with any failed rep
+    // are reported under "failed" with the exception class+message,
+    // excluded from the total, and force a non-zero exit code.
+    val outcomes: Seq[(String, Either[String, Double])] =
+      selected.map { case (name, fn) =>
+        val reps0: Seq[Either[String, Double]] = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        }
+        val errs = reps0.collect { case Left(m) => m }
+        name -> (if (errs.nonEmpty) Left(errs.head)
+                 else Right(reps0.collect { case Right(t) => t }.min))
       }
-      name -> times.min
-    }.toMap
+    val results = outcomes.collect { case (n, Right(t)) => n -> t }.toMap
+    val failures = outcomes.collect { case (n, Left(m)) => n -> m }
     CacheRegistry.clear(spark) // release operator-persisted relations
     def fmt(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sorted = results.toSeq.sortBy(_._1)
+    def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failedJson = fmt(failures.sortBy(_._1).map { case (k, m) => k -> qstr(m) })
     // full-precision, full-name artifact → file (never truncated)
     val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      fmt(sorted.map { case (k, v) => k -> v.toString })},"sf":"$sfDir"}"""
+      fmt(sorted.map { case (k, v) => k -> v.toString })
+      },"failed":$failedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
@@ -63,8 +82,15 @@ object Bench {
     // 3-decimal times keep the whole line ~1.2 KB for 80+ queries.
     val compact = fmt(sorted.map { case (k, v) =>
       k.takeWhile(_ != '_') -> (math.round(v * 1000) / 1000.0).toString })
+    val failedCompact =
+      fmt(failures.sortBy(_._1).map { case (k, _) => k.takeWhile(_ != '_') -> "\"error\"" })
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0
-      },"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
+      },"unit":"sec","queries":$compact,"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} queries FAILED: " +
+        failures.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -12,11 +12,14 @@ object Verify {
     val selected = // extra args restrict the run (local iteration aid)
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(subset.contains).toMap
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     CacheRegistry.clear(spark) // release operator-persisted relations
@@ -35,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Broken queries must be visible in the round's artifacts, not
+    // just a stderr line: a missing parquet dir otherwise reads as
+    // "untested" downstream rather than "crashed".
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -218,6 +218,18 @@ object Multimodal {
     * value across a corpus (a skew hot key) is AQE-split, and
     * candidate volume is bounded by band-bucket sizes like q29/q83.
     */
+  /** [[fingerprintPairs]] persisted through [[graft.CacheRegistry]]:
+    * q147 (the pair listing) and q148 (the purge manifest, which
+    * iterates label propagation over these pairs) share ONE
+    * materialization per session+dir instead of re-running the
+    * signature scan + band join per query — and per propagation
+    * round, before [[graft.operators.Components.minLabel]] learned to
+    * persist its edge list. */
+  def cachedFingerprintPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"multimodal.fppairs:$d") {
+      fingerprintPairs(s, d)
+    }
+
   def fingerprintPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = fingerprintSignatures(mediaTable(s, d)).toDF()
     val bands = sigs.select(col("media_id"), col("b0"), col("b1"),
@@ -291,7 +303,7 @@ object Multimodal {
     // image/audio-dedup shape (content sketch + multi-index Hamming
     // search) on the binary column. See [[fingerprintPairs]] for the
     // plan shape.
-    "q147_media_fingerprint_dedup" -> ((s, d) => fingerprintPairs(s, d)),
+    "q147_media_fingerprint_dedup" -> ((s, d) => cachedFingerprintPairs(s, d)),
 
     // q148: from pairs to an actionable PURGE MANIFEST — the step a
     // real curation pipeline executes: transitively close the near-dup
@@ -303,7 +315,7 @@ object Multimodal {
     // single corpus-sized op is one equi-join to fetch payload sizes.
     "q148_dedup_purge_manifest" -> ((s, d) => {
       val labels = graft.operators.Components.minLabel(
-        fingerprintPairs(s, d), "id_a", "id_b")
+        cachedFingerprintPairs(s, d), "id_a", "id_b")
       val sizes = mediaTable(s, d).toDF()
         .select(col("media_id").as("node"), col("n_bytes"))
       labels.join(sizes, "node")

@@ -313,32 +313,67 @@ object Analytics {
 
     // q112: median/MAD robust outlier detection — the heavy-tail
     // screen that survives the outliers it hunts (mean/stddev do
-    // not). Three passes, each a G-row broadcast back onto the scan:
-    // per-group median, median absolute deviation around it, then the
-    // |x - med| > 5·MAD count. Counts are integers; med/MAD are
-    // rounded 4 dp on output only (q46 policy) — the threshold
-    // compare itself runs on the full-precision values, identical in
-    // both engines because the interpolated median arithmetic is
-    // (q109's argument) bit-stable wherever a data point could sit on
-    // the boundary.
+    // not). ONE lineitem pass: the corpus collapses map-side into a
+    // per-group VALUE HISTOGRAM (group, value, count) — the exact
+    // interpolated median then comes from a cumulative-count window
+    // over the histogram, the MAD histogram is derived from the same
+    // relation (|v − med| re-keyed, counts summed), and the outlier
+    // count is a histogram re-scan. At 100 TB the only corpus-sized
+    // work is the single partial-aggregated shuffle keyed on
+    // (group, value); everything after is sized by DISTINCT value
+    // count per group — the scale-safe exact twin of the q63
+    // approx_percentile path (which remains the answer when values
+    // are near-unique, e.g. raw floats from a sensor). Replaces the
+    // previous 3-pass exact `percentile` form whose per-group value
+    // collection is the known scale cliff.
+    //
+    // Determinism: medians are v_lo + (v_hi − v_lo) * frac with
+    // frac ∈ {0, 0.5} — the same lower+(upper−lower)·frac shape (and
+    // ·0.5 is exact in binary) as Spark `percentile` and DuckDB
+    // `quantile_cont`, so the hash compare stays bit-exact; med/MAD
+    // round 4 dp on OUTPUT only (q46 policy), the 5·MAD threshold
+    // compares full-precision values.
     "q112_mad_outliers" -> ((s, d) => {
-      // cost here is the exact percentile aggregation itself (per-group
-      // value collection), not the scans: caching the 2-column
-      // projection was measured NEUTRAL (2.06 s vs 1.93 s) and
-      // reverted; the 100 TB fidelity/throughput trade is
-      // approx_percentile (q63), not caching
-      val li = t(s, d, "lineitem")
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-      val mad = li.join(broadcast(med), "l_returnflag")
-        .groupBy(col("l_returnflag"), col("med"))
-        .agg(expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
-      li.join(broadcast(mad), "l_returnflag")
-        .groupBy(col("l_returnflag"), col("med"), col("mad"))
-        .agg(count(lit(1)).as("n"),
-          sum((abs(col("l_extendedprice") - col("med")) > col("mad") * 5)
-            .cast("long")).cast("long").as("n_outliers"))
-        .select(col("l_returnflag"), round(col("med"), 4).as("med"),
+      val hist = graft.CacheRegistry.getOrPersist(s, s"analytics.q112hist:$d") {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      // exact interpolated 0.5-percentile over a (g, v, cnt) histogram
+      def wmedian(h: DataFrame, out: String): DataFrame = {
+        val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("g"))
+        val ranked = h
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        // ranks are 0-based: a row covers [cum-cnt, cum-1]; the median
+        // interpolates ranks lo = (n-1) div 2 and hi = n div 2
+        val lo = expr("(n - 1) div 2")
+        val hi = expr("n div 2")
+        def pick(r: org.apache.spark.sql.Column) =
+          r.between(col("cum") - col("cnt"), col("cum") - 1)
+        ranked
+          .filter(pick(lo) || pick(hi))
+          .groupBy(col("g"))
+          .agg(max(when(pick(lo), col("v"))).as("vlo"),
+            max(when(pick(hi), col("v"))).as("vhi"),
+            max(col("n")).as("n"))
+          .select(col("g"),
+            (col("vlo") + (col("vhi") - col("vlo")) *
+              ((lit(1) - col("n") % 2).cast("double") * 0.5)).as(out),
+            col("n"))
+      }
+      val med = wmedian(hist, "med").select(col("g"), col("med"), col("n"))
+      val devHist = hist.join(broadcast(med), "g")
+        .groupBy(col("g"), abs(col("v") - col("med")).as("v"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = wmedian(devHist, "mad").select(col("g"), col("mad"))
+      hist.join(broadcast(med), "g").join(broadcast(mad), "g")
+        .groupBy(col("g"), col("med"), col("mad"), col("n"))
+        .agg(sum(when(abs(col("v") - col("med")) > col("mad") * 5, col("cnt"))
+          .otherwise(lit(0L))).cast("long").as("n_outliers"))
+        .select(col("g").as("l_returnflag"), round(col("med"), 4).as("med"),
           round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
     }),
 

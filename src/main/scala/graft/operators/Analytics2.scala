@@ -733,7 +733,8 @@ object Analytics2 {
         |  WHERE from_type IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        | n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS micro_share
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+        |  AS BIGINT) AS micro_share
         |FROM trans""".stripMargin,
 
     "q124_value_histogram" ->
@@ -948,8 +949,9 @@ object Analytics2 {
         |SELECT act.day, n_active,
         | coalesce(n_new, 0) AS n_new,
         | n_active - coalesce(n_new, 0) AS n_returning,
-        | sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        | CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS cum_users
         |FROM act LEFT JOIN news ON news.day = act.day""".stripMargin,
 
     "q137_churn_segments" ->
@@ -981,8 +983,9 @@ object Analytics2 {
         |   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
         |   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
         |  FROM pc CROSS JOIN ref)
-        |SELECT r * 100 + f * 10 + m AS segment,
-        | count(*) AS n_customers, sum(monetary) AS monetary_total
+        |SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+        | count(*) AS n_customers,
+        | CAST(sum(monetary) AS DECIMAL(32,2)) AS monetary_total
         |FROM scored GROUP BY 1""".stripMargin,
 
     "q139_source_divergence" ->

@@ -114,7 +114,8 @@ object Analytics3 {
         |     (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 61 - 30
         |      AS wt
         |  FROM tok)
-        |SELECT doc_id, lang, count(*) AS n_tok, sum(wt) AS score,
+        |SELECT doc_id, lang, count(*) AS n_tok,
+        |  CAST(sum(wt) AS BIGINT) AS score,
         |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
         |FROM w GROUP BY doc_id, lang""".stripMargin)
 }

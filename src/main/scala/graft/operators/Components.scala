@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label propagation — the
@@ -24,44 +24,66 @@ object Components {
     * construction — a node with no pair is its own trivial cluster).
     */
   def minLabel(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // The edge list is scanned once per iteration; persisting it here
+    // means the (possibly expensive) pair relation upstream — a
+    // MinHash band join, a fingerprint Hamming join — is computed
+    // exactly once, not once per round. Released in `finally`: the
+    // labels returned to the caller no longer reference it (every
+    // iteration ends in an eager localCheckpoint).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    // localCheckpoint per iteration truncates the lineage — without
-    // it the plan tree doubles every round (each iteration embeds
-    // the previous one twice: the join side and the union side) and
-    // planning cost explodes long before compute does. A production
-    // cluster would use reliable checkpoint() for the same reason
-    // plus executor-loss recovery.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
-    var converged = false
-    var iters = 0
-    // label propagation needs O(component diameter) rounds, and
-    // diameter < node count, so a node-count cap can never fire on
-    // a correct run — it exists to FAIL LOUDLY (not silently return
-    // pre-fixpoint labels) if the convergence detection ever breaks;
-    // a constant cap would silently truncate chain-shaped clusters
-    // deeper than the constant
-    val nNodes = labels.count()
-    val maxIters = math.max(30L, nNodes + 1)
-    while (!converged && iters < maxIters) {
-      val next = edges
-        .join(labels.select(col("node").as("src"), col("lab")), "src")
-        .select(col("dst").as("node"), col("lab"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      .persist()
+    try {
+      // `sum(lab)` may be null on zero rows (empty pair graph)
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L
+      }
+      // Each round runs ONE action: the eager localCheckpoint that
+      // truncates lineage (without it the plan tree doubles every
+      // round — each iteration embeds the previous one twice, join
+      // side and union side — and planning cost explodes long before
+      // compute does). The convergence sum and node count ride on
+      // that same action as observed metrics instead of paying a
+      // second pass. A production cluster would use reliable
+      // checkpoint() for the same reasons plus executor-loss
+      // recovery.
+      val obs0 = Observation()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .observe(obs0, sum(col("lab")).as("labsum"), count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("lab"))).head.getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iters += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"label propagation did not converge in $maxIters iterations " +
-          s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
-    labels
+      var prevSum = asLong(obs0.get.getOrElse("labsum", null))
+      var converged = false
+      var iters = 0
+      // label propagation needs O(component diameter) rounds, and
+      // diameter < node count, so a node-count cap can never fire on
+      // a correct run — it exists to FAIL LOUDLY (not silently return
+      // pre-fixpoint labels) if the convergence detection ever breaks;
+      // a constant cap would silently truncate chain-shaped clusters
+      // deeper than the constant
+      val nNodes = asLong(obs0.get.getOrElse("n", null))
+      val maxIters = math.max(30L, nNodes + 1)
+      while (!converged && iters < maxIters) {
+        val obs = Observation()
+        val next = edges
+          .join(labels.select(col("node").as("src"), col("lab")), "src")
+          .select(col("dst").as("node"), col("lab"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .observe(obs, sum(col("lab")).as("labsum"))
+          .localCheckpoint(true)
+        val nextSum = asLong(obs.get.getOrElse("labsum", null))
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iters += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $maxIters iterations " +
+            s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
+      labels
+    } finally edges.unpersist(blocking = false)
   }
 }

@@ -92,17 +92,17 @@ object StreamingParity {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  /** events as an unbounded stream with the same nanos→micros
-    * normalization [[graft.Tables]] applies to the batch path. */
+  /** events as an unbounded stream with the same ts normalization
+    * [[graft.Tables]] applies to the batch path (nanos-as-LONG and
+    * TIMESTAMP_NTZ both → session-zone TimestampType — watermarks
+    * reject NTZ event-time columns). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file-stream source lists a DIRECTORY; pathGlobFilter pins
     // it to the events table file within the shared sf dir
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeTs(raw, "ts")
   }
 
   /** Start a streaming query with `n` state partitions (pinned into
@@ -693,15 +693,18 @@ object StreamingParity {
 
     "q92_stream_state_profile" ->
       """SELECT user_id, count(*) AS n_events,
-        | sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS total_micro,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |  AS BIGINT) AS total_micro,
         | CAST(min(ts) AS TIMESTAMP) AS first_ts,
         | CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
 
     "q97_stream_tws_stats" ->
       """SELECT event_type, count(*) AS n_events,
-        | sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS total_micro,
-        | max(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS max_micro
+        | CAST(sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |  AS BIGINT) AS total_micro,
+        | CAST(max(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |  AS BIGINT) AS max_micro
         |FROM events GROUP BY 1""".stripMargin,
 
     "q94_stream_enrich" ->

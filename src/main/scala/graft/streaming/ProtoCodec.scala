@@ -26,7 +26,11 @@ import org.apache.spark.sql.types._
   *  - absent `optional` fields decode to null (matching what the
   *    reference's proto→parquet writer materializes).
   */
+// Serializable: descriptors are captured in executor-side closures
+// (the decode UDF); PMessage is a case CLASS, so without this Java
+// serialization rejects the non-serializable superclass.
 sealed abstract class ProtoType(val wireType: Int, val sparkType: DataType)
+  extends Serializable
 object ProtoType {
   // varint (wire 0)
   case object Int32 extends ProtoType(0, IntegerType)
@@ -47,12 +51,32 @@ object ProtoType {
   case object Fixed32 extends ProtoType(5, IntegerType)
   case object SFixed32 extends ProtoType(5, IntegerType)
   case object PFloat extends ProtoType(5, FloatType)
+
+  /** Nested message (wire 2): decodes to a Spark STRUCT of the
+    * sub-descriptor, recursively — the shape `ProtoWriteSupport`
+    * handles transitively for the reference (SURVEY §1.2). */
+  final case class PMessage(fields: Seq[ProtoField])
+    extends ProtoType(2, StructType(fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true))))
+
+  /** Numeric/bool scalars may arrive PACKED (one wire-2 blob of
+    * concatenated payloads) when repeated — protobuf-java accepts
+    * packed and unpacked interchangeably, so the codec does too. */
+  def packable(t: ProtoType): Boolean = t match {
+    case PString | PBytes | _: PMessage => false
+    case _ => true
+  }
 }
 
-/** One scalar message field: proto field number, output column name,
-  * scalar type, and proto2 `required` flag. */
+/** One message field: proto field number, output column name, type
+  * (scalar or [[ProtoType.PMessage]]), proto2 `required` flag, and
+  * `repeated` (decodes to a Spark ARRAY in payload order). */
 final case class ProtoField(number: Int, name: String, tpe: ProtoType,
-    required: Boolean = false)
+    required: Boolean = false, repeated: Boolean = false) {
+  require(!(required && repeated), s"$name: proto2 forbids required repeated")
+  def dataType: DataType =
+    if (repeated) ArrayType(tpe.sparkType, containsNull = false) else tpe.sparkType
+}
 
 final class ProtoDecodeException(msg: String) extends RuntimeException(msg)
 
@@ -88,12 +112,70 @@ object ProtoWire {
 
   private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
+  /** Read one length-delimited run header; returns (start, end). */
+  private def readLenRun(b: Array[Byte], pos: Int): (Int, Int) = {
+    val (len, p2) = readVarint(b, pos)
+    if (len < 0 || p2 + len > b.length)
+      throw new ProtoDecodeException(s"length $len overruns buffer at $p2")
+    (p2, p2 + len.toInt)
+  }
+
+  /** Read ONE value of `tpe` at `pos` on its native wire type;
+    * returns (value, next position). For [[ProtoType.PMessage]] the
+    * sub-record decodes recursively to a [[Row]] — a malformed nested
+    * payload fails the whole record, like protobuf-java's parser. */
+  private def readScalar(tpe: ProtoType, b: Array[Byte], pos: Int): (Any, Int) =
+    tpe.wireType match {
+      case 0 =>
+        val (v, p2) = readVarint(b, pos)
+        val value: Any = tpe match {
+          case ProtoType.Int32 | ProtoType.UInt32 => v.toInt
+          case ProtoType.Int64 | ProtoType.UInt64 => v
+          case ProtoType.SInt32 => zigzag(v).toInt
+          case ProtoType.SInt64 => zigzag(v)
+          case ProtoType.Bool => v != 0L
+          case t => throw new ProtoDecodeException(s"bad varint type $t")
+        }
+        (value, p2)
+      case 1 =>
+        val (v, p2) = readLittleEndian(b, pos, 8)
+        val value: Any = tpe match {
+          case ProtoType.PDouble => java.lang.Double.longBitsToDouble(v)
+          case _ => v
+        }
+        (value, p2)
+      case 2 =>
+        val (start, end) = readLenRun(b, pos)
+        val value: Any = tpe match {
+          case ProtoType.PString =>
+            new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+          case ProtoType.PMessage(sub) =>
+            Row.fromSeq(decode(sub, java.util.Arrays.copyOfRange(b, start, end))
+              .toIndexedSeq)
+          case _ => java.util.Arrays.copyOfRange(b, start, end)
+        }
+        (value, end)
+      case 5 =>
+        val (v, p2) = readLittleEndian(b, pos, 4)
+        val value: Any = tpe match {
+          case ProtoType.PFloat => java.lang.Float.intBitsToFloat(v.toInt)
+          case _ => v.toInt
+        }
+        (value, p2)
+      case w => throw new ProtoDecodeException(s"unsupported wire type $w")
+    }
+
   /** Decode `bytes` against `fields` into column values ordered like
-    * the descriptor list (null = absent optional). */
+    * the descriptor list (null = absent optional; absent repeated =
+    * empty array, protobuf's getList semantics). */
   def decode(fields: Seq[ProtoField], bytes: Array[Byte]): Array[Any] = {
     val byNumber = fields.iterator.zipWithIndex
       .map { case (f, i) => f.number -> ((f, i)) }.toMap
     val out = new Array[Any](fields.length)
+    val rep = new Array[scala.collection.mutable.ArrayBuffer[Any]](fields.length)
+    fields.iterator.zipWithIndex.foreach { case (f, i) =>
+      if (f.repeated) rep(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+    }
     val seen = new Array[Boolean](fields.length)
     var p = 0
     while (p < bytes.length) {
@@ -103,47 +185,27 @@ object ProtoWire {
       if (fieldNum <= 0) throw new ProtoDecodeException(s"invalid field number $fieldNum")
       byNumber.get(fieldNum) match {
         case Some((f, i)) =>
-          if (wire != f.tpe.wireType)
-            throw new ProtoDecodeException(
-              s"field ${f.name}: wire type $wire, expected ${f.tpe.wireType}")
-          p = wire match {
-            case 0 =>
-              val (v, p2) = readVarint(bytes, p1)
-              out(i) = f.tpe match {
-                case ProtoType.Int32 | ProtoType.UInt32 => v.toInt
-                case ProtoType.Int64 | ProtoType.UInt64 => v
-                case ProtoType.SInt32 => zigzag(v).toInt
-                case ProtoType.SInt64 => zigzag(v)
-                case ProtoType.Bool => v != 0L
-                case t => throw new ProtoDecodeException(s"bad varint type $t")
-              }
-              p2
-            case 1 =>
-              val (v, p2) = readLittleEndian(bytes, p1, 8)
-              out(i) = f.tpe match {
-                case ProtoType.PDouble => java.lang.Double.longBitsToDouble(v)
-                case _ => v
-              }
-              p2
-            case 2 =>
-              val (len, p2) = readVarint(bytes, p1)
-              if (len < 0 || p2 + len > bytes.length)
-                throw new ProtoDecodeException(s"length $len overruns buffer at $p2")
-              val end = p2 + len.toInt
-              out(i) = f.tpe match {
-                case ProtoType.PString =>
-                  new String(bytes, p2, len.toInt, java.nio.charset.StandardCharsets.UTF_8)
-                case _ => java.util.Arrays.copyOfRange(bytes, p2, end)
-              }
-              end
-            case 5 =>
-              val (v, p2) = readLittleEndian(bytes, p1, 4)
-              out(i) = f.tpe match {
-                case ProtoType.PFloat => java.lang.Float.intBitsToFloat(v.toInt)
-                case _ => v.toInt
-              }
-              p2
-            case w => throw new ProtoDecodeException(s"unsupported wire type $w")
+          if (f.repeated && ProtoType.packable(f.tpe) && wire == 2) {
+            // packed run: concatenated payloads under one wire-2 tag
+            val (start, end) = readLenRun(bytes, p1)
+            var q = start
+            while (q < end) {
+              val (v, q2) = readScalar(f.tpe, bytes, q)
+              if (q2 > end)
+                throw new ProtoDecodeException(
+                  s"packed ${f.name}: element overruns run end $end")
+              rep(i) += v
+              q = q2
+            }
+            p = end
+          } else {
+            if (wire != f.tpe.wireType)
+              throw new ProtoDecodeException(
+                s"field ${f.name}: wire type $wire, expected ${f.tpe.wireType}")
+            val (v, p2) = readScalar(f.tpe, bytes, p1)
+            if (f.repeated) rep(i) += v
+            else out(i) = v // repeated occurrence of a scalar: last wins
+            p = p2
           }
           seen(i) = true
         case None =>
@@ -151,11 +213,7 @@ object ProtoWire {
           p = wire match {
             case 0 => readVarint(bytes, p1)._2
             case 1 => readLittleEndian(bytes, p1, 8)._2
-            case 2 =>
-              val (len, p2) = readVarint(bytes, p1)
-              if (len < 0 || p2 + len > bytes.length)
-                throw new ProtoDecodeException(s"length $len overruns buffer at $p2")
-              p2 + len.toInt
+            case 2 => readLenRun(bytes, p1)._2
             case 5 => readLittleEndian(bytes, p1, 4)._2
             case w => throw new ProtoDecodeException(s"unsupported wire type $w")
           }
@@ -164,6 +222,7 @@ object ProtoWire {
     fields.iterator.zipWithIndex.foreach { case (f, i) =>
       if (f.required && !seen(i))
         throw new ProtoDecodeException(s"missing required field ${f.name}")
+      if (f.repeated) out(i) = rep(i).toSeq
     }
     out
   }
@@ -181,14 +240,25 @@ object ProtoWire {
     while (i < n) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
-  /** Canonical encoding: fields in descriptor order, nulls omitted. */
+  /** Canonical encoding: fields in descriptor order, nulls omitted,
+    * repeated fields written unpacked element-by-element (the decoder
+    * accepts packed too), nested messages ([[ProtoType.PMessage]])
+    * recursively from a [[Row]] or value Seq. */
   def encode(fields: Seq[ProtoField], values: Seq[Any]): Array[Byte] = {
     require(fields.length == values.length, "one value per field")
     val out = new java.io.ByteArrayOutputStream()
     fields.iterator.zip(values.iterator).foreach { case (f, v) =>
       if (v != null) {
-        writeVarint(out, (f.number.toLong << 3) | f.tpe.wireType)
-        f.tpe match {
+        if (f.repeated) v.asInstanceOf[Seq[Any]].foreach(writeOne(out, f, _))
+        else writeOne(out, f, v)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def writeOne(out: java.io.ByteArrayOutputStream, f: ProtoField, v: Any): Unit = {
+    writeVarint(out, (f.number.toLong << 3) | f.tpe.wireType)
+    f.tpe match {
           case ProtoType.Int32 => writeVarint(out, v.asInstanceOf[Int].toLong) // sign-extends like protobuf
           case ProtoType.UInt32 => writeVarint(out, v.asInstanceOf[Int].toLong & 0xffffffffL)
           case ProtoType.Int64 | ProtoType.UInt64 => writeVarint(out, v.asInstanceOf[Long])
@@ -212,10 +282,15 @@ object ProtoWire {
           case ProtoType.PFloat =>
             writeLittleEndian(out,
               java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4)
-        }
-      }
+          case ProtoType.PMessage(sub) =>
+            val inner = v match {
+              case r: Row => encode(sub, r.toSeq)
+              case s: Seq[_] => encode(sub, s)
+              case other => throw new IllegalArgumentException(
+                s"${f.name}: nested message value must be Row or Seq, got ${other.getClass}")
+            }
+            writeVarint(out, inner.length.toLong); out.write(inner, 0, inner.length)
     }
-    out.toByteArray
   }
 }
 
@@ -231,7 +306,7 @@ final case class ProtoCodec(fields: Seq[ProtoField]) extends RecordCodec {
   require(fields.map(_.name).distinct.length == fields.length, "duplicate field names")
 
   override val schema: StructType =
-    StructType(fields.map(f => StructField(f.name, f.tpe.sparkType, nullable = true)))
+    StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)))
 
   // null iff undecodable — the RecordCodec contract FailFast/DeadLetter key on
   private val u = functions.udf(new UDF1[Array[Byte], Row] {

@@ -38,9 +38,62 @@ object ProtoParity {
           sum(col("timestamp")).as("sum_ts"),
           count(col("result_per_page")).as("n_rpp"),
           min(col("query")).as("min_query"))
+    }),
+
+    // q149: the NESTED/REPEATED proto surface under the gate — each
+    // document encodes to a message with a required scalar, a
+    // repeated string field (first 5 tokens → ARRAY column), and a
+    // nested sub-message (→ STRUCT column), then decodes back through
+    // the codec seam; the oracle recomputes every output from the raw
+    // table, so a hash match proves ARRAY- and STRUCT-producing
+    // decode paths are the identity per row. Scale shape: pure
+    // per-row map, zero exchanges — decode cost is the same
+    // one-deserializer-call-per-record as q81.
+    "q149_proto_nested_roundtrip" -> ((s, d) => {
+      val fs = NestedDocProto.fields
+      val enc = udf((id: Long, toks: Seq[String], lang: String, n: Long) =>
+        ProtoWire.encode(fs, Seq(id, toks, Seq(lang, n))))
+      val encoded = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+        .select(enc(col("doc_id"), slice(col("ws"), 1, 5), col("lang"),
+          size(col("ws")).cast("long")).as("value"))
+      val decoded = encoded
+        .select(NestedDocProto.codec.decode(col("value")).as("r"))
+        .select(col("r.*"))
+      decoded.select(col("doc_id"),
+        size(col("toks")).as("n_head"),
+        md5(concat_ws(" ", col("toks")).cast("binary")).as("head_fp"),
+        col("meta.lang").as("lang"),
+        col("meta.n_tok").as("n_tok"))
     }))
 
+  /** q149's descriptor: the three shapes beyond scalars that
+    * `ProtoWriteSupport` handles transitively for the reference —
+    * required scalar, repeated scalar, nested message. */
+  object NestedDocProto {
+    import ProtoType._
+    val fields: Seq[ProtoField] = Seq(
+      ProtoField(1, "doc_id", Int64, required = true),
+      ProtoField(2, "toks", PString, repeated = true),
+      ProtoField(3, "meta", PMessage(Seq(
+        ProtoField(1, "lang", PString, required = true),
+        ProtoField(2, "n_tok", Int64)))))
+    def codec: ProtoCodec = ProtoCodec(fields)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q149_proto_nested_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ws[1:5]) AS INT) AS n_head,
+        | md5(array_to_string(ws[1:5], ' ')) AS head_fp,
+        | lang,
+        | CAST(len(ws) AS BIGINT) AS n_tok
+        |FROM t""".stripMargin,
+
     "q81_proto_roundtrip" ->
       """SELECT CASE WHEN user_id % 10 = 0 THEN NULL
         |   ELSE CAST(user_id % 100 AS INT) END AS page_number,

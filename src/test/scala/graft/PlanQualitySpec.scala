@@ -259,6 +259,20 @@ class PlanQualitySpec extends AnyFunSuite {
       t2.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("q147/q148 share one persisted media-fingerprint pair relation") {
+    // identical memoized instance: the signature scan + band join runs
+    // once per session+dir however many queries consume the pairs
+    val p1 = multimodal.Multimodal.cachedFingerprintPairs(spark, sf)
+    val p2 = multimodal.Multimodal.cachedFingerprintPairs(spark, sf)
+    assert(p1 eq p2, "cachedFingerprintPairs must memoize one instance")
+    // q147 executed after the registry entry exists must read the
+    // cached relation, not re-run the band join
+    val q147 = SparkEntry.queries("q147_media_fingerprint_dedup")(spark, sf)
+    q147.collect()
+    assert(q147.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      q147.queryExecution.executedPlan.toString.take(1500))
+  }
+
   test("q124 histogram bounds join is broadcast (no fact-side shuffle for the dim)") {
     val plan = executedPlan("q124_value_histogram")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))

@@ -59,6 +59,62 @@ class ProtoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated + nested message fields roundtrip (ProtoWriteSupport transitive shapes)") {
+    import ProtoType._
+    val inner = Seq(
+      ProtoField(1, "tag", PString, required = true),
+      ProtoField(2, "weight", Int64))
+    val fields = Seq(
+      ProtoField(1, "id", Int64, required = true),
+      ProtoField(2, "scores", Int32, repeated = true),
+      ProtoField(3, "meta", PMessage(inner)),
+      ProtoField(4, "anns", PMessage(inner), repeated = true),
+      ProtoField(5, "names", PString, repeated = true))
+    val vals: Seq[Any] = Seq(
+      7L,
+      Seq(3, -1, 300000),
+      Seq("root", 9L), // nested message as value Seq
+      Seq(Seq("a", 1L), Seq("b", null)), // repeated nested
+      Seq("x", "", "zü"))
+    val back = ProtoWire.decode(fields, ProtoWire.encode(fields, vals))
+    assert(back(0) == 7L)
+    assert(back(1) == Seq(3, -1, 300000))
+    assert(back(2) == org.apache.spark.sql.Row("root", 9L))
+    assert(back(3) == Seq(org.apache.spark.sql.Row("a", 1L),
+      org.apache.spark.sql.Row("b", null)))
+    assert(back(4) == Seq("x", "", "zü"))
+    // absent repeated decodes to EMPTY (protobuf getList), absent
+    // optional nested to null
+    val sparse = ProtoWire.decode(fields, ProtoWire.encode(fields,
+      Seq(1L, null, null, null, null)))
+    assert(sparse.toSeq == Seq(1L, Seq(), null, Seq(), Seq()))
+    // a required field missing INSIDE a nested message fails the record
+    val badInner = ProtoWire.encode(
+      Seq(ProtoField(1, "id", Int64), ProtoField(3, "meta", PMessage(inner))),
+      Seq(1L, Seq(null, 5L)))
+    intercept[ProtoDecodeException](ProtoWire.decode(fields, badInner))
+    // schema surfaces ARRAY/STRUCT columns
+    val st = ProtoCodec(fields).schema
+    assert(st("scores").dataType.typeName == "array")
+    assert(st("meta").dataType.typeName == "struct")
+    assert(st("anns").dataType ==
+      org.apache.spark.sql.types.ArrayType(st("meta").dataType, containsNull = false))
+  }
+
+  test("packed repeated scalars decode like protobuf-java (wire-2 run)") {
+    import ProtoType._
+    val fields = Seq(ProtoField(1, "vs", Int32, repeated = true))
+    // tag(1,len)=0x0A, run of varints 3,270,86942 (encoding-guide values)
+    val packed = hex("0A 06 03 8E 02 9E A7 05")
+    assert(ProtoWire.decode(fields, packed).head == Seq(3, 270, 86942))
+    // mixed packed + unpacked occurrences append in payload order
+    val mixed = hex("0A 02 03 04") ++ hex("08 05")
+    assert(ProtoWire.decode(fields, mixed).head == Seq(3, 4, 5))
+    // a packed element overrunning its run is malformed
+    intercept[ProtoDecodeException](
+      ProtoWire.decode(fields, hex("0A 01 8E"))) // varint continues past run
+  }
+
   test("unknown fields are skipped; repeated scalar occurrence: last wins") {
     val base = SampleMessageProto.encode("q", 1L, 2, null)
     // append unknown field 99 (varint), unknown field 98 (length-
