@@ -82,6 +82,46 @@ object Analytics3 {
           sum(col("wt")).as("score"))
         .withColumn("quality_pass",
           when(col("score") > 0, 1L).otherwise(0L))
+    }),
+
+    // q150: per-document bigram language-model scoring — the
+    // KenLM/CCNet-shaped "perplexity filter": train a conditional
+    // bigram model ON the corpus itself, then score every document by
+    // its average conditional probability, in exact integer
+    // micro-units (P(w2|w1) ≈ n(w1 w2)·10⁶ div n(w1 ·) — integer
+    // division is part of the operator's definition, so the oracle
+    // matches bit-for-bit; the float-log form would flake the hash on
+    // ulp differences). Plan shape at 100 TB: ONE corpus explode
+    // compressed immediately into the per-doc bigram multiset
+    // (doc_id, w1, w2, m) — persisted, since both the LM build and
+    // the scoring join consume it; the LM is derived from the
+    // multiset by re-aggregation (no second corpus pass), and the
+    // scoring join is a hash equi-join on (w1, w2) between two
+    // already-compressed relations. Skewed hot bigrams ("of the")
+    // are AQE-split.
+    "q150_bigram_lm_score" -> ((s, d) => {
+      val docBg = graft.CacheRegistry.getOrPersist(s, s"analytics3.docbg:$d") {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws)-1), " +
+              "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
+          .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("m"))
+      }
+      val lm = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("m")).cast("long").as("n2"))
+      val uni = lm.groupBy(col("w1")).agg(sum(col("n2")).cast("long").as("n1"))
+      val cond = lm.join(uni, "w1")
+        .select(col("w1"), col("w2"), expr("n2 * 1000000L div n1").as("cond_micro"))
+      docBg.join(cond, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).cast("long").as("n_bigrams"),
+          sum(col("m") * col("cond_micro")).cast("long").as("lm_total_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_total_micro"),
+          expr("lm_total_micro div n_bigrams").as("avg_micro"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -117,5 +157,30 @@ object Analytics3 {
         |SELECT doc_id, lang, count(*) AS n_tok,
         |  CAST(sum(wt) AS BIGINT) AS score,
         |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
-        |FROM w GROUP BY doc_id, lang""".stripMargin)
+        |FROM w GROUP BY doc_id, lang""".stripMargin,
+
+    "q150_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        | bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |   SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, greatest(len(ws)-1, 0)),
+        |     i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p FROM t)
+        |   ,LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)),
+        | docbg AS (
+        |  SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+        | lm AS (
+        |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n2 FROM docbg GROUP BY 1, 2),
+        | uni AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM lm GROUP BY 1),
+        | cond AS (
+        |  SELECT lm.w1, lm.w2, CAST(n2 * 1000000 // n1 AS BIGINT) AS cond_micro
+        |  FROM lm JOIN uni ON lm.w1 = uni.w1)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        | CAST(sum(m * cond_micro) AS BIGINT) AS lm_total_micro,
+        | CAST(CAST(sum(m * cond_micro) AS BIGINT)
+        |   // CAST(sum(m) AS BIGINT) AS BIGINT) AS avg_micro
+        |FROM docbg JOIN cond ON docbg.w1 = cond.w1 AND docbg.w2 = cond.w2
+        |GROUP BY doc_id""".stripMargin)
 }

