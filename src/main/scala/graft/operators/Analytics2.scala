@@ -638,6 +638,92 @@ object Analytics2 {
     // re-canonicalization/stringification cost dominated the compute
     // (measured 45-100 s at sf0.001 vs ~4 s checkpointed).
     "q144_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF("step", "left_tok", "right_tok", "weight")
+    }),
+
+    // q151: BPE tokenizer INFERENCE — apply q144's induced merge
+    // table to every document (induce once, encode everywhere: the
+    // production split between tokenizer training and the tokenize
+    // pass over the corpus). The 10 merges are driver constants
+    // (memoized with q144 — one induction per session+dir serves
+    // both), so encoding compiles to a pure per-row expression: each
+    // word → char sequence → 10 nested replace()s → piece count,
+    // summed in-row with aggregate(). Zero exchanges at any corpus
+    // size; fertility (pieces per word) is exact integer micro-units.
+    "q151_bpe_tokenize" -> ((s, d) => {
+      val applied = bpeMerges(s, d)
+        .foldLeft("concat(' ', array_join(regexp_extract_all(w, '.', 0), ' '), ' ')") {
+          case (acc, (_, a, b, _)) =>
+            val (qa, qb) = (a.replace("'", "''"), b.replace("'", "''"))
+            s"replace($acc, ' $qa $qb ', ' $qa$qb ')"
+        }
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          expr(s"aggregate(transform(ws, w -> size(split(trim($applied), ' '))), " +
+            "0L, (acc, x) -> acc + x)").as("n_pieces"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          expr("n_pieces * 1000000L div n_words").as("fertility_micro"))
+    }),
+
+    "q126_copurchase_triangles" -> ((s, d) => {
+      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
+        .select(col("p1"), col("p2"))
+      val e1 = edges.as("e1")
+      val e2 = edges.as("e2")
+      val e3 = edges.as("e3")
+      e1.join(e2, col("e1.p2") === col("e2.p1"))
+        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    }))
+
+  /** Shared oracle text: the 10-step BPE induction CTE chain (words →
+    * char reprs → per-step top pair m1..m10 → rewritten reprs).
+    * r/m CTEs are MATERIALIZED: each step references its predecessor
+    * more than once, and DuckDB's default per-reference inlining
+    * would expand the 10-step chain exponentially. */
+  private lazy val bpeInductionCtes: String = {
+    val steps = (1 to 10).map { k =>
+      s""" t$k AS (SELECT freq, string_split(trim(repr), ' ') AS l
+         |   FROM r${k - 1}),
+         | p$k AS (
+         |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq) AS weight FROM (
+         |   SELECT freq, l, unnest(range(1, len(l))) AS i FROM t$k)
+         |  GROUP BY 1, 2),
+         | m$k AS MATERIALIZED (SELECT a, b, weight FROM p$k
+         |   ORDER BY weight DESC, a, b LIMIT 1),
+         | r$k AS MATERIALIZED (
+         |  SELECT freq, replace(repr,
+         |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+         |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS repr
+         |  FROM r${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |   FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       | r0 AS MATERIALIZED (
+       |  SELECT freq,
+       |   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+       |    AS repr
+       |  FROM words),
+       |$steps""".stripMargin
+  }
+
+  // Induced merges memoized per (session, dir): q144 (induction
+  // surface) and q151 (tokenize pass) share one driver loop. The
+  // key uses session identity — entries die with the session object;
+  // the payload is 10 driver-side tuples, not cluster state.
+  private val mergeMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+
+  private[operators] def bpeMerges(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    mergeMemo.getOrElseUpdate((System.identityHashCode(s), d), {
       // The merge loop runs 10 × (tiny agg + rewrite) over a
       // vocabulary-sized table: AQE's per-stage re-optimization is
       // pure overhead here (measured ~2× the whole loop), so it is
@@ -652,20 +738,9 @@ object Analytics2 {
         s.conf.set("spark.sql.adaptive.enabled", aqeWas)
         s.conf.set("spark.sql.shuffle.partitions", shufWas)
       }
-    }),
+    })
 
-    "q126_copurchase_triangles" -> ((s, d) => {
-      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
-        .select(col("p1"), col("p2"))
-      val e1 = edges.as("e1")
-      val e2 = edges.as("e2")
-      val e3 = edges.as("e3")
-      e1.join(e2, col("e1.p2") === col("e2.p1"))
-        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-    }))
-
-  private def q144Body(s: SparkSession, d: String): DataFrame = {
+  private def q144Body(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
       val words = t(s, d, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
@@ -700,8 +775,7 @@ object Analytics2 {
           expr(s"replace(repr, ' $qa $qb ', ' $qa$qb ')"))
           .localCheckpoint()
       }
-      import s.implicits._
-      merges.toSeq.toDF("step", "left_tok", "right_tok", "weight")
+      merges.toSeq
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1071,39 +1145,38 @@ object Analytics2 {
     // picks the (weight DESC, a, b) max, and rewrites via the same
     // left-to-right replace().
     "q144_bpe_merges" -> {
-      // r/m CTEs are MATERIALIZED: each step references its
-      // predecessor more than once, and DuckDB's default per-reference
-      // inlining would expand the 10-step chain exponentially
-      val steps = (1 to 10).map { k =>
-        s""" t$k AS (SELECT freq, string_split(trim(repr), ' ') AS l
-           |   FROM r${k - 1}),
-           | p$k AS (
-           |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq) AS weight FROM (
-           |   SELECT freq, l, unnest(range(1, len(l))) AS i FROM t$k)
-           |  GROUP BY 1, 2),
-           | m$k AS MATERIALIZED (SELECT a, b, weight FROM p$k
-           |   ORDER BY weight DESC, a, b LIMIT 1),
-           | r$k AS MATERIALIZED (
-           |  SELECT freq, replace(repr,
-           |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
-           |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS repr
-           |  FROM r${k - 1})""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to 10).map { k =>
         s"SELECT $k AS step, a AS left_tok, b AS right_tok, CAST(weight AS BIGINT) AS weight FROM m$k"
       }.mkString("\nUNION ALL\n")
-      s"""WITH words AS (
-         |  SELECT w, count(*) AS freq FROM (
-         |   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |   FROM documents)
-         |  WHERE len(w) > 0 GROUP BY 1),
-         | r0 AS MATERIALIZED (
-         |  SELECT freq,
-         |   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
-         |    AS repr
-         |  FROM words),
-         |$steps
+      s"""WITH $bpeInductionCtes
          |$unions""".stripMargin
+    },
+
+    "q151_bpe_tokenize" -> {
+      // re-derives the same 10 merges (bpeInductionCtes) and applies
+      // them to every document word via the nested-replace chain the
+      // engine compiles from the driver-side merge list
+      val applied = (1 to 10).foldLeft(
+        "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '") {
+        (acc, k) =>
+          s"""replace($acc,
+             |   ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+             |   ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ')""".stripMargin
+      }
+      s"""WITH $bpeInductionCtes,
+         | docw AS (
+         |  SELECT doc_id, w FROM (
+         |   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |   FROM documents)
+         |  WHERE len(w) > 0),
+         | docp AS (
+         |  SELECT doc_id, len(string_split(trim($applied), ' ')) AS pieces
+         |  FROM docw)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         | CAST(CAST(sum(pieces) AS BIGINT) * 1000000
+         |   // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_micro
+         |FROM docp GROUP BY doc_id""".stripMargin
     },
 
     "q126_copurchase_triangles" ->

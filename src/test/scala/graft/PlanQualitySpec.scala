@@ -273,6 +273,23 @@ class PlanQualitySpec extends AnyFunSuite {
       q147.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("q150 LM build and scoring join read ONE persisted bigram multiset (single corpus pass)") {
+    val plan = executedPlan("q150_bigram_lm_score")
+    // docBg is consumed ≥2× (LM derivation + scoring join): both
+    // must be InMemoryTableScans of the cached multiset, never a
+    // second corpus explode
+    // (counting "Scan parquet" directly is not meaningful here: the
+    // InMemoryRelation printout embeds its ORIGIN plan text, parquet
+    // scan included, once per cache reference)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2, plan.take(1500))
+  }
+
+  test("q151 BPE tokenize pass is a pure per-row map: zero exchanges") {
+    val plan = executedPlan("q151_bpe_tokenize")
+    assert(!plan.contains("Exchange"),
+      s"tokenizer inference must not shuffle:\n${plan.take(1500)}")
+  }
+
   test("q124 histogram bounds join is broadcast (no fact-side shuffle for the dim)") {
     val plan = executedPlan("q124_value_histogram")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
