@@ -48,9 +48,14 @@ object Components {
       // second pass. A production cluster would use reliable
       // checkpoint() for the same reasons plus executor-loss
       // recovery.
+      // Seeded init: lab₀ = min(node, min over neighbors) — the same
+      // grouped aggregation the node-distinct needs anyway (both
+      // edge directions are present, so every node occurs as src),
+      // which folds the whole first propagation round into the init
+      // action for free at any scale.
       val obs0 = Observation()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node"))
+      var labels = edges.groupBy(col("src").as("node"))
+        .agg(least(min(col("src")), min(col("dst"))).as("lab"))
         .observe(obs0, sum(col("lab")).as("labsum"), count(lit(1)).as("n"))
         .localCheckpoint(true)
       var prevSum = asLong(obs0.get.getOrElse("labsum", null))
