@@ -359,7 +359,7 @@ object StreamingParity {
       // total instead of 3 (each batch cycle opens/commits every state
       // store, the dominant fixed cost at gate volume)
       flush.addData(1)
-      val q = withStateParts(s, 8) {
+      val q = withStateParts(s, 4) {
         joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
       }
@@ -410,7 +410,7 @@ object StreamingParity {
       dropPriorSinks(s)
       liveSinks.add((s, name))
       flush.addData(1)
-      val q = withStateParts(s, 8) {
+      val q = withStateParts(s, 4) {
         joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
       }
