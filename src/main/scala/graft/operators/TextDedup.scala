@@ -216,6 +216,41 @@ object TextDedup {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q152: cross-document REPEATED-SPAN accounting — exact
+    // substring-level dedup at 8-gram granularity (the Lee et al.
+    // 2022 "Deduplicating Training Data" shape, distinct from
+    // doc-level near-dup q28/q29 and from eval-set decontamination
+    // q104): for every document, how many of its 8-token spans also
+    // occur in ANOTHER document, and how many would be trimmed under
+    // the keep-earliest policy (span kept only in the min-doc_id
+    // owner). Plan at 100 TB: the per-doc distinct 8-gram relation is
+    // built once and persisted (it feeds both the gram-frequency
+    // index and the scoring join); gram stats are a partial-aggregated
+    // shuffle on the gram key; scoring is one hash equi-join of two
+    // already-built relations followed by a ~1-row-per-doc aggregate.
+    // Everything is counts — exact in both engines.
+    "q152_span_dedup" -> ((s, d) => {
+      val grams = graft.CacheRegistry.getOrPersist(s, s"textdedup.grams8:$d") {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(ws) - 7), " +
+              "i -> concat_ws(' ', slice(ws, i, 8))))")).as("gram"))
+      }
+      val gramStats = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      grams.join(gramStats, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("n_docs") >= 2 && col("min_doc") < col("doc_id"), 1L)
+            .otherwise(0L)).as("n_trim"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"), col("n_trim"),
+          expr("n_dup * 1000000L div n_grams").as("dup_micro"))
+    }),
+
     // q27: exact dedup via normalized-text fingerprint (lower +
     // whitespace collapse + md5). Hash-groupBy — embarrassingly
     // parallel at any scale.
@@ -618,6 +653,28 @@ object TextDedup {
   // ---------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q152_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        |  FROM documents),
+        | g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |   SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+        |   FROM (SELECT doc_id, ws,
+        |      unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+        |     FROM t WHERE len(ws) >= 8))),
+        | gs AS (
+        |  SELECT gram, count(*) AS n_docs, min(doc_id) AS min_doc
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST(sum(CASE WHEN n_docs >= 2 AND min_doc < doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_trim,
+        | CAST(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000 // count(*) AS BIGINT) AS dup_micro
+        |FROM g JOIN gs USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+
     "q27_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
         | count(*) AS n_docs, min(doc_id) AS min_doc

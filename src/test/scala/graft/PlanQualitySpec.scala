@@ -284,6 +284,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(plan).length >= 2, plan.take(1500))
   }
 
+  test("q152 gram index and scoring join read ONE persisted 8-gram relation") {
+    val plan = executedPlan("q152_span_dedup")
+    // the per-doc gram relation feeds both the gram-frequency index
+    // and the scoring join — both must be cache scans, never a second
+    // corpus explode
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2, plan.take(1500))
+  }
+
   test("q151 BPE tokenize pass is a pure per-row map: zero exchanges") {
     val plan = executedPlan("q151_bpe_tokenize")
     assert(!plan.contains("Exchange"),
