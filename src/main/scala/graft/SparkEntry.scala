@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracleSql),
       (operators.Relational2.queries, operators.Relational2.oracleSql),
       (operators.Relational3.queries, operators.Relational3.oracleSql),
+      (operators.Relational4.queries, operators.Relational4.oracleSql),
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
       (operators.Similarity.queries, operators.Similarity.oracleSql),
       (operators.AsOf.queries, operators.AsOf.oracleSql),

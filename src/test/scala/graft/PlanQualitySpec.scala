@@ -323,6 +323,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(finalPlan).length == 2, finalPlan.take(1500))
   }
 
+  test("q154 local-volume star: dims broadcast, shuffles only on the order key") {
+    val plan = executedPlan("q154_local_volume")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the only permissible shuffle keys are the fact-fact join key and
+    // the final (tiny) group key — a shuffle on any dim key would mean
+    // a dimension failed to broadcast
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("l_orderkey", "o_orderkey", "n_name")),
+      s"unexpected shuffle keys $keys:\n${plan.take(1500)}")
+  }
+
+  test("q155 scan-only aggregate: predicates pushed, unused columns pruned, no shuffle") {
+    val plan = executedPlan("q155_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["), plan.take(1200))
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount"),
+      "range + between predicates must reach the scan")
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_returnflag"),
+      "unused lineitem columns must not be read")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "single-group aggregate needs no keyed shuffle")
+  }
+
+  test("q167 wait accounting: agg and window both reuse the join's orderkey partitioning") {
+    // disable AQE/static broadcast thresholds so the fact-fact join
+    // plans as at scale (the explicit supplier broadcast hint still
+    // applies); then the per-(order,supplier) aggregate AND the
+    // orderkey window must both piggyback on the join exchanges — the
+    // 100 TB property the operator is designed around.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val plan = executedPlan("q167_waiting_suppliers")
+      val keyed = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toVector
+      assert(keyed.count(_ == "l_orderkey") <= 2, // the two join sides only
+        s"agg/window re-shuffled on orderkey: $keyed\n${plan.take(1800)}")
+      assert(keyed.toSet.subsetOf(Set("l_orderkey", "o_orderkey", "s_name")),
+        s"unexpected shuffle keys $keyed")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
