@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.Relational3.queries, operators.Relational3.oracleSql),
       (operators.Relational4.queries, operators.Relational4.oracleSql),
       (operators.TextDedup.queries, operators.TextDedup.oracleSql),
+      (operators.Retrieval.queries, operators.Retrieval.oracleSql),
       (operators.Similarity.queries, operators.Similarity.oracleSql),
       (operators.AsOf.queries, operators.AsOf.oracleSql),
       (operators.Analytics.queries, operators.Analytics.oracleSql),

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / serving-prep operators for the training-data pipeline:
+  * BM25 lexical scoring, RAG-style overlapping chunking, per-dimension
+  * embedding corpus statistics, and source-mix concentration — the
+  * operators that sit between a cleaned corpus and a retrieval or
+  * fine-tuning serving layer.
+  *
+  * == Integer-exact scoring ==
+  * Everything the driver hash-compares is kept in integer micro/milli
+  * units with explicit `div` (truncating integer division — verified
+  * identical to DuckDB's `//` including negative operands): float
+  * scoring formulas (BM25's tf saturation, Robertson idf, HHI shares)
+  * are cleared of denominators so both engines do the same BIGINT
+  * arithmetic. The BM25 idf uses the rational Robertson odds
+  * (2N−2df+1)/(2df+1) rather than its logarithm — the q106 lesson:
+  * libm `ln` may differ in the last ulp between engines, and a rank
+  * or threshold must never sit on a float.
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Whitespace tokenizer shared with q93/q150 — one corpus explode. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+
+  private val sqlToks =
+    """SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q168: BM25 top-k retrieval (k1=1.2, b=0.75 cleared to the
+    // integer form 44·tf·D / (20·tf·D + 6·D + 18·dl·N), scaled to
+    // micro units). The query-term postings (tf) are restricted at
+    // the corpus explode by an `isin` the scan can evaluate, so the
+    // only doc-keyed shuffles carry ≤|terms| rows per doc; N/D are a
+    // 1-row broadcast, the per-term df a |terms|-row broadcast. At
+    // 1e9 docs the micro scale (1e6) still fits BIGINT for the sat
+    // numerator up to D ≈ 2e11 tokens; beyond that drop the scale to
+    // 1e3 — the constant is the only thing that changes.
+    "q168_bm25_topk" -> ((s, d) => {
+      val terms = Seq("spark", "join", "slow")
+      val tk = toks(s, d)
+      val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("d_total"))
+      val tf = tk.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok").as("df_tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), col("tok") === col("df_tok"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("sat_micro",
+          expr("(1000000L * 44L * tf * d_total) div (20L * tf * d_total + 6L * d_total + 18L * dl * n_docs)"))
+        .withColumn("idf_micro",
+          expr("(1000000L * (2L * n_docs - 2L * df + 1L)) div (2L * df + 1L)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("(idf_micro * sat_micro) div 1000000L")).as("score_micro"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // q169: RAG chunking — fixed 16-token windows at stride 8
+    // (half-overlap), each chunk fingerprinted for downstream exact
+    // dedup of the chunk store. Pure per-row compute: tokenize once,
+    // explode the start offsets from a catalyst `sequence`, slice —
+    // zero exchanges, and the fingerprint is md5 (engine-portable).
+    "q169_rag_chunks" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("arr"))
+        .withColumn("n", size(col("arr")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("arr"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(8))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          least(lit(16), col("n") - col("chunk_start")).as("chunk_len"),
+          md5(concat_ws(" ", slice(col("arr"), col("chunk_start") + 1, lit(16))))
+            .as("chunk_fp"))
+    }),
+
+    // q170: per-dimension embedding corpus statistics — the
+    // normalization-stats pass a feature store runs before serving
+    // (shift/scale, clip bounds). Values are floor-milli quantized at
+    // the row (the q140 discipline: float→exact integer BEFORE any
+    // aggregation), so sums/extrema/means are exact integers in both
+    // engines. One posexplode + one dim-keyed aggregation; the
+    // shuffle carries one row per (input row × dim) pre-aggregated
+    // map-side to |dims| rows per partition.
+    "q170_embedding_dim_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")))
+        .toDF("dim", "x")
+        .select(col("dim"),
+          floor(col("x").cast("double") * lit(1000.0)).cast("long").as("milli"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("milli")).cast("long").as("sum_milli"),
+          min(col("milli")).as("min_milli"),
+          max(col("milli")).as("max_milli"))
+        .withColumn("mean_micro", expr("(sum_milli * 1000L) div n"))
+    }),
+
+    // q171: source-mix concentration — per ingest source, the
+    // Herfindahl–Hirschman index of its language distribution in
+    // exact micro units (Σ share², share = micro-scaled integer
+    // division). A curation dashboard metric: HHI→1e6 means a
+    // single-language source. Two tiny keyed aggregations.
+    "q171_source_mix_hhi" -> ((s, d) => {
+      val byLang = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val bySource = byLang.groupBy(col("source"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_langs"))
+      byLang.join(bySource, "source")
+        .withColumn("share_micro", expr("(c * 1000000L) div total"))
+        .groupBy(col("source"), col("total").as("n_docs"), col("n_langs"))
+        .agg(sum(expr("(share_micro * share_micro) div 1000000L")).as("hhi_micro"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q168_bm25_topk" ->
+      s"""WITH tk AS ($sqlToks),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS d_total
+         |  FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |  WHERE tok IN ('spark', 'join', 'slow') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         | CAST(sum(((1000000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
+         |   * ((1000000 * 44 * tf * d_total)
+         |     // (20 * tf * d_total + 6 * d_total + 18 * dl * n_docs)))
+         |  // 1000000) AS BIGINT) AS score_micro,
+         | count(*) AS n_terms_hit
+         |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
+         |GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    "q169_rag_chunks" ->
+      """WITH arrs AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr,
+        |  len(regexp_extract_all(lower(text), '\S+')) AS n
+        | FROM documents),
+        |starts AS (
+        | SELECT doc_id, arr, n,
+        |  unnest(generate_series(0, n - 1, 8)) AS chunk_start
+        | FROM arrs WHERE n > 0)
+        |SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+        | CAST(least(16, n - chunk_start) AS INT) AS chunk_len,
+        | md5(array_to_string(arr[chunk_start + 1 : chunk_start + 16], ' '))
+        |  AS chunk_fp
+        |FROM starts""".stripMargin,
+
+    "q170_embedding_dim_stats" ->
+      """WITH e AS (
+        | SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+        |   AS milli
+        | FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        | CAST(sum(milli) AS BIGINT) AS sum_milli,
+        | min(milli) AS min_milli, max(milli) AS max_milli,
+        | CAST(sum(milli) * 1000 // count(*) AS BIGINT) AS mean_micro
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q171_source_mix_hhi" ->
+      """WITH by_lang AS (
+        | SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |by_source AS (
+        | SELECT source, CAST(sum(c) AS BIGINT) AS total,
+        |  count(*) AS n_langs
+        | FROM by_lang GROUP BY 1)
+        |SELECT source, total AS n_docs, n_langs,
+        | CAST(sum((c * 1000000 // total) * (c * 1000000 // total)
+        |   // 1000000) AS BIGINT) AS hhi_micro
+        |FROM by_lang JOIN by_source USING (source)
+        |GROUP BY 1, 2, 3""".stripMargin)
+}

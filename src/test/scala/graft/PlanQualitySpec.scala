@@ -371,6 +371,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q169 RAG chunking is a pure per-row map: zero exchanges") {
+    val plan = executedPlan("q169_rag_chunks")
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n${plan.take(1200)}")
+  }
+
+  test("q168 BM25 shuffles only on doc/tok keys (postings restricted before any join)") {
+    val plan = executedPlan("q168_bm25_topk")
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("doc_id", "tok")),
+      s"unexpected shuffle keys $keys:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
