@@ -122,6 +122,29 @@ object Analytics3 {
           sum(col("m") * col("cond_micro")).cast("long").as("lm_total_micro"))
         .select(col("doc_id"), col("n_bigrams"), col("lm_total_micro"),
           expr("lm_total_micro div n_bigrams").as("avg_micro"))
+    }),
+
+    // q172: Z-order curve locality accounting — the layout-planning
+    // pass behind [[graft.scale.ScaleOps.zOrderWrite]]: every event
+    // is placed on the Morton curve over (user_id, ⌊value⌋), the
+    // curve is cut into 64 equal-width position ranges (what the
+    // clustered write turns into files), and each range reports the
+    // (user, value) bounding box it covers. Small per-bucket boxes =
+    // the file-skipping property; the oracle re-derives the curve
+    // with the same mask-and-multiply integer arithmetic, so the gate
+    // pins the exact bit layout of the curve, not just statistics.
+    // One scan + one tiny 1-row max broadcast + one 64-group agg.
+    "q172_zorder_locality" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("long").bitwiseAND(lit(65535L)).as("ux"),
+          floor(col("value")).cast("long").bitwiseAND(lit(65535L)).as("vb"))
+        .withColumn("z", graft.scale.ScaleOps.morton16(col("ux"), col("vb")))
+      val mx = ev.agg(max(col("z")).as("zmax"))
+      ev.join(broadcast(mx))
+        .groupBy(expr("(z * 64L) div (zmax + 1L)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("min_user"), max(col("ux")).as("max_user"),
+          min(col("vb")).as("min_val"), max(col("vb")).as("max_val"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -182,5 +205,29 @@ object Analytics3 {
         | CAST(CAST(sum(m * cond_micro) AS BIGINT)
         |   // CAST(sum(m) AS BIGINT) AS BIGINT) AS avg_micro
         |FROM docbg JOIN cond ON docbg.w1 = cond.w1 AND docbg.w2 = cond.w2
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q172_zorder_locality" ->
+      """WITH dims AS (
+        | SELECT (CAST(user_id AS BIGINT) & 65535) AS xa,
+        |  (CAST(floor(value) AS BIGINT) & 65535) AS xb
+        | FROM events),
+        |s1 AS (SELECT xa, xb,
+        |  ((xa | (xa * 256)) & 16711935) AS a1,
+        |  ((xb | (xb * 256)) & 16711935) AS b1 FROM dims),
+        |s2 AS (SELECT xa, xb,
+        |  ((a1 | (a1 * 16)) & 252645135) AS a2,
+        |  ((b1 | (b1 * 16)) & 252645135) AS b2 FROM s1),
+        |s3 AS (SELECT xa, xb,
+        |  ((a2 | (a2 * 4)) & 858993459) AS a3,
+        |  ((b2 | (b2 * 4)) & 858993459) AS b3 FROM s2),
+        |zc AS (SELECT xa AS ux, xb AS vb,
+        |  (((a3 | (a3 * 2)) & 1431655765)
+        |   | (((b3 | (b3 * 2)) & 1431655765) * 2)) AS z FROM s3),
+        |mx AS (SELECT max(z) AS zmax FROM zc)
+        |SELECT (z * 64) // (zmax + 1) AS bucket, count(*) AS n,
+        | min(ux) AS min_user, max(ux) AS max_user,
+        | min(vb) AS min_val, max(vb) AS max_val
+        |FROM zc, mx
+        |GROUP BY 1""".stripMargin)
 }

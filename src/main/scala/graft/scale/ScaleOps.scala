@@ -139,6 +139,71 @@ object ScaleOps {
     nOut.toLong
   }
 
+  /** Morton (Z-order) interleave of two 16-bit non-negative
+    * dimensions into one 32-bit curve position, as a pure codegen'd
+    * Column (mask-and-shift spreading; shifts are multiplications —
+    * exact for non-negative longs — so the same expression is
+    * portable integer arithmetic in any engine).
+    *
+    * Z-ordering is the standard multi-dimensional clustering layout
+    * for data lakes: sorting a table by `morton16(a, b)` makes every
+    * contiguous file cover an approximately square (a, b) box, so a
+    * predicate box on EITHER dimension touches O(√files) files
+    * instead of all of them — the file-skipping property that
+    * single-column sorting only provides for its leading column.
+    * Inputs are masked to 16 bits; callers bucket wider domains down
+    * first (quantile or fixed-width bucketing both work — the curve
+    * only needs rank locality, not exact values).
+    */
+  def morton16(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      val x = x0.bitwiseAND(lit(0xFFFFL))
+      val s1 = x.bitwiseOR(x * lit(256L)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(s1 * lit(16L)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(s2 * lit(4L)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(s3 * lit(2L)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a.cast("long")).bitwiseOR(spread(b.cast("long")) * lit(2L))
+  }
+
+  /** Rewrite a table Z-order-clustered on two numeric dimensions:
+    * each dimension is first mapped to an equal-frequency 8-bit rank
+    * code (approx-quantile boundaries — the same sampling-based
+    * normalization Delta's OPTIMIZE ZORDER uses via its range
+    * partitioner), the codes are Morton-interleaved, and the table is
+    * range-partitioned + sorted on the curve position (one shuffle —
+    * the price of any re-layout) into `nFiles` parquet files.
+    *
+    * The rank coding is what makes the curve's guarantee hold on real
+    * data: interleaving RAW values degenerates whenever the two
+    * domains have unequal bit widths or skew (the wider dimension's
+    * high bits monopolize the curve — measured on the events table:
+    * raw interleave produced WORSE boxes than a 1-D sort). With both
+    * dimensions rank-coded to 0..255 the space is square and uniform
+    * by construction, so each of N files covers ~1/N of the area and
+    * a predicate box on either dimension touches O(√N) files — file
+    * pruning for any stats-aware reader, row-group pruning for plain
+    * parquet. Maintenance companion to [[compactParquet]]: run once
+    * on cold data, every subsequent scan benefits.
+    */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String,
+      outDir: String, nFiles: Int): Unit = {
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    // one sampling pass per dimension (driver gets 255 boundaries —
+    // a layout job's planning action, independent of table size)
+    def bounds(c: String): Column = lit(
+      df.select(col(c).cast("double").as(c)).stat
+        .approxQuantile(c, probes, 0.001))
+    def code(c: String, bs: Column): Column =
+      size(filter(bs, b => b <= col(c).cast("double")))
+    df.withColumn("_z",
+        morton16(code(colA, bounds(colA)), code(colB, bounds(colB))))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Count Exchange (shuffle) operators in a query's final physical
     * plan — the metric every scale review here starts from.
     */
