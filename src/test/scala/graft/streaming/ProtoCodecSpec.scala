@@ -115,6 +115,42 @@ class ProtoCodecSpec extends AnyFunSuite {
       ProtoWire.decode(fields, hex("0A 01 8E"))) // varint continues past run
   }
 
+  test("proto map fields decode as entry arrays; Spark map_from_entries gives protobuf last-wins") {
+    import ProtoType._
+    // map<string, int64> is wire-identical to
+    // `repeated message { string key = 1; int64 value = 2; }`
+    // (protobuf.dev encoding guide, Maps section) — so the codec's
+    // repeated-nested path IS the map path; this pins the remaining
+    // semantic: protobuf-java's asMap() keeps the LAST occurrence of
+    // a duplicated key.
+    val entry = Seq(
+      ProtoField(1, "key", PString),
+      ProtoField(2, "value", Int64))
+    val fields = Seq(
+      ProtoField(1, "id", Int64, required = true),
+      ProtoField(2, "attrs", PMessage(entry), repeated = true))
+    val bytes = ProtoWire.encode(fields, Seq(
+      5L, Seq(Seq("a", 1L), Seq("b", 2L), Seq("a", 3L))))
+    val row = ProtoWire.decode(fields, bytes)
+    val entries = row(1).asInstanceOf[Seq[org.apache.spark.sql.Row]]
+    assert(entries.map(e => (e.getString(0), e.getLong(1))) ==
+      Seq(("a", 1L), ("b", 2L), ("a", 3L))) // payload order preserved
+    // Spark-side MAP materialization with protobuf-java semantics
+    val prev = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
+    try {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(5L, entries)),
+        org.apache.spark.sql.types.StructType(ProtoCodec(fields).schema.fields))
+      val m = df.select(map_from_entries(col("attrs")).as("m"))
+        .selectExpr("m['a']", "m['b']").head()
+      assert((m.getLong(0), m.getLong(1)) == (3L, 2L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.mapKeyDedupPolicy", v)
+      case None => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+    }
+  }
+
   test("unknown fields are skipped; repeated scalar occurrence: last wins") {
     val base = SampleMessageProto.encode("q", 1L, 2, null)
     // append unknown field 99 (varint), unknown field 98 (length-
