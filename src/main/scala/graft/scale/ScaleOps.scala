@@ -204,6 +204,52 @@ object ScaleOps {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Build a per-file min/max statistics manifest for `statsCols` of
+    * a parquet directory, written as one small parquet under
+    * `dir/_graft_manifest` (underscore-prefixed: Spark's file index
+    * ignores it on normal reads). One distributed scan grouped by
+    * `input_file_name` — the write-once planning artifact that gives
+    * vanilla Spark the file-level skipping a table format keeps in
+    * its transaction log. Pairs with [[zOrderWrite]]: after a
+    * Z-order rewrite the per-file boxes are tight, so manifest
+    * pruning approaches the curve's O(√N)-files bound.
+    */
+  def writeManifest(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Unit = {
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
+  }
+
+  /** Read `dir` with an inclusive range predicate on `statsCol`,
+    * opening ONLY the files whose manifest [min, max] interval
+    * overlaps [lo, hi]. The predicate is re-applied exactly on the
+    * surviving files, so the result equals the naive
+    * read-everything-and-filter plan — the manifest only prunes, it
+    * never decides membership. The manifest itself is a 1-file read
+    * whose size is O(files), not O(rows); at 100 TB that's the
+    * difference between a driver listing of every footer and a
+    * kilobyte-scale planning lookup.
+    */
+  def prunedRead(spark: SparkSession, dir: String, statsCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = spark.read.parquet(s"$dir/_graft_manifest")
+      .filter(col(s"max_$statsCol") >= lit(lo) && col(s"min_$statsCol") <= lit(hi))
+      .select(col("file"))
+      .collect().map(_.getString(0)) // O(files) planning metadata, not data
+    val base =
+      if (files.isEmpty) // preserve schema on an empty match
+        spark.read.parquet(dir).limit(0)
+      else spark.read
+        .schema(spark.read.parquet(dir).schema) // stable column order
+        .parquet(files.toIndexedSeq: _*)
+    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
   /** Count Exchange (shuffle) operators in a query's final physical
     * plan — the metric every scale review here starts from.
     */

@@ -171,5 +171,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val uxSlab = col("ux").between(maxU / 5, 2 * maxU / 5)
     val zUx = touched(zDir, uxSlab)
     assert(zUx < nFiles, s"z-order ux-slab touched every file ($zUx)")
+
+    // manifest + pruned read on the z layout: equal results, fewer
+    // files planned than exist
+    ScaleOps.writeManifest(spark, zDir, Seq("ux", "vb"))
+    val pruned = ScaleOps.prunedRead(spark, zDir, "vb", 10L, 30L)
+    val naive = spark.read.parquet(zDir).filter(vbSlab)
+    assert(pruned.count() == naive.count() && naive.count() > 0)
+    assert(pruned.inputFiles.length < nFiles,
+      s"manifest pruning planned ${pruned.inputFiles.length} of $nFiles files")
+    assert(pruned.inputFiles.length.toLong == zVb,
+      "manifest pruning must match the true touched-file set for this slab")
+    // empty-range pruning keeps the schema and returns nothing
+    val none = ScaleOps.prunedRead(spark, zDir, "vb", 100000L, 200000L)
+    assert(none.count() == 0 && none.columns.toSeq == naive.columns.toSeq)
   }
 }
