@@ -108,6 +108,63 @@ object Retrieval {
         .withColumn("mean_micro", expr("(sum_milli * 1000L) div n"))
     }),
 
+    // q173: 2-D Pareto front (skyline) of users by (activity count,
+    // total value) — multi-objective curation selection ("most active
+    // AND highest value") without a scoring weight. The naive skyline
+    // is an O(n²) dominance self-join; in 2-D it collapses to ONE
+    // sort: a point survives iff its value beats every value at
+    // strictly higher activity (a RANGE window over n) and is maximal
+    // within its own activity level. Both window frames share one
+    // global sort — at scale a range-partitioned sort, never a join.
+    // Values are floor-milli integers end-to-end.
+    "q173_pareto_front" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = t(s, d, "events")
+        .select(col("user_id"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vm"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).cast("long").as("v_milli"))
+      val wGt = Window.orderBy(col("n"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy(col("n"))
+      pts
+        .withColumn("max_gt", max(col("v_milli")).over(wGt))
+        .withColumn("max_eq", max(col("v_milli")).over(wEq))
+        .filter(col("v_milli") > coalesce(col("max_gt"), lit(Long.MinValue)) &&
+          col("v_milli") === col("max_eq"))
+        .select(col("user_id"), col("n"), col("v_milli"))
+    }),
+
+    // q174: reciprocal-rank fusion — blend two heterogeneous rankings
+    // (lexical: 'spark' term frequency; shape: document length)
+    // without score normalization, the standard hybrid-retrieval
+    // combiner. rrf = Σ 1e6/(60+rank) in exact integer division;
+    // ranks are row_numbers with doc_id tiebreaks so both engines
+    // agree bit-for-bit. Two global row_number sorts over |docs|
+    // rows — at 100 TB rank assignment becomes the range-partitioned
+    // sort + partition-offset pattern (q141's note applies); the
+    // fusion join is keyed on doc_id.
+    "q174_rank_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = toks(s, d).filter(col("tok") === "spark")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+      val base = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .join(tf, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("tf"))
+      val ranked = base
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      ranked
+        .select(col("doc_id"),
+          expr("1000000L div (60L + ra) + 1000000L div (60L + rb)")
+            .as("rrf_micro"),
+          col("ra"), col("rb"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // q171: source-mix concentration — per ingest source, the
     // Herfindahl–Hirschman index of its language distribution in
     // exact micro units (Σ share², share = micro-scaled integer
@@ -170,6 +227,42 @@ object Retrieval {
         | min(milli) AS min_milli, max(milli) AS max_milli,
         | CAST(sum(milli) * 1000 // count(*) AS BIGINT) AS mean_micro
         |FROM e GROUP BY 1""".stripMargin,
+
+    "q173_pareto_front" ->
+      """WITH pts AS (
+        | SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_milli
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT user_id, n, v_milli,
+        |  max(v_milli) OVER (ORDER BY n
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS max_gt,
+        |  max(v_milli) OVER (PARTITION BY n) AS max_eq
+        | FROM pts)
+        |SELECT user_id, n, v_milli
+        |FROM w
+        |WHERE v_milli > coalesce(max_gt, CAST(-9223372036854775807 - 1 AS BIGINT))
+        |  AND v_milli = max_eq""".stripMargin,
+
+    "q174_rank_fusion" ->
+      s"""WITH tf AS (
+         | SELECT doc_id, count(*) AS tf FROM ($sqlToks)
+         | WHERE tok = 'spark' GROUP BY 1),
+         |base AS (
+         | SELECT d.doc_id, d.n_chars, coalesce(tf.tf, 0) AS tf
+         | FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id),
+         |ranked AS (
+         | SELECT doc_id,
+         |  row_number() OVER (ORDER BY tf DESC, doc_id) AS ra,
+         |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+         | FROM base)
+         |SELECT doc_id,
+         | CAST(1000000 // (60 + ra) + 1000000 // (60 + rb) AS BIGINT)
+         |  AS rrf_micro,
+         | CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb
+         |FROM ranked
+         |ORDER BY rrf_micro DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     "q171_source_mix_hhi" ->
       """WITH by_lang AS (
