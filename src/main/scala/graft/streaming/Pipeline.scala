@@ -225,8 +225,36 @@ final class Pipeline(cfg: PipelineConfig) {
           val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.targetDir), true)
           while (it.hasNext) {
             val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet") &&
-                seenFiles.add(f.getPath.toString)) {
+            val isNew = f.getPath.getName.endsWith(".parquet") &&
+              !seenFiles.contains(f.getPath.toString)
+            if (isNew) {
+              // S9 exact naming (KPW:315-320): a just-finalized file is
+              // renamed `<formatted-now>_<instance>_<shard>.parquet`;
+              // shard = the writing task's index from Spark's part
+              // number (the reference's thread index, KPW:93-94). The
+              // rename happens AFTER the batch's write completed, so a
+              // reader's view is always a complete file under either
+              // name — the same finalize-then-rename window as the
+              // reference's temp-file protocol (KPW:327-354).
+              val path =
+                if (cfg.referenceFileNaming &&
+                    f.getPath.getName.startsWith("part-")) {
+                  val shard = f.getPath.getName.split("-")(1).toInt
+                  val fmt = java.time.format.DateTimeFormatter
+                    .ofPattern("yyyyMMdd-HHmmssSSS")
+                    .withZone(java.time.ZoneOffset.UTC)
+                  var ts = java.time.Instant.now()
+                  var target = new org.apache.hadoop.fs.Path(f.getPath.getParent,
+                    s"${fmt.format(ts)}_${cfg.instanceName}_$shard.parquet")
+                  while (fs.exists(target)) { // same-shard same-ms file
+                    ts = ts.plusMillis(1)
+                    target = new org.apache.hadoop.fs.Path(f.getPath.getParent,
+                      s"${fmt.format(ts)}_${cfg.instanceName}_$shard.parquet")
+                  }
+                  fs.rename(f.getPath, target)
+                  target.toString
+                } else f.getPath.toString
+              seenFiles.add(path)
               runBytes.addAndGet(f.getLen)
               metrics.recordClosedFile(f.getLen)
             }

@@ -45,7 +45,15 @@ final case class PipelineConfig(
     parquetBlockSize: Long = 128L * 1024 * 1024,
     parquetPageSize: Long = 1024 * 1024,
     dictionaryEnabled: Boolean = true,
-    delivery: DeliveryMode = DeliveryMode.ExactlyOnce) {
+    delivery: DeliveryMode = DeliveryMode.ExactlyOnce,
+    /** Rename finalized files to the reference's
+      * `<yyyyMMdd-HHmmssSSS>_<instanceName>_<shardIndex>.parquet`
+      * scheme (KPW:315-320, defaults KPW:489-491). Only honored in
+      * [[DeliveryMode.AtLeastOnceSized]]: the exactly-once sink's
+      * `_spark_metadata` commit log records file names, so renaming
+      * there would desync the log — the same reason the reference
+      * only names files it owns the commit protocol for. */
+    referenceFileNaming: Boolean = false) {
   PipelineConfig.validate(this)
 }
 

@@ -121,6 +121,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.forall(s => s > 0 && s <= cap * 1.1))
   }
 
+  test("S9 exact naming: sized-roller files follow <time>_<instance>_<shard>.parquet") {
+    import spark.implicits._
+    val out = tmp("graft-named")
+    val cfg = PipelineConfig(targetDir = out, checkpointDir = tmp("graft-ckpt"),
+      instanceName = "writer1", maxFileSize = 100L * 1024,
+      maxFileOpenDuration = 1.second, writerParallelism = 2,
+      delivery = DeliveryMode.AtLeastOnceSized, referenceFileNaming = true)
+    val stream = MemoryStream[Array[Byte]](7, spark, None)
+    val h = newPipeline(cfg).start(stream.toDF(), JsonCodec(sampleSchema))
+    try {
+      for (b <- 0 until 2) {
+        stream.addData((b * 4000 until (b + 1) * 4000).map(jsonBytes))
+        h.processAllAvailable()
+      }
+    } finally h.stop()
+
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    assert(files.length > 1)
+    // KPW:315-320 scheme with the default yyyyMMdd-HHmmssSSS pattern
+    val scheme = """\d{8}-\d{9}_writer1_\d+\.parquet""".r
+    files.foreach(f => assert(scheme.matches(f), s"unexpected file name $f"))
+    assert(files.distinct.length == files.length)
+    // shard indices come from the writing tasks
+    assert(files.map(_.split("_").last.stripSuffix(".parquet").toInt).toSet
+      .subsetOf(Set(0, 1)))
+    // data unharmed by the renames
+    assert(spark.read.schema(sampleSchema).parquet(out).count() == 8000)
+  }
+
   test("steady-state sized roller size accuracy vs the reference band (KPWT:183-186)") {
     import spark.implicits._
     val out = tmp("graft-band")
