@@ -165,6 +165,63 @@ object Retrieval {
         .limit(20)
     }),
 
+    // q175: embedding-space health report — pairwise squared
+    // distances between per-label centroids, all in exact integers
+    // (floor-milli rows → per-(label, dim) sums → micro-unit centroid
+    // components → 45-pair self-join over a 640-row relation). The
+    // only corpus-scale stage is the posexplode + partial-aggregated
+    // dim sum; everything after runs on |labels|×|dims| rows. The
+    // report a curation dashboard uses to spot label collapse
+    // (centroids too close) before training.
+    "q175_label_centroid_dist" -> ((s, d) => {
+      val cent = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "dim", "x")
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * lit(1000.0)).cast("long").as("milli"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("milli")).cast("long").as("sm"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), expr("(sm * 1000L) div n").as("c_micro"))
+      val a = cent.select(col("label").as("label_a"), col("dim"),
+        col("c_micro").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("dim").as("dim_b"),
+        col("c_micro").as("cb"))
+      a.join(b, col("dim") === col("dim_b") && col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+          .cast("long").as("sq_dist_micro2"))
+    }),
+
+    // q176: hard-negative mining — for a deterministic ~1/16 hash
+    // sample of anchor vectors, the nearest DIFFERENT-label vector by
+    // exact integer squared distance on floor-milli components
+    // (`zip_with` + `aggregate` higher-order functions — codegen'd,
+    // no UDF). The anchors×corpus join is the candidate generator a
+    // contrastive-training pipeline runs after ANN cell pruning; at
+    // 100 TB the corpus side would first restrict to the anchor's IVF
+    // probe cells (q62's operator) — the scoring algebra here is
+    // unchanged by that composition.
+    "q176_hard_negatives" -> ((s, d) => {
+      val m = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+            .as("mm"))
+      val anchors = m
+        .filter(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) === "0")
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("mm").as("am"))
+      val scored = anchors.join(m, col("label") =!= col("alabel"))
+        .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+          expr("aggregate(zip_with(am, mm, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+            .as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("aid")).orderBy(col("d2"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("alabel"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"), col("d2"))
+    }),
+
     // q171: source-mix concentration — per ingest source, the
     // Herfindahl–Hirschman index of its language distribution in
     // exact micro units (Σ share², share = micro-scaled integer
@@ -263,6 +320,44 @@ object Retrieval {
          |FROM ranked
          |ORDER BY rrf_micro DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    "q175_label_centroid_dist" ->
+      """WITH e AS (
+        | SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+        |   AS milli
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, dim,
+        |  CAST(CAST(sum(milli) AS BIGINT) * 1000 // count(*) AS BIGINT)
+        |   AS c_micro
+        | FROM e GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        | CAST(sum((a.c_micro - b.c_micro) * (a.c_micro - b.c_micro))
+        |  AS BIGINT) AS sq_dist_micro2
+        |FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q176_hard_negatives" ->
+      """WITH m AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mm
+        | FROM embeddings),
+        |anchors AS (
+        | SELECT vec_id AS aid, label AS alabel, mm AS am FROM m
+        | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+        |scored AS (
+        | SELECT aid, alabel, vec_id, label,
+        |  (SELECT CAST(sum((ax - vx) * (ax - vx)) AS BIGINT)
+        |   FROM (SELECT unnest(am) AS ax, unnest(mm) AS vx)) AS d2
+        | FROM anchors JOIN m ON label <> alabel),
+        |ranked AS (
+        | SELECT aid, alabel, vec_id, label, d2,
+        |  row_number() OVER (PARTITION BY aid ORDER BY d2, vec_id) AS rn
+        | FROM scored)
+        |SELECT aid, alabel, vec_id AS neg_id, label AS neg_label, d2
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q171_source_mix_hhi" ->
       """WITH by_lang AS (
