@@ -386,6 +386,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("q173 skyline plans windows over one sort — no dominance self-join") {
+    val plan = executedPlan("q173_pareto_front")
+    assert(!plan.contains("Join"),
+      s"skyline must not join:\n${plan.take(1200)}")
+    assert("Window".r.findAllIn(plan).nonEmpty)
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
