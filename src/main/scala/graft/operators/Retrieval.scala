@@ -135,15 +135,18 @@ object Retrieval {
         .select(col("user_id"), col("n"), col("v_milli"))
     }),
 
-    // q174: reciprocal-rank fusion — blend two heterogeneous rankings
-    // (lexical: 'spark' term frequency; shape: document length)
-    // without score normalization, the standard hybrid-retrieval
-    // combiner. rrf = Σ 1e6/(60+rank) in exact integer division;
-    // ranks are row_numbers with doc_id tiebreaks so both engines
-    // agree bit-for-bit. Two global row_number sorts over |docs|
-    // rows — at 100 TB rank assignment becomes the range-partitioned
-    // sort + partition-offset pattern (q141's note applies); the
-    // fusion join is keyed on doc_id.
+    // q174: hybrid-retrieval rank fusion. q128 already gates RRF
+    // algebra over two aggregate rankings of the same relation; what
+    // this adds is the HYBRID case that algebra alone doesn't cover:
+    // one ranking is corpus-derived (lexical tf of a query term, via
+    // the token explode) and most documents are absent from it — the
+    // left-join + zero-fill places every unranked doc after every
+    // ranked one in a single deterministic ranking, which is the
+    // behavior a BM25+metadata blender actually needs. rrf =
+    // Σ 1e6/(60+rank) in exact integer division; row_number ranks
+    // with doc_id tiebreaks so both engines agree bit-for-bit. At
+    // 100 TB rank assignment becomes the range-partitioned sort +
+    // partition-offset pattern (q141's note applies).
     "q174_rank_fusion" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tf = toks(s, d).filter(col("tok") === "spark")
