@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, NfcNormalize}
+import graft.functions.{FloatVecDot, LongVecSqDist, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[LongVecSqDist].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_sqdist takes exactly 2 arguments")
+        LongVecSqDist(children.head, children(1))
       }))
     e.injectFunction((
       FunctionIdentifier("nfc_normalize"),

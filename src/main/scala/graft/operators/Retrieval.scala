@@ -197,9 +197,11 @@ object Retrieval {
 
     // q176: hard-negative mining — for a deterministic ~1/16 hash
     // sample of anchor vectors, the nearest DIFFERENT-label vector by
-    // exact integer squared distance on floor-milli components
-    // (`zip_with` + `aggregate` higher-order functions — codegen'd,
-    // no UDF). The anchors×corpus join is the candidate generator a
+    // exact integer squared distance on floor-milli components,
+    // scored with the native codegen'd [[graft.functions.LongVecSqDist]]
+    // expression (the zip_with+aggregate HOF formulation was measured
+    // ~4× slower — higher-order functions never enter whole-stage
+    // codegen). The anchors×corpus join is the candidate generator a
     // contrastive-training pipeline runs after ANN cell pruning; at
     // 100 TB the corpus side would first restrict to the anchor's IVF
     // probe cells (q62's operator) — the scoring algebra here is
@@ -215,7 +217,7 @@ object Retrieval {
           col("mm").as("am"))
       val scored = anchors.join(m, col("label") =!= col("alabel"))
         .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
-          expr("aggregate(zip_with(am, mm, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          graft.functions.VectorFunctions.vec_sqdist(col("am"), col("mm"))
             .as("d2"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("aid")).orderBy(col("d2"), col("vec_id"))

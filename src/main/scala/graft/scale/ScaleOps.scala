@@ -225,6 +225,47 @@ object ScaleOps {
       .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
   }
 
+  /** Incremental [[writeManifest]]: scan ONLY files not yet present
+    * in the manifest (the append-only case — a streaming sink or
+    * compaction added files since the last build) and union their
+    * stats with the existing entries. Cost is O(new data), not
+    * O(table) — the property that makes stats maintenance viable on
+    * a table that only ever grows. Files that disappeared (compaction
+    * replaced them) are dropped from the manifest by existence check,
+    * an O(files) listing.
+    */
+  def updateManifest(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Unit = {
+    val manifestPath = s"$dir/_graft_manifest"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath)))
+      return writeManifest(spark, dir, statsCols)
+    val old = spark.read.parquet(manifestPath)
+    val known = old.select("file").collect().map(_.getString(0)).toSet
+    val live = spark.read.parquet(dir).inputFiles.toSet
+    val fresh = (live -- known).toSeq.sorted
+    val kept = old.filter(col("file").isin(live.toSeq: _*))
+    val merged =
+      if (fresh.isEmpty) kept
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        kept.unionByName(
+          spark.read.schema(spark.read.parquet(dir).schema)
+            .parquet(fresh: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+      }
+    // write-then-swap: never read and overwrite the same files in one
+    // job (the read is lazy — overwrite mode would clobber its input)
+    val tmp = s"$dir/_graft_manifest_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(manifestPath))
+  }
+
   /** Read `dir` with an inclusive range predicate on `statsCol`,
     * opening ONLY the files whose manifest [min, max] interval
     * overlaps [lo, hi]. The predicate is re-applied exactly on the

@@ -22,6 +22,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("LongVecSqDist matches the HOF fold exactly, from Column API and SQL") {
+    val milli = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+    val pairs = emb.limit(50).select(col("vec_id"), milli.as("a"))
+      .crossJoin(emb.limit(7).select(milli.as("b")))
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, v) -> acc + v)")
+    assert(pairs
+      .withColumn("n", VectorFunctions.vec_sqdist(col("a"), col("b")))
+      .withColumn("h", hof)
+      .filter(col("n") =!= col("h")).count() == 0)
+    // SQL surface via GraftExtensions
+    assert(pairs
+      .withColumn("n", expr("vec_sqdist(a, b)"))
+      .withColumn("h", hof)
+      .filter(col("n") =!= col("h")).count() == 0)
+    // self-distance is zero; non-long arrays rejected at analysis
+    assert(pairs.filter(VectorFunctions.vec_sqdist(col("a"), col("a")) =!= 0L)
+      .count() == 0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(VectorFunctions.vec_sqdist(col("embedding"), col("embedding")))
+        .collect()
+    }
+  }
+
   test("FloatVecDot null semantics: null input -> null output") {
     val r = emb.limit(1)
       .withColumn("nullvec", lit(null).cast("array<float>"))

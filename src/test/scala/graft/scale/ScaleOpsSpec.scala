@@ -185,5 +185,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     // empty-range pruning keeps the schema and returns nothing
     val none = ScaleOps.prunedRead(spark, zDir, "vb", 100000L, 200000L)
     assert(none.count() == 0 && none.columns.toSeq == naive.columns.toSeq)
+
+    // incremental maintenance: append new files, update scans only
+    // them, pruned reads see the appended rows
+    import spark.implicits._
+    Seq((9999L, 77L), (9998L, 78L)).toDF("ux", "vb")
+      .coalesce(1).write.mode("append").parquet(zDir)
+    ScaleOps.updateManifest(spark, zDir, Seq("ux", "vb"))
+    val man = spark.read.parquet(s"$zDir/_graft_manifest")
+    assert(man.count() == spark.read.parquet(zDir).inputFiles.length)
+    val hit = ScaleOps.prunedRead(spark, zDir, "ux", 9998L, 9999L)
+    assert(hit.count() == 2)
+    assert(hit.inputFiles.length == 1, "only the appended file should be planned")
   }
 }
