@@ -145,6 +145,65 @@ object Analytics3 {
         .agg(count(lit(1)).as("n"),
           min(col("ux")).as("min_user"), max(col("ux")).as("max_user"),
           min(col("vb")).as("min_val"), max(col("vb")).as("max_val"))
+    }),
+
+    // q177: recency-weighted engagement — exponential half-life decay
+    // done EXACTLY: each event's milli-value is right-shifted by its
+    // age in 28-day half-lives (integer `div 2^k` = the decay factor
+    // 2^-k with floor semantics, identical in both engines; shift
+    // capped at 62 so the divisor stays in BIGINT). The usual
+    // `value * exp(-age/τ)` float scoring can't be hash-gated; the
+    // shift formulation keeps half-life semantics AND exactness.
+    // Plan: scan + one user-keyed aggregation; the anchor "now" is
+    // the corpus max(ts) (1-row broadcast), so results are
+    // reproducible for a frozen corpus at any wall-clock.
+    "q177_decayed_engagement" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vm"))
+      val mx = ev.agg(max(col("ts")).as("now_ts"))
+      ev.join(broadcast(mx))
+        .withColumn("halves",
+          least(expr("(unix_micros(now_ts) - unix_micros(ts)) div 2419200000000L"),
+            lit(62L)))
+        .withColumn("decayed", expr("vm div shiftleft(1L, CAST(halves AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("decayed")).cast("long").as("score_milli"),
+          max(col("ts")).as("last_seen"))
+    }),
+
+    // q178: per-group OLS trend — slope of value over time per event
+    // type, in exact integer rational form: with x = days since the
+    // corpus min date and y = floor-milli value, slope = (nΣxy −
+    // ΣxΣy)/(nΣx² − (Σx)²) is a ratio of exact BIGINT sums; the
+    // gated output is its micro-scaled integer quotient plus both
+    // raw numerator and denominator, so ranking/thresholding never
+    // touches a float. One scan + one per-type aggregation (all five
+    // sums in the same pass — the single-pass sufficient-statistics
+    // shape every distributed regression uses).
+    "q178_value_trend" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * lit(1000.0)).cast("long").as("y"))
+      val mn = ev.agg(min(col("ts")).as("t0"))
+      ev.join(broadcast(mn))
+        .withColumn("x", expr("(unix_micros(ts) - unix_micros(t0)) div 86400000000L"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        .select(col("event_type"), col("n"),
+          expr("n * sxy - sx * sy").as("slope_num"),
+          expr("n * sxx - sx * sx").as("slope_den"),
+          // 1e3 scale, not 1e6: |num| reaches ~2e12 at sf0.1, so the
+          // milli quotient keeps ~5000× BIGINT headroom for larger
+          // corpora (y is already milli-scaled, so this is micro
+          // value-units per day)
+          expr("(1000L * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+            .as("slope_milli_per_day"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -229,5 +288,39 @@ object Analytics3 {
         | min(ux) AS min_user, max(ux) AS max_user,
         | min(vb) AS min_val, max(vb) AS max_val
         |FROM zc, mx
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "q177_decayed_engagement" ->
+      """WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+        |ev AS (
+        | SELECT user_id, ts,
+        |  CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+        |  least((epoch_us(now_ts) - epoch_us(ts)) // 2419200000000, 62)
+        |   AS halves
+        | FROM events, mx)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(vm // (1::BIGINT << CAST(halves AS INT))) AS BIGINT)
+        |  AS score_milli,
+        | max(ts) AS last_seen
+        |FROM ev GROUP BY 1""".stripMargin,
+
+    "q178_value_trend" ->
+      """WITH t0 AS (SELECT min(ts) AS tmin FROM events),
+        |ev AS (
+        | SELECT event_type,
+        |  (epoch_us(ts) - epoch_us(tmin)) // 86400000000 AS x,
+        |  CAST(floor(value * 1000.0) AS BIGINT) AS y
+        | FROM events, t0),
+        |s AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        | FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        | CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+        |  AS slope_milli_per_day
+        |FROM s""".stripMargin)
 }
