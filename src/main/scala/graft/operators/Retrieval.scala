@@ -227,6 +227,61 @@ object Retrieval {
           col("vec_id").as("neg_id"), col("label").as("neg_label"), col("d2"))
     }),
 
+    // q179: per-source document caps — the "max N docs per domain"
+    // anti-monoculture rule every web-scale corpus applies, executed
+    // through the NATIVE TopKPerGroupExec physical operator (partial
+    // top-k per input partition BEFORE the shuffle, so the exchange
+    // carries ≤ k rows per source per partition — the window
+    // row_number formulation the oracle uses would shuffle every
+    // document). Keep the 3 longest per source, doc_id tiebreak.
+    "q179_source_caps" -> ((s, d) => {
+      graft.plans.TopKPerGroup.topK(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        k = 3)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+    }),
+
+    // q180: training-export capstone — the composed tail of the
+    // pipeline: quality floor → overlapping chunking (q169's op) →
+    // exact chunk dedup keeping the earliest occurrence → hash-shard
+    // assignment → per-shard manifest with an order-independent
+    // checksum. Every stage is an operator gated individually
+    // upstream; composition adds one groupBy per stage and nothing
+    // driver-side. The checksum folds each fingerprint's first 4 hex
+    // digits to an integer via position arithmetic (the q85
+    // construction — portable to any engine with instr/substr) and
+    // SUMS them, so it is partitioning-independent by construction.
+    "q180_training_export" -> ((s, d) => {
+      val chunks = t(s, d, "documents")
+        .filter(col("n_chars") >= 100)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("arr"))
+        .withColumn("n", size(col("arr")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n") - 1, lit(8))).as("cs"),
+          col("arr"))
+        .select(col("doc_id"), col("cs"),
+          md5(concat_ws(" ", slice(col("arr"), col("cs") + 1, lit(16)))).as("fp"))
+      val deduped = chunks
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("cs"))).as("first"))
+        .select(col("fp"), col("first.doc_id").as("doc_id"))
+      deduped
+        .withColumn("h0", expr("instr('0123456789abcdef', substr(fp, 1, 1)) - 1"))
+        .withColumn("chk",
+          expr("""(instr('0123456789abcdef', substr(fp, 1, 1)) - 1) * 4096
+                 | + (instr('0123456789abcdef', substr(fp, 2, 1)) - 1) * 256
+                 | + (instr('0123456789abcdef', substr(fp, 3, 1)) - 1) * 16
+                 | + (instr('0123456789abcdef', substr(fp, 4, 1)) - 1)""".stripMargin))
+        .groupBy((col("h0") % 8).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("chk")).cast("long").as("checksum"))
+    }),
+
     // q171: source-mix concentration — per ingest source, the
     // Herfindahl–Hirschman index of its language distribution in
     // exact micro units (Σ share², share = micro-scaled integer
@@ -325,6 +380,44 @@ object Retrieval {
          |FROM ranked
          |ORDER BY rrf_micro DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    "q179_source_caps" ->
+      """SELECT source, doc_id, n_chars
+        |FROM (SELECT source, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q180_training_export" ->
+      """WITH arrs AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr,
+        |  len(regexp_extract_all(lower(text), '\S+')) AS n
+        | FROM documents WHERE n_chars >= 100),
+        |chunks AS (
+        | SELECT doc_id, unnest(generate_series(0, n - 1, 8)) AS cs, arr, n
+        | FROM arrs WHERE n > 0),
+        |fps AS (
+        | SELECT doc_id, cs,
+        |  md5(array_to_string(arr[cs + 1 : cs + 16], ' ')) AS fp
+        | FROM chunks),
+        |deduped AS (
+        | SELECT fp, doc_id FROM (
+        |  SELECT fp, doc_id,
+        |   row_number() OVER (PARTITION BY fp ORDER BY doc_id, cs) AS rn
+        |  FROM fps)
+        | WHERE rn = 1)
+        |SELECT CAST((instr('0123456789abcdef', substr(fp, 1, 1)) - 1) % 8
+        |   AS INT) AS shard,
+        | count(*) AS n_chunks,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum((instr('0123456789abcdef', substr(fp, 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(fp, 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(fp, 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(fp, 4, 1)) - 1)) AS BIGINT)
+        |  AS checksum
+        |FROM deduped
+        |GROUP BY 1""".stripMargin,
 
     "q175_label_centroid_dist" ->
       """WITH e AS (
