@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
     e.injectPlannerStrategy(session => graft.plans.TopKPerGroupStrategy(
       session.conf.get("graft.topk.partialMaxGroups", (1 << 20).toString).toInt))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
 /** As-of (temporal) join — an operator Spark's DataFrame API lacks.
   *
   * Per SURVEY §2's preference order this is implemented by
-  * '''composing built-ins''' (option a), not a custom SparkPlan: the
-  * two sides are tagged, unioned, hash-partitioned by key and sorted
-  * by (time, tag); a `last(_, ignoreNulls)` running window then
-  * forward-fills each left row with the most recent right row at or
-  * before its timestamp.
+  * '''composing built-ins''' (option a): the two sides are tagged,
+  * unioned, hash-partitioned by key and sorted by (time, tag); a
+  * `last(_, ignoreNulls)` running window then forward-fills each left
+  * row with the most recent right row at or before its timestamp.
+  * A native physical operator with the same semantics also exists
+  * ([[graft.plans.AsOfJoinExec]], gated by q181) — see its scaladoc
+  * for the structural trade-off; this composed form remains the
+  * default below bucketed-layout scale.
   *
   * Scale behavior: exactly one shuffle (by key) + one in-partition
   * sort — the same cost envelope as a sort-merge join, with no
@@ -102,10 +105,42 @@ object AsOf {
         tolerance = Some("INTERVAL 90 DAY"))
         .select(col("event_id"), col("user_id"),
           col("o_orderkey").as("recent_orderkey"))
+    }),
+
+    // q181: the SAME as-of semantics through the NATIVE
+    // [[graft.plans.AsOfJoinExec]] physical operator (sorted merge
+    // over co-partitioned sides, O(1) state per key) instead of the
+    // union+window composition — both gated against DuckDB's ASOF
+    // LEFT JOIN, so the two implementations are pinned equivalent
+    // through the oracle. Plan shape guarded in AsOfJoinSpec.
+    "q181_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.plans.AsOfJoin
+        .asofJoinNative(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("o_orderkey").as("last_orderkey"),
+          round(col("o_totalprice"), 2).as("last_order_price"))
     }))
 
   def oracleSql: Map[String, String] = Map(
     "q53_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |   max(o_orderkey) AS o_orderkey,
+        |   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT event_id, user_id, event_type,
+        | o_orderkey AS last_orderkey,
+        | round(o_totalprice, 2) AS last_order_price
+        |FROM events ASOF LEFT JOIN ord
+        |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin,
+
+    "q181_asof_native" ->
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate,
         |   max(o_orderkey) AS o_orderkey,
