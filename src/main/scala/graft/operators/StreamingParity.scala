@@ -135,6 +135,25 @@ object StreamingParity {
     s.table(name)
   }
 
+  /** Append-mode twin of [[runToCompletion]] for STATELESS stream
+    * transforms (joins/maps with no aggregation): every input row is
+    * emitted exactly once, so the memory sink accumulates the full
+    * result set. */
+  private def runAppendToCompletion(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    dropPriorSinks(s)
+    liveSinks.add((s, name))
+    val q = withStateParts(s, 8) {
+      df.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   /** q143's count-min geometry and row hashes — shared verbatim by the
     * streaming state update (plain Scala) and the post-process
     * estimate expression (Column arithmetic), so the two sides are
@@ -583,6 +602,32 @@ object StreamingParity {
       runToCompletion(agg, s"graft_stream_enrich_${runId.incrementAndGet()}")
     }),
 
+    // q182: streaming AS-OF enrichment — each event gets the user's
+    // most recent order AT EVENT TIME, while the data is in flight.
+    // A stream cannot be sorted, so the batch as-of formulations
+    // (q53's union+window, q181's sorted merge) don't apply; the
+    // streaming-correct shape when the right side is a dimension is
+    // to broadcast each key's ORDER HISTORY as a sorted array and
+    // resolve the as-of per row with codegen'd array expressions
+    // (filter ≤ ts, take last) — a stateless stream-static join +
+    // map, so there is no watermark and no state store at all. At
+    // 100 TB the history dim is |customers| rows with bounded
+    // per-key arrays — the same broadcast budget as any dimension.
+    "q182_stream_asof_enrich" -> ((s, d) => {
+      val hist = broadcast(Tables(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(
+          col("o_orderdate").as("d"), col("o_orderkey").as("k")))).as("hist")))
+      val joined = eventStream(s, d)
+        .join(hist, col("user_id") === col("o_custkey"), "left")
+        .select(col("event_id"), col("user_id"),
+          expr("try_element_at(filter(hist, x -> x.d <= ts), -1).k")
+            .as("last_orderkey"))
+      runAppendToCompletion(joined, s"graft_stream_asof_${runId.incrementAndGet()}")
+    }),
+
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
         .withWatermark("ts", "24 hours")
@@ -717,5 +762,13 @@ object StreamingParity {
       """SELECT event_type, count(DISTINCT event_id) AS n_events,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         | TRUE AS approx_ok
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q182_stream_asof_enrich" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT event_id, user_id, o_orderkey AS last_orderkey
+        |FROM events ASOF LEFT JOIN ord
+        |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin)
 }
