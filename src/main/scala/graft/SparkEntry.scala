@@ -26,6 +26,7 @@ object SparkEntry {
       (operators.Analytics3.queries, operators.Analytics3.oracleSql),
       (operators.StreamingParity.queries, operators.StreamingParity.oracleSql),
       (streaming.ProtoParity.queries, streaming.ProtoParity.oracleSql),
+      (sources.SourceQueries.queries, sources.SourceQueries.oracleSql),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SyntheticEventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def read(n: Long, slices: Int = 8) =
+    spark.read.format("graft_synth")
+      .option("numRows", n).option("slices", slices).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("batch read matches the plain-Scala generator row for row") {
+    val rows = read(1000, slices = 4).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(rows.length === 1000)
+    val expected = (0L until 1000L).map(i =>
+      (i, SyntheticEvents.tsMs(i), SyntheticEvents.userId(i),
+        SyntheticEvents.eventType(i), SyntheticEvents.valueMicro(i)))
+    assert(rows.sortBy(_._1).toSeq === expected)
+  }
+
+  test("id-range pushdown narrows the generated range, results stay exact") {
+    // The ScanBuilder absorbs the conjunctive range into [20000,30000)
+    // BEFORE split planning (narrow-then-split: the selected range gets
+    // the full slice parallelism, rather than static splits with 7 of
+    // 8 pruned away). The description carries the narrowed range and
+    // the absorbed filters as plan-shape evidence.
+    val df = read(80000).filter($"id" >= 20000L && $"id" < 30000L)
+    val scan = scanOf(df)
+    assert(scan.inputRDD.getNumPartitions === 8)
+    assert(scan.scan.description().contains("range=[20000,30000)"))
+    assert(scan.scan.description().contains("GreaterThanOrEqual"))
+    assert(df.count() === 10000L)
+    // boundary exactness: min/max survive the >=/< arithmetic
+    val mm = df.agg(min($"id"), max($"id")).as[(Long, Long)].head()
+    assert(mm === ((20000L, 29999L)))
+  }
+
+  test("equality pushdown plans a single one-row split") {
+    val df = read(80000).filter($"id" === 42L)
+    assert(scanOf(df).inputRDD.getNumPartitions === 1)
+    assert(df.select($"event_type").as[String].collect().toSeq ===
+      Seq(SyntheticEvents.eventType(42)))
+  }
+
+  test("non-id predicates stay residual and still filter correctly") {
+    val df = read(10000).filter($"event_type" === "click")
+    val expected = (0L until 10000L).count(SyntheticEvents.eventType(_) == "click")
+    assert(df.count() === expected.toLong)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read(1000).select($"event_type", $"user_id")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSet === Set("event_type", "user_id"))
+    assert(df.distinct().count() > 0)
+  }
+
+  test("micro-batch replay tiles the range exactly once") {
+    val n = 20000L
+    val stream = spark.readStream.format("graft_synth")
+      .option("numRows", n).option("slices", 4)
+      .option("rowsPerBatch", 3000).load()
+    val q = stream.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value_micro").as("tot"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("synth_spec_replay").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("synth_spec_replay")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exp = (0L until n).map(i => (SyntheticEvents.eventType(i), SyntheticEvents.valueMicro(i)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.size.toLong, vs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got === exp)
+    spark.catalog.dropTempView("synth_spec_replay")
+  }
+
+  test("restart from checkpoint resumes at the committed offset (exactly-once)") {
+    val n = 12000L
+    val dir = java.nio.file.Files.createTempDirectory("synth_restart").toFile
+    val cp = new java.io.File(dir, "cp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    def start() = spark.readStream.format("graft_synth")
+      .option("numRows", n).option("slices", 4)
+      .option("rowsPerBatch", 2000).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", cp).option("path", out).start()
+    // first run: stop after at least one committed batch
+    val q1 = start()
+    try {
+      var waited = 0
+      while (q1.recentProgress.length < 2 && waited < 300) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0 && afterFirst < n,
+      s"expected a partial first run, got $afterFirst of $n")
+    // second run: drain to completion from the WAL
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until n).toSeq) // no loss, no duplicates
+  }
+}
