@@ -290,6 +290,55 @@ object TextDedup {
     // (no quadratic jaccard join; bucket join on 4 band hashes).
     "q29_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
 
+    // q185: shingle CONTAINMENT pairs (Broder 1997's second measure).
+    // Jaccard (q28) is symmetric and goes to ~|A|/|B| when a small doc
+    // A is embedded verbatim in a much larger B — exactly the quote/
+    // boilerplate-inclusion case resemblance misses. Containment of
+    // the smaller set, |A∩B| / min(|A|,|B|), stays 1.0 there. Same
+    // df-capped shingle relation and pair join as q28 (one extra
+    // column of arithmetic, zero extra shuffles); threshold 0.8 in
+    // exact integer micro-units.
+    "q185_shingle_containment" -> ((s, d) => {
+      val sh = filteredShingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("cont_micro", expr("c * 1000000L div least(na, nb)"))
+        .filter(col("cont_micro") >= 800000L)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("cont_micro"))
+    }),
+
+    // q186: canonical-document selection per near-dup cluster — the
+    // decision step after q68's clusters: keep the longest member
+    // (doc_id as deterministic tiebreak), purge the rest, account the
+    // reclaimed bytes. One window pass over the labeled membership
+    // (row_number + count + sum share the cluster-hash exchange); the
+    // corpus join is by doc_id key only. This is the manifest a 100 TB
+    // dedup job actually executes against object storage.
+    "q186_cluster_canonical" -> ((s, d) => {
+      val labels = Components.minLabel(minhashPairs(s, d), "doc_a", "doc_b")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val m = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+        .join(docs, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      val wo = w.orderBy(col("n_chars").desc, col("doc_id").asc)
+      m.withColumn("rk", row_number().over(wo))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("chars_total", sum(col("n_chars")).over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("canonical_doc"),
+          col("cluster_size"),
+          (col("cluster_size") - 1).as("n_purged"),
+          (col("chars_total") - col("n_chars")).as("chars_purged"))
+    }),
+
     // q49: corpus-cleaning capstone — the composed training-data
     // pipeline: exact dedup (keep min doc per fingerprint) → MinHash
     // near-dup removal (greedy: drop the larger id of each candidate
@@ -699,6 +748,43 @@ object TextDedup {
       s"""$filteredShinglesCte,
          |$minhashPairsCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "q185_shingle_containment" ->
+      s"""$filteredShinglesCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, na, nb, cont_micro FROM (
+         |  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+         |   CAST(c * 1000000 // least(sa.n, sb.n) AS BIGINT) AS cont_micro
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE cont_micro >= 800000""".stripMargin,
+
+    "q186_cluster_canonical" ->
+      s"""${filteredShinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$minhashPairsCte,
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach AS (
+         |  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM edges)
+         |  UNION
+         |  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         | lab AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+         | m AS (SELECT l.doc_id, l.cluster, d.n_chars
+         |   FROM lab l JOIN documents d USING (doc_id)),
+         | rk AS (SELECT doc_id, cluster, n_chars,
+         |   row_number() OVER (PARTITION BY cluster
+         |     ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |   count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |   sum(n_chars) OVER (PARTITION BY cluster) AS chars_total FROM m)
+         |SELECT cluster, doc_id AS canonical_doc, cluster_size,
+         |  CAST(cluster_size - 1 AS BIGINT) AS n_purged,
+         |  CAST(chars_total - n_chars AS BIGINT) AS chars_purged
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     "q49_corpus_clean" ->
       s"""$filteredShinglesCte,

