@@ -678,6 +678,39 @@ object Analytics2 {
       e1.join(e2, col("e1.p2") === col("e2.p1"))
         .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
         .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    }),
+
+    // q188: per-node CLUSTERING COEFFICIENT on the same thresholded
+    // co-purchase graph — 2·T(v) / (deg(v)·(deg(v)−1)) in exact
+    // integer micro-units. q126's global triangle listing becomes a
+    // per-node metric by unioning the three corners before one
+    // count-by-node; degree is the same union trick on the edge
+    // endpoints. No new join shapes beyond q126's (persisted) pair
+    // relation, so the scale posture is inherited: the id-oriented
+    // triangle join (p1<p2 orientation) bounds each edge's probe
+    // fan-out to its higher-degree endpoint's forward neighbors.
+    "q188_clustering_coeff" -> ((s, d) => {
+      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
+        .select(col("p1"), col("p2"))
+      val e1 = edges.as("e1")
+      val e2 = edges.as("e2")
+      val e3 = edges.as("e3")
+      val tri = e1.join(e2, col("e1.p2") === col("e2.p1"))
+        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      val tcnt = tri.select(col("a").as("v"))
+        .union(tri.select(col("b")))
+        .union(tri.select(col("c")))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+      val deg = edges.select(col("p1").as("v"))
+        .union(edges.select(col("p2")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(tcnt, Seq("v"), "left")
+        .select(col("v").as("pk"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("2 * coalesce(n_tri, 0L) * 1000000L div (deg * (deg - 1))")
+            .as("coeff_micro"))
     }))
 
   /** Shared oracle text: the 10-step BPE induction CTE chain (words →
@@ -1189,5 +1222,30 @@ object Analytics2 {
         |SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
         |FROM edges e1
         |JOIN edges e2 ON e1.p2 = e2.p1
-        |JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2""".stripMargin)
+        |JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2""".stripMargin,
+
+    "q188_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        | edges AS (
+        |  SELECT a.pk AS p1, b.pk AS p2
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.p2 = e2.p1
+        |  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        | tcnt AS (SELECT v, count(*) AS n_tri FROM (
+        |   SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY v),
+        | deg AS (SELECT v, count(*) AS deg FROM (
+        |   SELECT p1 AS v FROM edges UNION ALL SELECT p2 FROM edges)
+        |  GROUP BY v)
+        |SELECT deg.v AS pk, deg.deg,
+        |  COALESCE(tcnt.n_tri, 0) AS n_tri,
+        |  CAST(2 * COALESCE(tcnt.n_tri, 0) * 1000000
+        |       // (deg.deg * (deg.deg - 1)) AS BIGINT) AS coeff_micro
+        |FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
+        |WHERE deg.deg >= 2""".stripMargin)
 }

@@ -35,7 +35,47 @@ object Retrieval {
     """SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
       |  FROM documents""".stripMargin
 
+  /** q187's query workload: a tiny phrase table (the query side of a
+    * phrase-search serving layer). Kept as data, not constants baked
+    * into the plan, so the operator shape is the production one:
+    * broadcast(phrases) ⋈ postings. */
+  private val phraseSet = Seq(
+    (1L, "batch batch"), (2L, "merge sort"), (3L, "join order batch"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q187: exact PHRASE SEARCH over a positional inverted index —
+    // the retrieval operator q125's document-level postings can't
+    // answer (order matters: "merge sort" ≠ "sort merge"). The
+    // classic n-way positional intersection is expressed as ONE
+    // equi-join: postings (doc, pos, tok) ⋈ broadcast phrase terms
+    // (term, offset) aligned on start = pos − offset; a start is an
+    // occurrence iff it matched all L distinct offsets (repeated
+    // terms like "batch batch" are handled by counting DISTINCT
+    // offsets, not rows). At 100 TB the corpus is touched once by
+    // the explode; the join carries only postings whose token appears
+    // in some query phrase — the standard term-selectivity win of an
+    // inverted index.
+    "q187_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val pdf = phraseSet.toDF("phrase_id", "phrase")
+        .select(col("phrase_id"),
+          size(split(col("phrase"), " ")).as("plen"),
+          posexplode(split(col("phrase"), " ")))
+        .toDF("phrase_id", "plen", "offset", "term")
+      val postings = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))))
+        .toDF("doc_id", "pos", "tok")
+      postings.join(broadcast(pdf), col("tok") === col("term"))
+        .withColumn("start", col("pos") - col("offset"))
+        .filter(col("start") >= 0)
+        .groupBy(col("doc_id"), col("phrase_id"), col("start"), col("plen"))
+        .agg(count_distinct(col("offset")).as("hit"))
+        .filter(col("hit") === col("plen"))
+        .groupBy(col("doc_id"), col("phrase_id"))
+        .agg(count(lit(1)).as("n_occ"))
+    }),
+
     // q168: BM25 top-k retrieval (k1=1.2, b=0.75 cleared to the
     // integer form 44·tf·D / (20·tf·D + 6·D + 18·dl·N), scaled to
     // micro units). The query-term postings (tf) are restricted at
@@ -299,6 +339,23 @@ object Retrieval {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q187_phrase_search" -> {
+      val phraseValues = phraseSet.map { case (id, p) =>
+        s"($id, [${p.split(' ').map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+         | ph AS (SELECT * FROM (VALUES $phraseValues) AS t(phrase_id, terms)),
+         | occ AS (
+         |  SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id,
+         |   CAST(len(list_filter(
+         |     generate_series(1, greatest(len(ws) - len(terms) + 1, 0)),
+         |     s -> len(list_filter(generate_series(1, len(terms)),
+         |            i -> ws[s + i - 1] = terms[i])) = len(terms)))
+         |    AS BIGINT) AS n_occ
+         |  FROM toks CROSS JOIN ph)
+         |SELECT doc_id, phrase_id, n_occ FROM occ WHERE n_occ > 0""".stripMargin
+    },
     "q168_bm25_topk" ->
       s"""WITH tk AS ($sqlToks),
          |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),

@@ -35,6 +35,23 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("q188 clustering coefficient: bounds, corner-count parity with q126, degree floor") {
+    val rows = q("q188_clustering_coeff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("deg") >= 2L)
+      val cm = r.getAs[Long]("coeff_micro")
+      assert(cm >= 0L && cm <= 1000000L, s"coefficient out of [0,1]: $cm")
+    }
+    // per-node triangle counts must equal corner frequencies in q126's listing
+    val tri = q("q126_copurchase_triangles").collect()
+      .flatMap(r => Seq(r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tri") === tri.getOrElse(r.getAs[Long]("pk"), 0L))
+    }
+  }
+
   test("q123 Markov transitions: counts conserve rows and shares sum to ~1e6") {
     val rows = q("q123_markov_transitions").collect()
     val nEvents = graft.Tables(spark, sf, "events").count()
