@@ -38,6 +38,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("q187 phrase search broadcasts the phrase terms, no nested loop") {
+    val plan = executedPlan("q187_phrase_search")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q186 canonical selection: all three window functions share one cluster exchange") {
+    val df = SparkEntry.queries("q186_cluster_canonical")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints BOTH the initial and final
+    // plans — count only the final section or every exchange doubles
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // row_number + count + sum over the cluster key must not add
+    // exchanges beyond the label join's — the windows run back to back
+    // on one hashpartitioning(cluster) exchange
+    val clusterExchanges = "hashpartitioning\\(cluster".r.findAllIn(plan).length
+    assert(clusterExchanges <= 1, s"windows must share the cluster exchange:\n${plan.take(1500)}")
+  }
+
   test("q41 binned range join is an equi-join (no nested-loop/cartesian)") {
     val plan = executedPlan("q41_range_join_binned")
     assert(!plan.contains("CartesianProduct"))
