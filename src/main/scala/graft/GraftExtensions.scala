@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, LongVecSqDist, NfcNormalize}
+import graft.functions.{FloatVecDot, LongTopK, LongVecSqDist, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[LongTopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_topk takes exactly 2 arguments")
+        // the analyzer wraps a bare AggregateFunction into its
+        // AggregateExpression, same as built-in aggregate builders
+        LongTopK(children.head, children(1))
       }))
     e.injectTableFunction((
       FunctionIdentifier("graft_date_spine"),

@@ -122,6 +122,24 @@ object Relational3 {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // q189: top-5 line values per return flag through the NATIVE
+    // graft_topk TypedImperativeAggregate (functions/LongTopK.scala) —
+    // the aggregate-function-level twin of q91's whole-plan operator.
+    // The heap buffer keeps the partial-aggregate state at O(k) longs
+    // per (partition, group) where collect_list+slice would carry the
+    // whole group through the shuffle. Values are exact cents
+    // (DECIMAL-routed, q01 money policy); result exploded to scalar
+    // rows so ordering is gated too. SQL surface: the same function is
+    // registered as `graft_topk` by GraftExtensions (spec-covered).
+    "q189_native_topk_agg" -> ((s, d) => {
+      val cents = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.LongTopK.column(cents, 5).as("top5"))
+        .select(col("l_returnflag"), posexplode(col("top5")))
+        .toDF("l_returnflag", "rk", "cents")
+    }),
+
     // q98: explicit bloom-filter join pruning — the build side's keys
     // are compacted into a bloom filter (a scalar subquery, ~100 KB
     // for 100k keys), the probe scan is pre-filtered by membership,
@@ -176,6 +194,15 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q189_native_topk_agg" ->
+      """WITH v AS (SELECT l_returnflag,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        | r AS (SELECT l_returnflag, cents,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY cents DESC) AS rn FROM v)
+        |SELECT l_returnflag, CAST(rn - 1 AS INT) AS rk, cents
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q86_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         | SELECT c_custkey, count(o_orderkey) AS c_count
