@@ -48,18 +48,21 @@ object SourceQueries {
     }),
 
     // q184: the SAME aggregate through the connector's micro-batch
-    // path — 10 admission-controlled batches of 5000 rows replayed
+    // path — 4 admission-controlled batches of 12500 rows replayed
     // through the offset WAL into a complete-mode streaming aggregate.
     // Matching q183's oracle minus the filter proves the offset ranges
     // tile [0, N) exactly once (no gap, no overlap) — the delivery
-    // property the reference buys with ack-after-finalize.
+    // property the reference buys with ack-after-finalize. (Batch
+    // count is the fixed per-micro-batch tax, not a data cost: the
+    // spec drives the finer 3000-row granularity; the gate needs >1
+    // batch, not 10.)
     "q184_synth_stream_replay" -> ((s, _) => {
       dropPriorSinks(s)
       val name = s"synth_replay_${runId.incrementAndGet()}"
       liveSinks.add((s, name))
       val agg = s.readStream.format("graft_synth")
         .option("numRows", N).option("slices", 8)
-        .option("rowsPerBatch", 5000).load()
+        .option("rowsPerBatch", 12500).load()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_micro")).as("total_micro"))

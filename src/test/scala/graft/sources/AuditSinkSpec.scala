@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AuditSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpManifest(): String =
+    Files.createTempDirectory("audit").resolve("manifest.json").toString
+
+  test("manifest counts every row exactly once across tasks") {
+    val p = tmpManifest()
+    val df = spark.range(0, 10000).select($"id", ($"id" % 7).as("k"))
+      .repartition(16)
+    df.write.format("graft_audit").option("path", p).mode("append").save()
+    val m = AuditSink.readManifest(p)
+    assert(m("rows") === 10000L)
+    assert(m("tasks") === 16L)
+  }
+
+  test("checksum is partition- and order-independent (multiset property)") {
+    val data = (0 until 5000).map(i => (i.toLong, s"v${i % 13}", i * 0.5))
+    val df = spark.createDataset(data).toDF("id", "s", "d")
+    val p1 = tmpManifest(); val p2 = tmpManifest(); val p3 = tmpManifest()
+    df.repartition(4).write.format("graft_audit").option("path", p1).mode("append").save()
+    df.repartition(32).orderBy($"s").write.format("graft_audit").option("path", p2).mode("append").save()
+    df.union(df.limit(1)).write.format("graft_audit").option("path", p3).mode("append").save()
+    val (m1, m2, m3) = (AuditSink.readManifest(p1), AuditSink.readManifest(p2), AuditSink.readManifest(p3))
+    assert(m1("xor") === m2("xor"))
+    assert(m1("sum") === m2("sum"))
+    assert(m1("rows") === m2("rows"))
+    // a duplicated row must change the audit (xor alone would cancel
+    // on pairs — sum and rows both catch it)
+    assert(m3("rows") !== m1("rows"))
+    assert(m3("sum") !== m1("sum"))
+  }
+
+  test("failed job publishes no manifest (atomic-rename commit)") {
+    val p = tmpManifest()
+    val boom = udf((i: Long) => {
+      if (i == 666L) throw new RuntimeException("boom")
+      i
+    })
+    val df = spark.range(0, 1000).select(boom($"id").as("id")).repartition(4)
+    intercept[Exception] {
+      df.write.format("graft_audit").option("path", p).mode("append").save()
+    }
+    assert(!Files.exists(Paths.get(p)), "manifest must not appear for a failed job")
+    assert(!Files.exists(Paths.get(p).resolveSibling(".manifest.json.tmp")),
+      "no temp residue after abort")
+  }
+
+  test("audit detects single-column corruption between two writes") {
+    val p1 = tmpManifest(); val p2 = tmpManifest()
+    val df = spark.range(0, 2000).select($"id", lit("x").as("s"))
+    df.write.format("graft_audit").option("path", p1).mode("append").save()
+    df.withColumn("s", when($"id" === 1234L, "y").otherwise($"s"))
+      .write.format("graft_audit").option("path", p2).mode("append").save()
+    val (m1, m2) = (AuditSink.readManifest(p1), AuditSink.readManifest(p2))
+    assert(m1("rows") === m2("rows"))
+    assert(m1("xor") !== m2("xor"), "corrupted column must change the checksum")
+  }
+}
