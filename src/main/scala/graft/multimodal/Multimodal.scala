@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (north-star addition): image/audio/video
@@ -286,6 +287,38 @@ object Multimodal {
             .as("chunks_fp"))
     }),
 
+    // q190: SCENE-CUT detection over the frame stream — the temporal
+    // step after q64's spatial sampling: per video, 8 frames, each
+    // reduced to an exact integer luminance proxy (byte sum), then a
+    // lag window per video flags a cut wherever the mean-luminance
+    // jump between consecutive frames exceeds 2.0 byte-units. The
+    // jump is cross-multiplied integers — |s·n_prev − s_prev·n| ·
+    // 1000 div (n · n_prev) — so the threshold never sits on a
+    // float (the q147 mean-comparison lesson applied temporally).
+    // Plan: typed flatMap (zero exchange) → one window shuffle keyed
+    // by media_id with per-video row count fixed at ≤ 8 — the shape
+    // survives any corpus size because state per key is bounded by
+    // the frame count, not the payload.
+    "q190_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val frames = sampleFrames(mediaTable(s, d), nFrames = 8)
+        .map(f => (f.media_id, f.frame_no,
+          f.frame_bytes.length.toLong,
+          f.frame_bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("media_id", "frame_no", "n", "s")
+        .filter(col("n") > 0)
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+      frames
+        .withColumn("pn", lag(col("n"), 1).over(w))
+        .withColumn("ps", lag(col("s"), 1).over(w))
+        .withColumn("jump",
+          expr("abs(s * pn - ps * n) * 1000L div (n * pn)"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("jump") > 2000L, 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(max(col("jump")), lit(0L)).as("max_jump_milli"))
+    }),
+
     // q79: the resize stub under the gate — per media type, record
     // counts and byte totals after factor-4 subsampling. The typed
     // mapPartitions path produces ceil(len/4) bytes per record,
@@ -429,6 +462,43 @@ object Multimodal {
         | CAST(min(length(cb)) AS BIGINT) AS min_chunk,
         | md5(string_agg(md5(cb), '' ORDER BY chunk_no)) AS chunks_fp
         |FROM chunks GROUP BY media_id""".stripMargin,
+
+    // Same 8-frame slicing as q64's 4-frame CTE; per-frame luminance
+    // sum via the q147 per-char idiom (ascii(substr) over a position
+    // series — ASCII payloads: char = byte). MATERIALIZED so the
+    // per-char expansion runs once.
+    "q190_scene_cuts" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |frames AS MATERIALIZED (
+        |  SELECT media_id, f AS frame_no,
+        |   CASE WHEN f * greatest(1, len // 8) >= len THEN ''
+        |    ELSE substr(text, f * greatest(1, len // 8) + 1, greatest(1, len // 8))
+        |   END AS fb
+        |  FROM vids, (SELECT unnest(generate_series(0, 7)) AS f)),
+        |fsum AS MATERIALIZED (
+        |  SELECT media_id, frame_no, CAST(max(ln) AS BIGINT) AS n,
+        |   CAST(sum(ascii(substr(fb, p, 1))) AS BIGINT) AS s
+        |  FROM (SELECT media_id, frame_no, fb, length(fb) AS ln,
+        |         unnest(generate_series(1, length(fb))) AS p
+        |        FROM frames WHERE length(fb) > 0)
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT media_id, n, s,
+        |   lag(n) OVER w AS pn, lag(s) OVER w AS ps
+        |  FROM fsum WINDOW w AS (PARTITION BY media_id ORDER BY frame_no)),
+        |jm AS (
+        |  SELECT media_id,
+        |   CASE WHEN pn IS NULL THEN NULL
+        |    ELSE CAST(abs(s * pn - ps * n) * 1000 // (n * pn) AS BIGINT)
+        |   END AS jump
+        |  FROM j)
+        |SELECT media_id, count(*) AS n_frames,
+        | CAST(coalesce(sum(CASE WHEN jump > 2000 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_cuts,
+        | CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump_milli
+        |FROM jm GROUP BY media_id""".stripMargin,
 
     "q79_resize_stats" ->
       """SELECT media_type, count(*) AS n_media,

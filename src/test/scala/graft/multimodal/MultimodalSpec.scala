@@ -58,6 +58,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perVideo.values.forall(_ == 5))
   }
 
+  test("q190 scene cuts equal a plain-Scala frame-luminance recompute") {
+    val expected = media.collect().filter(_.media_type == "video").map { m =>
+      val size = math.max(1, m.payload.length / 8)
+      val frames = (0 until 8).map { f =>
+        val from = f * size
+        if (from >= m.payload.length) Array.empty[Byte]
+        else m.payload.slice(from, math.min(m.payload.length, from + size))
+      }.filter(_.nonEmpty)
+      val stats = frames.map(b => (b.length.toLong, b.foldLeft(0L)((a, x) => a + (x & 0xff))))
+      val jumps = stats.sliding(2).collect { case Seq((pn, ps), (n, s)) =>
+        math.abs(s * pn - ps * n) * 1000L / (n * pn)
+      }.toSeq
+      m.media_id -> ((stats.size.toLong,
+        jumps.count(_ > 2000L).toLong,
+        if (jumps.isEmpty) 0L else jumps.max))
+    }.toMap
+    val got = Multimodal.queries("q190_scene_cuts")(spark, sf).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("max_jump_milli")))).toMap
+    assert(got === expected)
+  }
+
   test("fingerprint signatures: deterministic, 16-bit bands, identical payloads collide") {
     import spark.implicits._
     val sigs = Multimodal.fingerprintSignatures(media)
