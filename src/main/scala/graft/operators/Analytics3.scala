@@ -31,6 +31,44 @@ object Analytics3 {
   private val CodePat  = "\\b\\d{4}\\b"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q191: INTERVAL UNION / coverage — the overlap-merging sweep
+    // (total "active time" from possibly-overlapping sessions), the
+    // gaps-and-islands variant q122's same-state runs don't cover:
+    // here islands are defined by TEMPORAL OVERLAP, not value
+    // equality. Intervals derive deterministically from events
+    // (duration = event_id mod 3600 seconds, so the oracle is exact
+    // integer micros end to end). The sweep is the classic two-window
+    // form: a row opens a new island iff its start exceeds the
+    // running max of all previous ends; the island id is the running
+    // sum of those opens. Both windows share ONE user_id exchange and
+    // one (start, event_id) sort; per-user state is the single
+    // running max — nothing materializes an island in memory, so the
+    // plan is insensitive to how many intervals an island spans.
+    // Touching intervals (start == prev end) merge, start > pmax
+    // opens — pinned by the strict comparison, identical in both
+    // engines.
+    "q191_interval_union" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+      val iv = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + (col("event_id") % 3600) * 1000000L).as("en"))
+      iv
+        .withColumn("pmax",
+          max(col("en")).over(w.rowsBetween(Long.MinValue, -1)))
+        .withColumn("island",
+          sum(when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L)).over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"),
+          count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e1") - col("s0")).as("covered_us"),
+          max(col("n")).as("max_island_events"))
+    }),
+
     // q145: PII detection + redaction — the compliance pass every
     // training corpus goes through before tokenization. Each doc gets
     // a deterministic synthetic contact block (the fixture has no
@@ -207,6 +245,25 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q191_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |   epoch_us(ts) + (event_id % 3600) * 1000000 AS en
+        |  FROM events),
+        | m AS (SELECT user_id, event_id, st, en,
+        |   max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        | isl AS (SELECT user_id, st, en,
+        |   sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY st, event_id) AS island
+        |  FROM m),
+        | g AS (SELECT user_id, island, min(st) AS s0, max(en) AS e1,
+        |   count(*) AS n FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        | CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+        | CAST(max(n) AS BIGINT) AS max_island_events
+        |FROM g GROUP BY user_id""".stripMargin,
     "q145_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id, lang,

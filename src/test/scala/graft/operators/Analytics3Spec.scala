@@ -10,6 +10,31 @@ class Analytics3Spec extends AnyFunSuite {
 
   private def q(name: String) = Analytics3.queries(name)(spark, sf)
 
+  test("q191 interval union equals a plain-Scala sweep-line recompute") {
+    val events = graft.Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS st").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val iv = evs.map { case (_, id, st) => (st, st + (id % 3600) * 1000000L, id) }
+        .sortBy(x => (x._1, x._3))
+      // classic sweep: merge while next start <= running max end
+      var islands = List.empty[(Long, Long, Long)] // (s0, e1, n)
+      iv.foreach { case (s, e, _) =>
+        islands match {
+          case (s0, e1, n) :: rest if s <= e1 =>
+            islands = (s0, math.max(e1, e), n + 1) :: rest
+          case _ => islands = (s, e, 1L) :: islands
+        }
+      }
+      u -> ((islands.size.toLong,
+        islands.map(i => i._2 - i._1).sum,
+        islands.map(_._3).max))
+    }
+    val got = q("q191_interval_union").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   test("q145 PII redaction: planted contact is always found, redacted text is clean") {
     val rows = q("q145_pii_redaction").collect()
     val nDocs = graft.Tables(spark, sf, "documents").count()
