@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,7 +106,8 @@ private[sources] class AuditTable(writeSchema: StructType, options: CaseInsensit
   override def name(): String = s"graft_audit(${options.get("path")})"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = info.options.get("path")
     require(path != null && path.nonEmpty, "graft_audit requires a path option")
@@ -121,6 +123,7 @@ private[sources] class AuditWriteBuilder(schema: StructType, path: String)
   override def build(): Write = new Write {
     override def description(): String = s"graft_audit manifest=$path"
     override def toBatch: BatchWrite = new AuditBatchWrite(schema, path)
+    override def toStreaming: StreamingWrite = new AuditStreamingWrite(schema, path)
   }
 }
 
@@ -152,6 +155,54 @@ private[sources] class AuditBatchWrite(schema: StructType, path: String) extends
     val target = Paths.get(path)
     Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
   }
+}
+
+/** Streaming twin: one audit manifest PER EPOCH, each committed with
+  * the same temp+ATOMIC_MOVE protocol under `<path>.epoch-<n>.json`.
+  * Epoch replay after a restart re-publishes the same content to the
+  * same name (REPLACE_EXISTING) — idempotent re-commit, which with a
+  * deterministic source makes the per-epoch audit chain exactly-once.
+  * The epoch manifests COMPOSE: xor of epoch xors / sum of sums /
+  * sum of rows equal the one-shot batch audit of the same relation
+  * (spec-asserted) — a streaming delivery audit that needs no state
+  * beyond the files themselves. */
+private[sources] class AuditStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    AuditStreamingWriterFactory(schema)
+
+  private def epochPath(epochId: Long) = {
+    val target = Paths.get(path)
+    target.resolveSibling(s"${target.getFileName}.epoch-$epochId.json")
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    var count = 0L; var xor = 0L; var sum = 0L
+    messages.foreach { case AuditTaskResult(c, x, s) =>
+      count += c; xor ^= x; sum += s
+    }
+    val json =
+      s"""{"epoch": $epochId, "rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}"""
+    val target = epochPath(epochId)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val target = epochPath(epochId)
+    Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
+  }
+}
+
+private[sources] case class AuditStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new AuditWriter(schema)
 }
 
 private[sources] case class AuditWriterFactory(schema: StructType) extends DataWriterFactory {

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,6 +56,36 @@ class AuditSinkSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(p)), "manifest must not appear for a failed job")
     assert(!Files.exists(Paths.get(p).resolveSibling(".manifest.json.tmp")),
       "no temp residue after abort")
+  }
+
+  test("streaming epoch audits compose to the batch audit of the same relation") {
+    val dir = Files.createTempDirectory("audit_stream")
+    val streamManifest = dir.resolve("stream.json").toString
+    val batchManifest = dir.resolve("batch.json").toString
+    val cp = dir.resolve("cp").toString
+    val n = 20000L
+    val q = spark.readStream.format("graft_synth")
+      .option("numRows", n).option("slices", 4)
+      .option("rowsPerBatch", 4000).load()
+      .writeStream.format("graft_audit")
+      .option("path", streamManifest)
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("graft_synth")
+      .option("numRows", n).option("slices", 4).load()
+      .write.format("graft_audit").option("path", batchManifest)
+      .mode("append").save()
+    val epochs = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("stream.json.epoch-"))
+      .map(p => AuditSink.readManifest(p.toString)).toSeq
+    assert(epochs.nonEmpty)
+    val batch = AuditSink.readManifest(batchManifest)
+    assert(epochs.map(_("rows")).sum === batch("rows"))
+    assert(epochs.map(_("xor")).reduce(_ ^ _) === batch("xor"))
+    assert(epochs.map(_("sum")).sum === batch("sum"))
+    // several epochs actually participated (not one giant batch)
+    assert(epochs.count(_("rows") > 0) >= 4)
   }
 
   test("audit detects single-column corruption between two writes") {
