@@ -180,6 +180,38 @@ object Relational2 {
     }),
 
     // q45: custom UDAF — geometric mean of extendedprice per flag.
+    // q192: schema-typed JSON parse + NULL-SAFE equality join — the
+    // two SQL surfaces the inventory still lacked. from_json parses
+    // props against an explicit struct schema (the typed path vs
+    // q24's stringly get_json_object; the absent `missing` field
+    // proves typed-null handling: its count must be 0). The derived
+    // key goes NULL on multiples of 10, and the broadcast dim join
+    // uses <=> so the NULL bucket MATCHES the dim's NULL row instead
+    // of dropping — the semantics difference between = and null-safe
+    // equality is exactly what the 'none' row's count gates.
+    "q192_json_null_safe" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, missing STRING")))
+        .withColumn("k10",
+          when(col("p.k") % 10 === 0, lit(null).cast("int"))
+            .otherwise((col("p.k") % 10).cast("int")))
+      val dim = s.createDataFrame(
+        s.sparkContext.parallelize(
+          org.apache.spark.sql.Row(null, "none") +:
+            (1 to 9).map(i => org.apache.spark.sql.Row(Integer.valueOf(i), s"b$i"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k10v",
+            org.apache.spark.sql.types.IntegerType, nullable = true),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      ev.join(broadcast(dim), col("k10") <=> col("k10v"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          count(col("p.missing")).as("n_missing"))
+    }),
+
     "q45_udaf_geomean" -> ((s, d) => {
       val geo = udaf(GeoMean)
       t(s, d, "lineitem")
@@ -190,6 +222,24 @@ object Relational2 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q192_json_null_safe" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |   CAST(props->>'k' AS INT) AS k,
+        |   props->>'missing' AS missing
+        |  FROM events),
+        | keyed AS (
+        |  SELECT user_id, missing,
+        |   CASE WHEN k % 10 = 0 THEN NULL ELSE k % 10 END AS k10
+        |  FROM ev),
+        | dim AS (SELECT * FROM (VALUES (NULL, 'none'), (1, 'b1'), (2, 'b2'),
+        |   (3, 'b3'), (4, 'b4'), (5, 'b5'), (6, 'b6'), (7, 'b7'),
+        |   (8, 'b8'), (9, 'b9')) AS t(k10v, label))
+        |SELECT label, count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(count(missing) AS BIGINT) AS n_missing
+        |FROM keyed JOIN dim ON k10 IS NOT DISTINCT FROM k10v
+        |GROUP BY label""".stripMargin,
     "q40_join_full_outer" ->
       """SELECT p_brand, count(l_orderkey) AS n_items,
         | CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,

@@ -12,6 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class MiscFunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q192: null bucket matches via <=> and typed-null field counts zero") {
+    val rows = Relational2.queries("q192_json_null_safe")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_missing")))).toMap
+    // every dim row (incl. the NULL key) must have matched something
+    assert(rows.keySet === (Set("none") ++ (1 to 9).map(i => s"b$i")))
+    // 'none' = events whose json k is a multiple of 10 — the rows a
+    // plain = join would silently drop
+    val expectedNone = graft.Tables(spark, TestSpark.sf, "events")
+      .filter(expr("get_json_object(props, '$.k') % 10 = 0")).count()
+    assert(rows("none")._1 === expectedNone)
+    // the schema's absent field is typed null everywhere
+    assert(rows.values.forall(_._2 === 0L))
+  }
+
   test("map functions over JSON-decoded props (map_keys/values/concat/explode)") {
     val ev = graft.Tables(spark, TestSpark.sf, "events").limit(100)
       .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
