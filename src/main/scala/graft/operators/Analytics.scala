@@ -773,6 +773,40 @@ object Analytics {
       """)
     }),
 
+    // q193: RECURSIVE CTE (Spark 4's WITH RECURSIVE → UnionLoopExec)
+    // — iterative SQL without a driver loop, the surface q68/q110's
+    // DataFrame iteration deliberately avoided and SQL users expect.
+    // A synthetic binary-heap ancestry (parent = pk div 2) walks each
+    // part key to the root; the recursion depth (= floor(log2 pk))
+    // then buckets lineitem revenue. The walk is bounded (≤ ~9 hops
+    // for 500 keys) and each iteration is a full distributed plan —
+    // the same per-iteration dataflow shape as the engine's label
+    // propagation, but expressed entirely in SQL text. DECIMAL sums
+    // keep the money column deterministic (q01 policy).
+    "q193_recursive_cte" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("graft_part")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey AS pk, p_partkey AS cur, 0 AS depth
+          FROM graft_part WHERE p_partkey <= 500
+          UNION ALL
+          SELECT pk, cur div 2 AS cur, depth + 1
+          FROM walk WHERE cur > 1
+        ),
+        depths AS (SELECT pk, max(depth) AS depth FROM walk GROUP BY pk),
+        rev AS (SELECT l_partkey AS pk,
+            count(*) AS n_items,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_sum
+          FROM graft_lineitem WHERE l_partkey <= 500 GROUP BY 1)
+        SELECT d.depth, count(*) AS n_parts,
+          CAST(coalesce(sum(rev.n_items), 0) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS price_sum
+        FROM depths d LEFT JOIN rev ON rev.pk = d.pk
+        GROUP BY d.depth
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1180,6 +1214,25 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q193_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS pk, p_partkey AS cur, 0 AS depth
+        |  FROM part WHERE p_partkey <= 500
+        |  UNION ALL
+        |  SELECT pk, cur // 2 AS cur, depth + 1
+        |  FROM walk WHERE cur > 1
+        |),
+        |depths AS (SELECT pk, max(depth) AS depth FROM walk GROUP BY pk),
+        |rev AS (SELECT l_partkey AS pk,
+        |    count(*) AS n_items,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_sum
+        |  FROM lineitem WHERE l_partkey <= 500 GROUP BY 1)
+        |SELECT CAST(d.depth AS INT) AS depth, count(*) AS n_parts,
+        |  CAST(coalesce(sum(rev.n_items), 0) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS price_sum
+        |FROM depths d LEFT JOIN rev ON rev.pk = d.pk
+        |GROUP BY d.depth""".stripMargin,
 
     "q74_sql_interface" ->
       """SELECT e.label, count(*) AS n,

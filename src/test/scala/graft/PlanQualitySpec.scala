@@ -38,6 +38,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("q193 recursive CTE plans the native UnionLoop, depth equals floor(log2 pk)") {
+    val df = SparkEntry.queries("q193_recursive_cte")(spark, sf)
+    val rows = df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "WITH RECURSIVE must plan UnionLoopExec, not a rewrite")
+    // analytic truth: depth of pk under parent = pk div 2 is floor(log2 pk)
+    val parts = graft.Tables(spark, sf, "part")
+      .filter(col("p_partkey") <= 500).select(col("p_partkey"))
+      .collect().map(_.getLong(0))
+    // pk 0 and 1 never recurse (cur > 1 fails immediately) → depth 0;
+    // otherwise the halving walk takes floor(log2 pk) hops
+    val expected = parts.map(pk =>
+      if (pk <= 1) 0 else 63 - java.lang.Long.numberOfLeadingZeros(pk))
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val got = rows.map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_parts")).toMap
+    assert(got === expected.map { case (k, v) => k.toInt -> v })
+  }
+
   test("q187 phrase search broadcasts the phrase terms, no nested loop") {
     val plan = executedPlan("q187_phrase_search")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
