@@ -807,6 +807,31 @@ object Analytics {
       """)
     }),
 
+    // q194: LATERAL correlated subquery — the per-row-subquery SQL
+    // surface (each nation drives its own ordered-limit scan of
+    // customer). Catalyst decorrelates the lateral into a ranked
+    // join, so the plan is the same shuffle the window form costs —
+    // the point gated here is the SQL semantics (correlation +
+    // ORDER BY + LIMIT inside LATERAL), which q22/q66's scalar/EXISTS
+    // subqueries and q91's native operator don't exercise. DECIMAL
+    // cast pins the money ordering; (bal DESC, name) makes ties
+    // deterministic.
+    "q194_lateral_topn" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("graft_nation")
+      t(s, d, "customer").createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM graft_nation n,
+        LATERAL (
+          SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+          FROM graft_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) c
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1214,6 +1239,17 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q194_lateral_topn" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 2
+        |) c""".stripMargin,
 
     "q193_recursive_cte" ->
       """WITH RECURSIVE walk AS (
