@@ -832,6 +832,26 @@ object Analytics {
       """)
     }),
 
+    // q195: VARIANT semi-structured type (Spark 4's open-schema path,
+    // the industry direction for JSON columns at rest) — parse_json
+    // lifts props into a VariantType value, variant_get extracts a
+    // typed path, try_variant_get returns null on an absent path
+    // (gated as a zero count). Complements q192's from_json: that is
+    // the schema-DECLARED path, this the schema-FLEXIBLE one — a 100
+    // TB corpus with drifting event payloads stores VARIANT and pays
+    // extraction only for paths actually queried.
+    "q195_variant_json" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_events")
+      s.sql("""
+        SELECT event_type,
+          count(*) AS n,
+          CAST(sum(variant_get(v, '$.k', 'int')) AS BIGINT) AS k_sum,
+          CAST(count(try_variant_get(v, '$.absent', 'string')) AS BIGINT) AS n_absent
+        FROM (SELECT event_type, parse_json(props) AS v FROM graft_events)
+        GROUP BY event_type
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1239,6 +1259,12 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q195_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+        | CAST(count(props->>'absent') AS BIGINT) AS n_absent
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q194_lateral_topn" ->
       """SELECT n.n_name, c.c_name, c.c_acctbal
