@@ -852,6 +852,58 @@ object Analytics {
       """)
     }),
 
+    // q196: SQL-defined scalar UDF (Spark 4's CREATE FUNCTION ...
+    // RETURN — a function whose BODY is SQL, resolved and inlined by
+    // the analyzer, so it codegens like any expression: zero
+    // black-box UDF cost). The declarative twin of q45's JVM
+    // Aggregator and the injected native functions: logic shared
+    // with SQL-only consumers without shipping a jar. The oracle
+    // inlines the same CASE, proving the function boundary changes
+    // nothing.
+    "q196_sql_udf" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket(x DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN x < 50000 THEN 'small'
+                    WHEN x < 200000 THEN 'mid'
+                    ELSE 'large' END
+      """)
+      s.sql("""
+        SELECT graft_bucket(o_totalprice) AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS total
+        FROM graft_orders
+        GROUP BY graft_bucket(o_totalprice)
+      """)
+    }),
+
+    // q197: SQL-defined TABLE function (CREATE FUNCTION ... RETURNS
+    // TABLE) applied via LATERAL — the SQL-authored generator
+    // surface, sibling of the natively injected graft_date_spine TVF
+    // (q119) but written entirely in SQL. The function splits an
+    // order's price into rata instalments; LATERAL fans each order
+    // into its instalment rows. Analyzer inlines the body, so the
+    // plan is the same explode-shape a DataFrame flatMap would give.
+    "q197_sql_table_fn" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_orders2")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_instalments(total DOUBLE, n INT)
+        RETURNS TABLE(inst_no INT, amount_cents BIGINT)
+        RETURN SELECT CAST(i AS INT) AS inst_no,
+          CAST(CAST(total AS DECIMAL(18,2)) * 100 AS BIGINT) div n AS amount_cents
+        FROM (SELECT explode(sequence(0, n - 1)) AS i)
+      """)
+      s.sql("""
+        SELECT t.inst_no, count(*) AS n_orders,
+          CAST(sum(t.amount_cents) AS BIGINT) AS total_due
+        FROM graft_orders2 o,
+        LATERAL graft_instalments(o.o_totalprice, 4) t
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY t.inst_no
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1259,6 +1311,24 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q197_sql_table_fn" ->
+      """WITH urgent AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | inst AS (
+        |  SELECT i AS inst_no, cents // 4 AS amount
+        |  FROM urgent, (SELECT unnest(generate_series(0, 3)) AS i))
+        |SELECT CAST(inst_no AS INT) AS inst_no, count(*) AS n_orders,
+        | CAST(sum(amount) AS BIGINT) AS total_due
+        |FROM inst GROUP BY 1""".stripMargin,
+
+    "q196_sql_udf" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |   WHEN o_totalprice < 200000 THEN 'mid' ELSE 'large' END AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q195_variant_json" ->
       """SELECT event_type, count(*) AS n,
