@@ -27,6 +27,21 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(rows.values.forall(_._2 === 0L))
   }
 
+  test("collations: UTF8_LCASE compares and groups case-insensitively") {
+    import spark.implicits._
+    val df = Seq("Spark", "spark", "SPARK", "duck").toDF("s")
+    // grouping under the collation merges case variants
+    val groups = df.groupBy(expr("collate(s, 'UTF8_LCASE')").as("k"))
+      .count().as[(String, Long)].collect().toMap
+    assert(groups.size === 2)
+    assert(groups.values.toSeq.sorted === Seq(1L, 3L))
+    // comparison under the collation is case-insensitive; binary is not
+    assert(df.filter(expr("s = collate('SPARK', 'UTF8_LCASE')")).count() === 3)
+    assert(df.filter($"s" === "SPARK").count() === 1)
+    assert(spark.sql("SELECT collation(collate('x', 'UTF8_LCASE'))")
+      .head().getString(0).toUpperCase.contains("UTF8_LCASE"))
+  }
+
   test("map functions over JSON-decoded props (map_keys/values/concat/explode)") {
     val ev = graft.Tables(spark, TestSpark.sf, "events").limit(100)
       .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
