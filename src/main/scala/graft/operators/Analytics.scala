@@ -904,6 +904,61 @@ object Analytics {
       """)
     }),
 
+    // q198: error-safe arithmetic (try_divide / try_cast) — ANSI
+    // mode's failure surface turned into typed nulls. The oracle
+    // spells out the same semantics (null on zero divisor, null on
+    // malformed cast) with CASE/TRY_CAST, so what's gated is that
+    // Spark's try_* family lands on exactly those null patterns.
+    "q198_try_arith" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT l_returnflag,
+          count(*) AS n,
+          CAST(count(try_divide(l_extendedprice, l_quantity - l_quantity))
+            AS BIGINT) AS n_div_ok,
+          CAST(count(try_cast(concat('x', l_orderkey) AS INT))
+            AS BIGINT) AS n_badcast_ok,
+          CAST(sum(try_cast(CAST(l_orderkey AS STRING) AS BIGINT))
+            AS BIGINT) AS key_sum
+        FROM graft_lineitem3
+        GROUP BY l_returnflag
+      """)
+    }),
+
+    // q199: the SQL UNPIVOT clause (wide → long in the parser, not
+    // the DataFrame melt of q59) over a pre-aggregated wide row —
+    // metric names become data. Oracle is the explicit UNION ALL the
+    // clause desugars to.
+    "q199_sql_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT flag, metric, val
+        FROM (SELECT l_returnflag AS flag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS disc
+              FROM graft_lineitem3 GROUP BY l_returnflag)
+        UNPIVOT (val FOR metric IN (price, qty, disc))
+      """)
+    }),
+
+    // q200: the SQL PIVOT clause (long → wide in the parser, not
+    // q52's DataFrame pivot) — linestatus values become columns; the
+    // (N, F)-style sparse cell stays NULL in both engines. Oracle is
+    // the conditional aggregation PIVOT desugars to.
+    "q200_sql_pivot" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT flag,
+          CAST(f AS DECIMAL(32,2)) AS f,
+          CAST(o AS DECIMAL(32,2)) AS o
+        FROM (SELECT l_returnflag AS flag, l_linestatus AS status,
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+              FROM graft_lineitem3)
+        PIVOT (sum(price) FOR status IN ('F' AS f, 'O' AS o))
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1311,6 +1366,35 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q198_try_arith" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(count(CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+        |   ELSE l_extendedprice END) AS BIGINT) AS n_div_ok,
+        | CAST(count(TRY_CAST(concat('x', l_orderkey) AS INT)) AS BIGINT)
+        |   AS n_badcast_ok,
+        | CAST(sum(TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)) AS BIGINT)
+        |   AS key_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q199_sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag AS flag,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS price,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty,
+        |   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, 'price' AS metric, price AS val FROM wide
+        |UNION ALL SELECT flag, 'qty', qty FROM wide
+        |UNION ALL SELECT flag, 'disc', disc FROM wide""".stripMargin,
+
+    "q200_sql_pivot" ->
+      """SELECT l_returnflag AS flag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS f,
+        | CAST(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS o
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q197_sql_table_fn" ->
       """WITH urgent AS (
