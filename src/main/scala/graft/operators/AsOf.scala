@@ -125,6 +125,34 @@ object AsOf {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("o_orderkey").as("last_orderkey"),
           round(col("o_totalprice"), 2).as("last_order_price"))
+    }),
+
+    // q201: FORWARD as-of through the same native operator — each
+    // order joined to the customer's NEXT order (strictly later date:
+    // the left time is date + 1 s, so the >= merge excludes self) —
+    // the repurchase-interval primitive. Events can't drive this gate
+    // honestly: the fixture's event timestamps all postdate every
+    // order, so an event-based forward join is vacuously null.
+    // Mirrored cursor rule vs backward: consume right rows permanently
+    // behind the current left (key, time), match the UN-consumed head
+    // (one head can serve several lefts). DuckDB's ASOF direction
+    // flips with the inequality (<=), so the oracle is the engine's
+    // own construct.
+    "q201_asof_forward" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val lft = t(s, d, "orders")
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"),
+          expr("CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 SECOND").as("after_ts"))
+      graft.plans.AsOfJoin
+        .asofJoinNative(lft, "custkey", "after_ts", ord, "o_custkey", "o_orderdate",
+          forward = true)
+        .select(col("orderkey"), col("custkey"),
+          col("o_orderkey").as("next_orderkey"),
+          round(col("o_totalprice"), 2).as("next_order_price"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -151,6 +179,22 @@ object AsOf {
         | round(o_totalprice, 2) AS last_order_price
         |FROM events ASOF LEFT JOIN ord
         |  ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate""".stripMargin,
+
+    "q201_asof_forward" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |   max(o_orderkey) AS o_orderkey,
+        |   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        | lft AS (
+        |  SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |   o_orderdate + INTERVAL 1 SECOND AS after_ts
+        |  FROM orders)
+        |SELECT orderkey, custkey,
+        | ord.o_orderkey AS next_orderkey,
+        | round(o_totalprice, 2) AS next_order_price
+        |FROM lft ASOF LEFT JOIN ord
+        |  ON custkey = o_custkey AND after_ts <= o_orderdate""".stripMargin,
 
     "q73_asof_tolerance" ->
       """WITH ord AS (

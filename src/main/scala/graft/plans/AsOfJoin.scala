@@ -51,7 +51,8 @@ case class AsOfJoinLogical(
     rightKeys: Seq[Expression],
     rightTime: Expression,
     left: LogicalPlan,
-    right: LogicalPlan) extends BinaryNode {
+    right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   override def output: Seq[Attribute] =
@@ -67,7 +68,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,8 +111,8 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
-      // last right row whose (key, time) is <= the current left
-      // (key, time); valid only while its key equals the left key
+      // backward: last right row whose (key, time) is <= the current
+      // left (key, time); valid only while its key equals the left key
       var matchKey: InternalRow = null
       var matchRow: InternalRow = null
 
@@ -120,7 +122,7 @@ case class AsOfJoinExec(
         false
       }
 
-      lIter.map { l =>
+      if (!forward) lIter.map { l =>
         val lk = lKeyProj(l)
         if (keyHasNull(lk)) {
           joined(l, nullRight)
@@ -151,6 +153,35 @@ case class AsOfJoinExec(
           else
             joined(l, nullRight)
         }
+      } else lIter.map { l =>
+        // FORWARD: first right row with key == lk and rTime >= lTime.
+        // Everything the cursor consumes can never match a later left
+        // row: later lefts are lexicographically >= (lk, lt), so a
+        // right row behind either the key or (same-key) the time is
+        // permanently stale. The matching head is NOT consumed — it
+        // may serve several left rows — only copied out per emission.
+        val lk = lKeyProj(l)
+        if (keyHasNull(lk)) {
+          joined(l, nullRight)
+        } else {
+          val lt = lTimeProj(l)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyProj(r)
+            val kc = keyOrd.compare(rk, lk)
+            if (kc < 0 || keyHasNull(rk) ||
+                (kc == 0 && timeOrd.compare(rTimeProj(r), lt) < 0)) {
+              rBuf.next() // permanently stale for this and all later lefts
+            } else {
+              advance = false // head is the candidate (or a later key)
+            }
+          }
+          if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0)
+            joined(l, rBuf.head.copy())
+          else
+            joined(l, nullRight)
+        }
       }
     }
   }
@@ -159,8 +190,8 @@ case class AsOfJoinExec(
 /** Plans [[AsOfJoinLogical]] as the co-partitioned sorted merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinLogical(lk, lt, rk, rt, l, r) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinLogical(lk, lt, rk, rt, l, r, fwd) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -173,9 +204,13 @@ object AsOfJoin {
   /** Native left as-of join; `rightTime` is cast to `leftTime`'s type
     * when they differ (same contract as [[graft.operators.AsOf]]).
     * Output = all left columns, then all right columns (nullable).
+    * `forward = true` flips the direction: the match is the FIRST
+    * right row with `rightTime >= leftTime` (next event at-or-after)
+    * instead of the last one at-or-before.
     */
   def asofJoinNative(left: DataFrame, lKey: String, lTime: String,
-      right: DataFrame, rKey: String, rTime: String): DataFrame = {
+      right: DataFrame, rKey: String, rTime: String,
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val lTimeType = left.schema(lTime).dataType
     val rightCast =
@@ -190,6 +225,6 @@ object AsOfJoin {
     Bridge.ofRows(left.sparkSession, AsOfJoinLogical(
       Seq(le(col(lKey))), le(col(lTime)),
       Seq(re(col(rKey))), re(col(rTime)),
-      lPlan, rPlan))
+      lPlan, rPlan, forward))
   }
 }

@@ -31,6 +31,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(pairs.exists(_._2.isEmpty) && pairs.exists(_._2.nonEmpty))
   }
 
+  test("forward as-of equals an independent min-over-future recompute") {
+    // next order strictly after each order (left time = date + 1 s);
+    // fixture events can't drive this — they all postdate every order
+    val lft = graft.Tables(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_custkey").as("custkey"),
+        expr("CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 SECOND").as("after_ts"))
+    val native = AsOfJoin.asofJoinNative(
+      lft, "custkey", "after_ts", orders, "o_custkey", "o_orderdate",
+      forward = true)
+      .select(col("orderkey"), col("o_orderkey"))
+      .as[(Long, Option[Long])].collect().toSet
+    val l = lft.selectExpr("orderkey", "custkey", "unix_micros(after_ts)")
+      .as[(Long, Long, Long)].collect()
+    val ord = orders
+      .selectExpr("o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP))", "o_orderkey")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val expected = l.map { case (oid, uid, t) =>
+      val next = ord.getOrElse(uid, Array.empty)
+        .filter(_._2 >= t).sortBy(o => (o._2, o._3)).headOption
+      (oid, next.map(_._3))
+    }.toSet
+    assert(native === expected)
+    assert(expected.exists(_._2.isEmpty) && expected.exists(_._2.nonEmpty))
+  }
+
+  test("forward hand-built edges: exact-time inclusivity, shared match, null fill") {
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 5L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, 10L, 100L), (1L, 20L, 101L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val got = AsOfJoin.asofJoinNative(
+      l, "user_id", "ts", r, "o_custkey", "o_orderdate", forward = true)
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(100L)) // rTime == lTime is a match
+    assert(got(2L) === Some(100L)) // same match serves a second left row
+    assert(got(3L) === None)       // nothing at-or-after 25
+    assert(got(4L) === None)       // key with no right rows
+  }
+
   // plan-shape tests use a raw (unaggregated) right side so the only
   // exchanges in the plan belong to the join itself
   private def rawOrders = graft.Tables(spark, TestSpark.sf, "orders")
