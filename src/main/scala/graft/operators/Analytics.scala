@@ -959,6 +959,55 @@ object Analytics {
       """)
     }),
 
+    // q202: grouping() indicator functions under CUBE — the
+    // subtotal-row disambiguator q16/q17/q42's rollup/cube queries
+    // left implicit (a NULL group key is ambiguous between "subtotal
+    // row" and "NULL data value"; grouping() is the standard's
+    // answer). Both engines compute the same indicators.
+    "q202_grouping_id" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        FROM graft_lineitem3
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+      """)
+    }),
+
+    // q203: the named WINDOW clause — one window definition shared by
+    // several window functions (and one physical sort/exchange,
+    // consistent with the q122 shared-window discipline). Unique
+    // (orderkey, linenumber) makes the running frame deterministic.
+    "q203_named_window" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+          row_number() OVER w AS rn,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+            AS DECIMAL(32,2)) AS run_qty
+        FROM graft_lineitem3
+        WHERE l_orderkey <= 1000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      """)
+    }),
+
+    // q204: GROUP BY ALL — the analyst shorthand that derives the
+    // grouping keys from the non-aggregate select list; identical
+    // dialect in DuckDB, so the gate pins that both engines infer the
+    // same key set.
+    "q204_group_by_all" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        FROM graft_lineitem3
+        GROUP BY ALL
+      """)
+    }),
+
     // q75: TPC-H Q15 pattern — supplier(s) achieving the maximum
     // revenue: an aggregate compared against the max of the same
     // aggregate (scalar subquery over an aggregation). Ties are
@@ -1366,6 +1415,30 @@ object Analytics {
         | CAST(n_oov AS BIGINT) AS n_oov,
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
+
+    "q202_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q203_named_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        | row_number() OVER w AS rn,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+        |   AS DECIMAL(32,2)) AS run_qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
+
+    "q204_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem
+        |GROUP BY ALL""".stripMargin,
 
     "q198_try_arith" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -228,6 +228,27 @@ object Relational {
       a.except(b)
     }),
 
+    // q205: BAG-semantics set ops — exceptAll keeps max(na−nb, 0)
+    // copies per value, intersectAll min(na, nb) — the multiplicity
+    // algebra q12-q14's set forms erase. Driven on a genuinely
+    // duplicate-heavy column (suppliers appear on many lineitems);
+    // per-key counts of both results in one output so the gate pins
+    // the exact multiplicities, not just membership.
+    "q205_set_ops_all" -> ((s, d) => {
+      val a = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+      val b = t(s, d, "lineitem")
+        .filter(col("l_linestatus") === "F").select(col("l_suppkey"))
+      val ea = a.exceptAll(b).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_except"))
+      val ia = a.intersectAll(b).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_intersect"))
+      ea.join(ia, Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+    }),
+
     // q15: distinct aggregation (exact count-distinct per group).
     "q15_distinct_agg" -> ((s, d) => {
       t(s, d, "supplier")
@@ -481,6 +502,18 @@ object Relational {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "q205_set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        | b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'),
+        | ea AS (SELECT l_suppkey, count(*) AS n_except
+        |   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+        | ia AS (SELECT l_suppkey, count(*) AS n_intersect
+        |   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT COALESCE(ea.l_suppkey, ia.l_suppkey) AS l_suppkey,
+        | CAST(COALESCE(n_except, 0) AS BIGINT) AS n_except,
+        | CAST(COALESCE(n_intersect, 0) AS BIGINT) AS n_intersect
+        |FROM ea FULL OUTER JOIN ia ON ea.l_suppkey = ia.l_suppkey""".stripMargin,
 
     "q15_distinct_agg" ->
       s"""SELECT n_name,
