@@ -52,13 +52,16 @@ case class LongTopK(
 
   private lazy val k: Int = {
     require(kExpr.foldable, "graft_topk: k must be a literal")
-    val v = kExpr.eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
+    val v: Long = kExpr.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
       case other => throw new IllegalArgumentException(s"graft_topk: bad k $other")
     }
-    require(v > 0, s"graft_topk: k must be > 0, got $v")
-    v
+    // reject rather than truncate: a BIGINT k above Int.MaxValue would
+    // silently wrap to a small (or negative) heap bound
+    require(v > 0 && v <= Int.MaxValue,
+      s"graft_topk: k must be in [1, ${Int.MaxValue}], got $v")
+    v.toInt
   }
 
   private def add(heap: mutable.PriorityQueue[Long], v: Long): Unit =

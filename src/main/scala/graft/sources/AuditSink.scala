@@ -87,6 +87,30 @@ object AuditSink {
     "\"(\\w+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
+
+  /** Shared by the batch and streaming commit paths: fold the task
+    * messages and publish JSON via temp-file + ATOMIC_MOVE — one
+    * implementation so the commit protocol cannot drift between the
+    * two write modes. */
+  private[sources] def foldResults(
+      messages: Array[WriterCommitMessage]): (Long, Long, Long) = {
+    var count = 0L; var xor = 0L; var sum = 0L
+    messages.foreach { case AuditTaskResult(c, x, s) =>
+      count += c; xor ^= x; sum += s
+    }
+    (count, xor, sum)
+  }
+
+  private[sources] def publishAtomic(target: java.nio.file.Path, json: String): Unit = {
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def cleanupTmp(target: java.nio.file.Path): Unit =
+    Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
 }
 
 class AuditSink extends TableProvider with DataSourceRegister {
@@ -135,26 +159,15 @@ private[sources] class AuditBatchWrite(schema: StructType, path: String) extends
     AuditWriterFactory(schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    var count = 0L; var xor = 0L; var sum = 0L
-    messages.foreach { case AuditTaskResult(c, x, s) =>
-      count += c; xor ^= x; sum += s
-    }
-    val json =
-      s"""{"rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}"""
-    val target = Paths.get(path)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val (count, xor, sum) = AuditSink.foldResults(messages)
+    AuditSink.publishAtomic(Paths.get(path),
+      s"""{"rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}""")
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
     // the no-ack path: nothing was published, only a stale temp could
     // exist (a crash between write and move) — remove it
-    val target = Paths.get(path)
-    Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
-  }
+    AuditSink.cleanupTmp(Paths.get(path))
 }
 
 /** Streaming twin: one audit manifest PER EPOCH, each committed with
@@ -178,24 +191,13 @@ private[sources] class AuditStreamingWrite(schema: StructType, path: String)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    var count = 0L; var xor = 0L; var sum = 0L
-    messages.foreach { case AuditTaskResult(c, x, s) =>
-      count += c; xor ^= x; sum += s
-    }
-    val json =
-      s"""{"epoch": $epochId, "rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}"""
-    val target = epochPath(epochId)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val (count, xor, sum) = AuditSink.foldResults(messages)
+    AuditSink.publishAtomic(epochPath(epochId),
+      s"""{"epoch": $epochId, "rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}""")
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val target = epochPath(epochId)
-    Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
-  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    AuditSink.cleanupTmp(epochPath(epochId))
 }
 
 private[sources] case class AuditStreamingWriterFactory(schema: StructType)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -135,6 +135,13 @@ private[sources] class SynthScanBuilder(numRows: Long, slices: Int, rowsPerBatch
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SyntheticEvents.schema
 
+  // ids live in [0, numRows) with numRows <= Long.MaxValue, so no id
+  // ever equals Long.MaxValue — saturating at MaxValue keeps every
+  // absorbed bound correct where a raw v+1 would wrap to MinValue and
+  // silently turn an unsatisfiable filter into a full scan
+  private def incSat(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
       case EqualTo("id", _: java.lang.Long) => true
@@ -146,11 +153,11 @@ private[sources] class SynthScanBuilder(numRows: Long, slices: Int, rowsPerBatch
     }
     ours.foreach {
       case EqualTo(_, v: java.lang.Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan(_, v: java.lang.Long) => lo = math.max(lo, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, incSat(v))
+      case GreaterThan(_, v: java.lang.Long) => lo = math.max(lo, incSat(v))
       case GreaterThanOrEqual(_, v: java.lang.Long) => lo = math.max(lo, v.longValue())
       case LessThan(_, v: java.lang.Long) => hi = math.min(hi, v.longValue())
-      case LessThanOrEqual(_, v: java.lang.Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual(_, v: java.lang.Long) => hi = math.min(hi, incSat(v))
       case _ => ()
     }
     accepted = ours
@@ -189,21 +196,27 @@ private[sources] case class SynthReaderFactory(fields: Array[String])
 }
 
 /** Per-split row generator: materializes ONLY the pruned columns, in
-  * the scan's requested order. */
+  * the scan's requested order. Column dispatch is resolved ONCE at
+  * reader construction into an extractor array — the per-row loop
+  * does no string matching and allocates only the row itself. */
 private[sources] class SynthReader(start: Long, end: Long, fields: Array[String])
     extends PartitionReader[InternalRow] {
   private var cur = start - 1
+  private val extractors: Array[Long => Any] = fields.map {
+    case "id" => (i: Long) => i
+    case "ts_ms" => SyntheticEvents.tsMs _
+    case "user_id" => SyntheticEvents.userId _
+    case "event_type" =>
+      (i: Long) => UTF8String.fromString(SyntheticEvents.eventType(i))
+    case "value_micro" => SyntheticEvents.valueMicro _
+    case other => throw new IllegalArgumentException(s"unknown column: $other")
+  }
   override def next(): Boolean = { cur += 1; cur < end }
   override def get(): InternalRow = {
-    val values: Seq[Any] = fields.toSeq.map {
-      case "id" => cur
-      case "ts_ms" => SyntheticEvents.tsMs(cur)
-      case "user_id" => SyntheticEvents.userId(cur)
-      case "event_type" => UTF8String.fromString(SyntheticEvents.eventType(cur))
-      case "value_micro" => SyntheticEvents.valueMicro(cur)
-      case other => throw new IllegalArgumentException(s"unknown column: $other")
-    }
-    InternalRow.fromSeq(values)
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { values(i) = extractors(i)(cur); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
   override def close(): Unit = ()
 }
@@ -223,13 +236,25 @@ private[sources] class SynthMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = RowOffset(lo)
   override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch.toInt)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.min(rowsPerBatch, Int.MaxValue.toLong).toInt)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: engine must call latestOffset(start, limit)")
+  // honor the ENGINE's limit, not just our default: Trigger.Once and
+  // Trigger.AvailableNow hand the source ReadAllAvailable / composite
+  // limits, and silently substituting rowsPerBatch would end a
+  // one-shot query after a single partial batch
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[RowOffset].n
-    RowOffset(math.min(s + rowsPerBatch, hi))
+    def applyOne(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => hi
+      case m: ReadMaxRows => math.min(s + m.maxRows(), hi)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(applyOne).min
+      case _ => math.min(s + rowsPerBatch, hi) // min-rows etc.: default cap
+    }
+    RowOffset(applyOne(limit))
   }
   override def reportLatestOffset(): Offset = RowOffset(hi)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

@@ -52,6 +52,27 @@ class SyntheticEventsSpec extends AnyFunSuite {
       Seq(SyntheticEvents.eventType(42)))
   }
 
+  test("absorbed bound at Long.MaxValue stays unsatisfiable (no wrap to full scan)") {
+    assert(read(10000).filter($"id" > Long.MaxValue).count() === 0L)
+    assert(read(10000).filter($"id" === Long.MaxValue).count() === 0L)
+    assert(read(10000).filter($"id" <= Long.MaxValue).count() === 10000L)
+  }
+
+  test("Trigger.Once drains the whole source in one batch (ReadAllAvailable honored)") {
+    val dir = java.nio.file.Files.createTempDirectory("synth_once").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val q = spark.readStream.format("graft_synth")
+      .option("numRows", 9000).option("slices", 4)
+      .option("rowsPerBatch", 2000).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", new java.io.File(dir, "cp").getAbsolutePath)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 9000L,
+      "a one-shot trigger must read past rowsPerBatch to everything available")
+  }
+
   test("non-id predicates stay residual and still filter correctly") {
     val df = read(10000).filter($"event_type" === "click")
     val expected = (0L until 10000L).count(SyntheticEvents.eventType(_) == "click")
@@ -94,17 +115,22 @@ class SyntheticEventsSpec extends AnyFunSuite {
       .option("rowsPerBatch", 2000).load()
       .writeStream.outputMode("append").format("parquet")
       .option("checkpointLocation", cp).option("path", out).start()
-    // first run: stop after at least one committed batch
+    // first run: stop after the first committed batch. The stop is a
+    // RACE against remaining batches draining — on a fast host the
+    // whole stream can complete before the stop lands, which proves
+    // nothing about resumption, so that case CANCELS (assume) rather
+    // than fails; the no-loss/no-dup assertion below holds either way.
     val q1 = start()
     try {
       var waited = 0
-      while (q1.recentProgress.length < 2 && waited < 300) {
+      while (q1.recentProgress.length < 1 && waited < 300) {
         Thread.sleep(100); waited += 1
       }
     } finally q1.stop()
     val afterFirst = spark.read.parquet(out).count()
-    assert(afterFirst > 0 && afterFirst < n,
-      s"expected a partial first run, got $afterFirst of $n")
+    assert(afterFirst > 0, "first run committed nothing in 30 s")
+    assume(afterFirst < n,
+      s"host drained all $n rows before stop — restart path not exercised")
     // second run: drain to completion from the WAL
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
