@@ -56,6 +56,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got === expected.map { case (k, v) => k.toInt -> v })
   }
 
+  test("q191 interval sweep: both windows ride one user_id exchange") {
+    val df = SparkEntry.queries("q191_interval_union")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // running-max + island-sum windows share the (user_id) partition;
+    // a second sort/exchange would double the sweep's cost
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length <= 2,
+      s"sweep must not multiply user exchanges:\n${plan.take(1500)}")
+  }
+
   test("q187 phrase search broadcasts the phrase terms, no nested loop") {
     val plan = executedPlan("q187_phrase_search")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
