@@ -164,16 +164,17 @@ object TextDedup {
   /** MinHash+LSH candidate near-duplicate pairs (doc_a < doc_b) —
     * shared by q29 and the q49 corpus-clean pipeline.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = filteredShingles(s, d)
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
-      (1 until 16).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
-    // persisted: both join sides read this 4-rows-per-doc relation
-    // (and q49 reads it again); without it each side recomputes the
-    // signature chain
-    val bands = graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$d") {
+  /** The 4-rows-per-doc MinHash band relation, persisted: both
+    * [[minhashPairs]] join sides read it (q49 again, and q206's
+    * cross-set probe a third time); without the persist each reader
+    * recomputes the signature chain. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$d") {
+      val sh = filteredShingles(s, d)
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
+        (1 until 16).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")): _*)
       sig.select(col("doc_id"), explode(array(
         (0 until 4).map { bnd =>
           struct(lit(bnd).as("band"),
@@ -182,6 +183,9 @@ object TextDedup {
         }: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh"))
@@ -190,21 +194,25 @@ object TextDedup {
       .distinct()
   }
 
-  /** SQL CTEs ending in `pairs(doc_a, doc_b)` — the oracle twin of
-    * [[minhashPairs]]. Prefix with [[filteredShinglesCte]].
-    */
-  private val minhashPairsCte: String = {
+  /** SQL CTEs ending in `bands(doc_id, band, bh)` — the oracle twin
+    * of [[minhashBands]]. Prefix with [[filteredShinglesCte]]. */
+  private val minhashBandsCte: String = {
     val sigCols = (0 until 16)
       .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
     }.mkString(" UNION ALL ")
     s""" sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-       | bands AS ($bandSelects),
+       | bands AS ($bandSelects)""".stripMargin
+  }
+
+  /** Extends [[minhashBandsCte]] to `pairs(doc_a, doc_b)` — the
+    * oracle twin of [[minhashPairs]]. */
+  private val minhashPairsCte: String =
+    s"""$minhashBandsCte,
        | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |   FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
   private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
@@ -289,6 +297,38 @@ object TextDedup {
     // q29: MinHash + LSH candidate pairs — the scale path for near-dup
     // (no quadratic jaccard join; bucket join on 4 band hashes).
     "q29_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+
+    // q206: FUZZY decontamination — q104's exact 8-gram probe misses
+    // paraphrased/lightly-edited benchmark leakage; the fuzzy form is
+    // MinHash banding BETWEEN sets (corpus × eval) with an exact
+    // jaccard verification on the candidates (threshold 0.5, integer
+    // micro-units). Eval set = doc_id % 11 == 0, stands in for a
+    // benchmark suite. Scale shape: the eval side's band index is
+    // tiny and BROADCAST, so the corpus is probed by a map-side join
+    // — no corpus×corpus pair generation at all; the jaccard verify
+    // touches only candidate-pair shingles.
+    "q206_fuzzy_decontaminate" -> ((s, d) => {
+      val bands = minhashBands(s, d)
+      val corpB = bands.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("doc_c"), col("band"), col("bh"))
+      val evalB = bands.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("doc_e"), col("band"), col("bh"))
+      val cand = corpB.join(broadcast(evalB), Seq("band", "bh"))
+        .select(col("doc_c"), col("doc_e")).distinct()
+      val sh = filteredShingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_c"), col("shingle")), "doc_c")
+        .join(sh.select(col("doc_id").as("doc_e"), col("shingle")),
+          Seq("doc_e", "shingle"))
+        .groupBy(col("doc_c"), col("doc_e"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(sizes.select(col("doc_id").as("doc_c"), col("n").as("nc")), "doc_c")
+        .join(sizes.select(col("doc_id").as("doc_e"), col("n").as("ne")), "doc_e")
+        .withColumn("jac_micro", expr("cnt * 1000000L div (nc + ne - cnt)"))
+        .filter(col("jac_micro") >= 500000L)
+        .select(col("doc_c"), col("doc_e"), col("jac_micro"))
+    }),
 
     // q185: shingle CONTAINMENT pairs (Broder 1997's second measure).
     // Jaccard (q28) is symmetric and goes to ~|A|/|B| when a small doc
@@ -748,6 +788,27 @@ object TextDedup {
       s"""$filteredShinglesCte,
          |$minhashPairsCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "q206_fuzzy_decontaminate" ->
+      s"""$filteredShinglesCte,
+         |$minhashBandsCte,
+         | cand AS (SELECT DISTINCT c.doc_id AS doc_c, e.doc_id AS doc_e
+         |   FROM bands c JOIN bands e
+         |    ON c.band = e.band AND c.bh = e.bh
+         |   WHERE c.doc_id % 11 <> 0 AND e.doc_id % 11 = 0),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (SELECT cand.doc_c, cand.doc_e, count(*) AS cnt
+         |   FROM cand
+         |   JOIN sh cs ON cs.doc_id = cand.doc_c
+         |   JOIN sh es ON es.doc_id = cand.doc_e AND es.shingle = cs.shingle
+         |   GROUP BY 1, 2)
+         |SELECT doc_c, doc_e, jac_micro FROM (
+         |  SELECT doc_c, doc_e,
+         |   CAST(cnt * 1000000 // (sc.n + se.n - cnt) AS BIGINT) AS jac_micro
+         |  FROM inter
+         |  JOIN sizes sc ON sc.doc_id = doc_c
+         |  JOIN sizes se ON se.doc_id = doc_e)
+         |WHERE jac_micro >= 500000""".stripMargin,
 
     "q185_shingle_containment" ->
       s"""$filteredShinglesCte,

@@ -34,6 +34,28 @@ class TextDedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong.diff(lsh).take(5)}")
   }
 
+  test("q206 fuzzy decontamination: sides partition correctly, recalls all strong cross-set pairs") {
+    val rows = q("q206_fuzzy_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "expected planted near-dups to straddle the eval split")
+    rows.foreach { case (c, e, j) =>
+      assert(c % 11 != 0, s"corpus doc $c on eval side")
+      assert(e % 11 == 0, s"eval doc $e on corpus side")
+      assert(j >= 500000L && j <= 1000000L)
+    }
+    // brute-force cross-set jaccard >= 0.8 must all be recalled (the
+    // q29 LSH-recall property restricted to the decontamination split)
+    val strong = q("q28_ngram_jaccard").filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 11 != 0 && b % 11 == 0) Some((a, b))
+        else if (a % 11 == 0 && b % 11 != 0) Some((b, a))
+        else None
+      }.toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    assert(strong.subsetOf(got), s"missed strong pairs: ${strong.diff(got).take(5)}")
+  }
+
   test("q185 containment matches a plain-Scala shingle-set recomputation") {
     // independent recompute: tokenize + 3-shingle + df-cap in plain
     // Scala, then containment of the smaller distinct-set per pair
