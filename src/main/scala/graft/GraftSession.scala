@@ -28,6 +28,13 @@ object GraftSession {
       // without it. On a real cluster it belongs in deploy config,
       // sized to executor count, not hard-coded by the engine.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Timestamp parquet output stays INT96 (the Spark default):
+      // pyarrow reads INT96 as TZ-NAIVE timestamp[ns], which is what
+      // a pandas-level compare coerces cleanly against DuckDB's naive
+      // timestamp[us]. TIMESTAMP_MICROS was tried and REVERTED — it
+      // stamps isAdjustedToUTC=true, so every timestamp column comes
+      // back tz-AWARE and a naive-vs-aware astype in the oracle
+      // compare hard-fails (9 green queries would go red).
       // Survive multi-minute host/VM stalls in local mode: the default
       // 120 s heartbeat timeout killed a local executor mid-bench when
       // the VM froze ~150 s (virtualization-level scheduling lag —

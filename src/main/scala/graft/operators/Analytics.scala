@@ -75,7 +75,10 @@ object Analytics {
       val ev = t(s, d, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
         .distinct()
-      val first = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      // cohort is a DATE on output (week_trunc yields TIMESTAMP in
+      // Spark but DATE in the DuckDB oracle — Arrow-schema parity)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("w")).cast("date").as("cohort"))
       ev.join(first, "user_id")
         .select(col("cohort"),
           (datediff(col("w").cast("date"), col("cohort").cast("date")) / 7)
@@ -339,14 +342,16 @@ object Analytics {
           .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
           .agg(count(lit(1)).as("cnt"))
       }
-      // exact interpolated 0.5-percentile over a (g, v, cnt) histogram
+      // exact interpolated 0.5-percentile over a (g, v, cnt) histogram.
+      // The cumulative count comes from ScalableRank.groupedCumSum —
+      // range-partitioned per-partition running sums stitched by
+      // broadcast offsets — so no task ever holds a whole group's
+      // histogram (l_extendedprice is near-unique: with 3 groups the
+      // old per-group window put ~1/3 of the distinct values through
+      // one task each; the r5 verdict's named 100 TB cliff).
       def wmedian(h: DataFrame, out: String): DataFrame = {
-        val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(col("g"))
-        val ranked = h
-          .withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("n", sum(col("cnt")).over(wAll))
+        val ranked = ScalableRank.groupedCumSum(
+          h, Seq("g"), "v", "cnt", "cum", "n")
         // ranks are 0-based: a row covers [cum-cnt, cum-1]; the median
         // interpolates ranks lo = (n-1) div 2 and hi = n div 2
         val lo = expr("(n - 1) div 2")
@@ -525,7 +530,8 @@ object Analytics {
         .crossJoin(broadcast(n))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select(col("doc_id"), col("term"), col("rn"))
+        // BIGINT on output: Spark row_number is INT, DuckDB's BIGINT
+        .select(col("doc_id"), col("term"), col("rn").cast("long").as("rn"))
     }),
 
     // q57: winnowing document fingerprints (the rolling-hash
@@ -715,7 +721,8 @@ object Analytics {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_fuzzy_pairs"),
           sum(when(col("dist") === 0, 1).otherwise(0)).cast("long").as("n_exact"),
-          min(col("dist")).as("min_dist"))
+          // BIGINT on output: Spark levenshtein is INT, DuckDB's BIGINT
+          min(col("dist")).cast("long").as("min_dist"))
     }),
 
     // q71: stratified hash sampling — per-stratum rates (50% of en
@@ -932,7 +939,7 @@ object Analytics {
     "q199_sql_unpivot" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
       s.sql("""
-        SELECT flag, metric, val
+        SELECT flag, metric, CAST(val AS DECIMAL(32,2)) AS val
         FROM (SELECT l_returnflag AS flag,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS price,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty,
@@ -981,11 +988,14 @@ object Analytics {
     // several window functions (and one physical sort/exchange,
     // consistent with the q122 shared-window discipline). Unique
     // (orderkey, linenumber) makes the running frame deterministic.
+    // row_number() is INT in Spark but BIGINT in DuckDB — both sides
+    // pin it to BIGINT explicitly (r5 driver red: Arrow int32 vs
+    // int64 under identical values).
     "q203_named_window" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
       s.sql("""
         SELECT l_orderkey, l_linenumber,
-          row_number() OVER w AS rn,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
             AS DECIMAL(32,2)) AS run_qty
         FROM graft_lineitem3
@@ -1416,29 +1426,55 @@ object Analytics {
         | round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM scored WHERE doc_id < 100""".stripMargin,
 
+    // oracle desugars CUBE + grouping() into the explicit UNION ALL
+    // of the four grouping sets with hand-written indicator literals
+    // — plain GROUP BY any DuckDB version computes identically. The
+    // Spark side keeps CUBE/grouping() (the gated construct).
     "q202_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
-        | CAST(grouping(l_linestatus) AS INT) AS g_status,
-        | count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
-        |FROM lineitem
-        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+        |  0 AS g_flag, 0 AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |UNION ALL
+        |SELECT l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+        |  0 AS g_flag, 1 AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR) AS l_returnflag, l_linestatus,
+        |  1 AS g_flag, 0 AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS VARCHAR) AS l_linestatus,
+        |  1 AS g_flag, 1 AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |FROM lineitem""".stripMargin,
 
     "q203_named_window" ->
       """SELECT l_orderkey, l_linenumber,
-        | row_number() OVER w AS rn,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
         |   AS DECIMAL(32,2)) AS run_qty
         |FROM lineitem
         |WHERE l_orderkey <= 1000
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
 
+    // oracle deliberately spells out the keys GROUP BY ALL infers:
+    // the Spark side keeps the ALL shorthand (that is the gated
+    // construct); the oracle only needs the right answer, and key
+    // inference is exactly the behavior that may drift across
+    // DuckDB versions (r5/r6 driver-red robustification).
     "q204_group_by_all" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
         |FROM lineitem
-        |GROUP BY ALL""".stripMargin,
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q198_try_arith" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -1450,16 +1486,29 @@ object Analytics {
         |   AS key_sum
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // the UNION ALL's result type for the decimal val column is
+    // re-pinned by an OUTER cast: decimal widening rules across a
+    // union are exactly the kind of type inference that may differ
+    // across DuckDB versions (r5 driver-red robustification). Every
+    // branch is also explicitly aliased and cast.
     "q199_sql_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag AS flag,
         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS price,
         |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty,
         |   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS disc
-        |  FROM lineitem GROUP BY 1)
-        |SELECT flag, 'price' AS metric, price AS val FROM wide
-        |UNION ALL SELECT flag, 'qty', qty FROM wide
-        |UNION ALL SELECT flag, 'disc', disc FROM wide""".stripMargin,
+        |  FROM lineitem GROUP BY l_returnflag),
+        |long AS (
+        |  SELECT flag, CAST('price' AS VARCHAR) AS metric,
+        |    CAST(price AS DECIMAL(32,2)) AS val FROM wide
+        |  UNION ALL
+        |  SELECT flag, CAST('qty' AS VARCHAR) AS metric,
+        |    CAST(qty AS DECIMAL(32,2)) AS val FROM wide
+        |  UNION ALL
+        |  SELECT flag, CAST('disc' AS VARCHAR) AS metric,
+        |    CAST(disc AS DECIMAL(32,2)) AS val FROM wide)
+        |SELECT flag, metric, CAST(val AS DECIMAL(32,2)) AS val
+        |FROM long""".stripMargin,
 
     "q200_sql_pivot" ->
       """SELECT l_returnflag AS flag,
@@ -1493,31 +1542,47 @@ object Analytics {
         | CAST(count(props->>'absent') AS BIGINT) AS n_absent
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // oracle desugars the LATERAL ordered-limit subquery into the
+    // row_number()-filtered join it is equivalent to — LATERAL
+    // decorrelation is version-sensitive territory; the Spark side
+    // keeps LATERAL (the gated construct).
     "q194_lateral_topn" ->
-      """SELECT n.n_name, c.c_name, c.c_acctbal
-        |FROM nation n,
-        |LATERAL (
-        |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
-        |  FROM customer
-        |  WHERE c_nationkey = n.n_nationkey
-        |  ORDER BY c_acctbal DESC, c_name
-        |  LIMIT 2
-        |) c""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_name) AS rn
+        |  FROM customer)
+        |SELECT n.n_name, r.c_name, r.c_acctbal
+        |FROM nation n JOIN ranked r ON r.c_nationkey = n.n_nationkey
+        |WHERE r.rn <= 2""".stripMargin,
 
+    // oracle desugars the recursive halving walk into its closed
+    // form: the walk pk → pk div 2 → … → 1 has depth floor(log2 pk),
+    // spelled as a pure integer CASE ladder (no WITH RECURSIVE, no
+    // //, no floats) — constructs whose behavior is most plausibly
+    // version-sensitive on the driver's DuckDB. Ladder covers the
+    // query's pk <= 500 domain. The Spark side keeps WITH RECURSIVE
+    // (the gated construct).
     "q193_recursive_cte" ->
-      """WITH RECURSIVE walk AS (
-        |  SELECT p_partkey AS pk, p_partkey AS cur, 0 AS depth
-        |  FROM part WHERE p_partkey <= 500
-        |  UNION ALL
-        |  SELECT pk, cur // 2 AS cur, depth + 1
-        |  FROM walk WHERE cur > 1
-        |),
-        |depths AS (SELECT pk, max(depth) AS depth FROM walk GROUP BY pk),
+      """WITH depths AS (
+        |  SELECT p_partkey AS pk,
+        |    CASE WHEN p_partkey >= 256 THEN 8
+        |         WHEN p_partkey >= 128 THEN 7
+        |         WHEN p_partkey >=  64 THEN 6
+        |         WHEN p_partkey >=  32 THEN 5
+        |         WHEN p_partkey >=  16 THEN 4
+        |         WHEN p_partkey >=   8 THEN 3
+        |         WHEN p_partkey >=   4 THEN 2
+        |         WHEN p_partkey >=   2 THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM part WHERE p_partkey <= 500),
         |rev AS (SELECT l_partkey AS pk,
         |    count(*) AS n_items,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_sum
-        |  FROM lineitem WHERE l_partkey <= 500 GROUP BY 1)
-        |SELECT CAST(d.depth AS INT) AS depth, count(*) AS n_parts,
+        |  FROM lineitem WHERE l_partkey <= 500 GROUP BY l_partkey)
+        |SELECT CAST(d.depth AS INT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(coalesce(sum(rev.n_items), 0) AS BIGINT) AS n_items,
         |  CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS price_sum
         |FROM depths d LEFT JOIN rev ON rev.pk = d.pk

@@ -198,14 +198,19 @@ object Analytics2 {
     // would be partitioning-order-dependent). Scale: one groupBy on
     // partkey, two global sorts of the small aggregate, top-20 out.
     "q128_rrf_fusion" -> ((s, d) => {
-      val byRev = Window.orderBy(col("revenue").desc, col("l_partkey"))
-      val byQty = Window.orderBy(col("qty").desc, col("l_partkey"))
-      t(s, d, "lineitem")
+      // both global rankings via ScalableRank (range partition +
+      // broadcast offsets): an un-partitioned row_number window here
+      // would single-task the whole part aggregate — ~2e8 rows at
+      // 100 TB (the q138 cliff class). BIGINT ranks match DuckDB's.
+      val agg = t(s, d, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"),
           sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
-        .withColumn("r_rev", row_number().over(byRev))
-        .withColumn("r_qty", row_number().over(byQty))
+      val ranked = ScalableRank.globalRowNumber(
+        ScalableRank.globalRowNumber(agg,
+          "r_rev", col("revenue").desc, col("l_partkey")),
+        "r_qty", col("qty").desc, col("l_partkey"))
+      ranked
         .withColumn("rrf_micro",
           expr("1000000 div (60 + r_rev) + 1000000 div (60 + r_qty)"))
         .orderBy(col("rrf_micro").desc, col("l_partkey"))
@@ -246,7 +251,8 @@ object Analytics2 {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value"), col("event_id"))
       t(s, d, "events").filter(col("value").isNotNull)
-        .withColumn("quartile", ntile(4).over(w))
+        // BIGINT on output: Spark ntile is INT, DuckDB's BIGINT
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
         .groupBy(col("event_type"), col("quartile"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"))
@@ -442,14 +448,17 @@ object Analytics2 {
 
     // q138: RFM segmentation — the classic customer scoring: recency
     // (days since last order), frequency (order count), monetary
-    // (DECIMAL revenue) quartiled with ntile + the custkey tiebreak,
+    // (DECIMAL revenue) quartiled over the per-customer aggregate,
     // combined into a 3-digit segment code. Money stays DECIMAL end
-    // to end per repo policy; every ntile order is unique, so codes
-    // are engine-deterministic. The three ntiles share one
-    // un-partitioned sort each over the per-customer AGGREGATE (one
-    // row per customer) — fine to a few hundred million customers;
-    // beyond that ntile becomes a percent_rank bucketing over a
-    // range-partitioned sort.
+    // to end per repo policy; every quartile order carries the
+    // custkey tiebreak, so codes are engine-deterministic. Quartiles
+    // are the explicit floor bucketing q = (rank-1)*4 div n + 1 over
+    // a [[ScalableRank.globalRowNumber]] (range-partitioned, per-
+    // partition rank + broadcast offsets) — no un-partitioned ntile
+    // window remains (r5 verdict: that window single-tasked the whole
+    // customer aggregate, and ntile's remainder distribution is
+    // engine-version-sensitive; the floor formula is pinned math on
+    // both sides of the oracle gate).
     "q138_rfm_segments" -> ((s, d) => {
       val o = t(s, d, "orders")
       val refDay = o.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
@@ -459,16 +468,20 @@ object Analytics2 {
           sum(col("o_totalprice").cast("decimal(12,2)")).as("monetary"))
         .crossJoin(broadcast(refDay))
         .withColumn("recency_days", datediff(col("ref_day"), col("last_order")))
-      val scored = perCust
-        .withColumn("r", ntile(4).over(
-          Window.orderBy(col("recency_days"), col("o_custkey"))))
-        .withColumn("f", ntile(4).over(
-          Window.orderBy(col("frequency").desc, col("o_custkey"))))
-        .withColumn("m", ntile(4).over(
-          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      val nTotal = perCust.agg(count(lit(1)).as("n_total"))
+      def quart(df: DataFrame, out: String,
+          ord: org.apache.spark.sql.Column*): DataFrame =
+        ScalableRank.globalRowNumber(df, "_rank", ord: _*)
+          .withColumn(out,
+            (expr("((_rank - 1) * 4) div n_total") + 1).cast("int"))
+          .drop("_rank")
+      val scored = quart(quart(quart(perCust.crossJoin(broadcast(nTotal)),
+          "r", col("recency_days"), col("o_custkey")),
+          "f", col("frequency").desc, col("o_custkey")),
+          "m", col("monetary").desc, col("o_custkey"))
       scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("monetary")).as("monetary_total"))
+          sum(col("monetary")).cast("decimal(32,2)").as("monetary_total"))
     }),
 
     // q139: source-distribution divergence — total variation distance
@@ -526,7 +539,9 @@ object Analytics2 {
           sum(when(!col("is_even"), col("milli"))).cast("long").as("s_odd"),
           sum(when(col("is_even"), 1L).otherwise(0L)).cast("long").as("n_even"),
           sum(when(!col("is_even"), 1L).otherwise(0L)).cast("long").as("n_odd"))
-        .select(col("dim"), col("s_even"), col("s_odd"),
+        // BIGINT dim on output: posexplode pos is INT, DuckDB's
+        // generator subscript BIGINT
+        .select(col("dim").cast("long").as("dim"), col("s_even"), col("s_odd"),
           abs(expr("s_even * 1000 div n_even - s_odd * 1000 div n_odd"))
             .as("drift_milli_x1000"))
     }),
@@ -1076,24 +1091,32 @@ object Analytics2 {
         |FROM pu CROSS JOIN ref
         |GROUP BY 1, 2""".stripMargin,
 
+    // quartile = (row_number-1)*4 floor-div n + 1 spelled with
+    // floor(x*4.0/n) — no ntile (its remainder distribution is the
+    // engine-version-sensitive part, r5 driver red), no // operator.
+    // The float division is exact here: (rank-1)*4 and n are exact
+    // integers in double and the quotient's distance to an integer is
+    // >= 1/n >> one ulp for any plausible customer count.
     "q138_rfm_segments" ->
-      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day
-        |  FROM orders),
-        | pc AS (
+      """WITH pc AS (
         |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
         |   count(*) AS frequency,
         |   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
-        |  FROM orders GROUP BY 1),
+        |  FROM orders GROUP BY o_custkey),
+        | n AS (SELECT count(*) AS n_total FROM pc),
         | scored AS (
-        |  SELECT o_custkey, monetary,
-        |   ntile(4) OVER (ORDER BY ref_day - last_order, o_custkey) AS r,
-        |   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-        |   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
-        |  FROM pc CROSS JOIN ref)
+        |  SELECT monetary,
+        |   CAST(floor((row_number() OVER (ORDER BY last_order DESC,
+        |     o_custkey) - 1) * 4.0 / n_total) AS INT) + 1 AS r,
+        |   CAST(floor((row_number() OVER (ORDER BY frequency DESC,
+        |     o_custkey) - 1) * 4.0 / n_total) AS INT) + 1 AS f,
+        |   CAST(floor((row_number() OVER (ORDER BY monetary DESC,
+        |     o_custkey) - 1) * 4.0 / n_total) AS INT) + 1 AS m
+        |  FROM pc CROSS JOIN n)
         |SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
-        | count(*) AS n_customers,
+        | CAST(count(*) AS BIGINT) AS n_customers,
         | CAST(sum(monetary) AS DECIMAL(32,2)) AS monetary_total
-        |FROM scored GROUP BY 1""".stripMargin,
+        |FROM scored GROUP BY r * 100 + f * 10 + m""".stripMargin,
 
     "q139_source_divergence" ->
       """WITH toks AS (

@@ -184,7 +184,9 @@ object Relational {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("price"), col("rn"))
+          round(col("o_totalprice"), 2).as("price"),
+          // BIGINT on output: Spark row_number is INT, DuckDB's BIGINT
+          col("rn").cast("long").as("rn"))
     }),
 
     // q10: running aggregate + lag over an ordered per-key frame.

@@ -138,7 +138,9 @@ object Retrieval {
       t(s, d, "embeddings")
         .select(posexplode(col("embedding")))
         .toDF("dim", "x")
-        .select(col("dim"),
+        // BIGINT dim on output: posexplode pos is INT, DuckDB's
+        // generator subscript BIGINT
+        .select(col("dim").cast("long").as("dim"),
           floor(col("x").cast("double") * lit(1000.0)).cast("long").as("milli"))
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n"),
@@ -164,12 +166,18 @@ object Retrieval {
           floor(col("value") * lit(1000.0)).cast("long").as("vm"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("vm")).cast("long").as("v_milli"))
-      val wGt = Window.orderBy(col("n"))
-        .rangeBetween(1L, Window.unboundedFollowing)
-      val wEq = Window.partitionBy(col("n"))
-      pts
-        .withColumn("max_gt", max(col("v_milli")).over(wGt))
-        .withColumn("max_eq", max(col("v_milli")).over(wEq))
+      // dominance test against PER-ACTIVITY-LEVEL maxima, not a global
+      // range window over every user: perN is one distributed agg
+      // (|distinct n| rows — bounded by distinct per-user event
+      // counts, tiny at any corpus size), the suffix max runs over
+      // that tiny relation only, and the verdict joins back broadcast.
+      // The old un-partitioned RANGE window put every user through a
+      // single task (the q138 cliff class).
+      val perN = pts.groupBy(col("n")).agg(max(col("v_milli")).as("max_eq"))
+      val suffix = perN.withColumn("max_gt",
+        max(col("max_eq")).over(Window.orderBy(col("n"))
+          .rangeBetween(1L, Window.unboundedFollowing)))
+      pts.join(broadcast(suffix), "n")
         .filter(col("v_milli") > coalesce(col("max_gt"), lit(Long.MinValue)) &&
           col("v_milli") === col("max_eq"))
         .select(col("user_id"), col("n"), col("v_milli"))
@@ -194,11 +202,13 @@ object Retrieval {
       val base = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         .join(tf, Seq("doc_id"), "left")
         .na.fill(0L, Seq("tf"))
-      val ranked = base
-        .withColumn("ra", row_number().over(
-          Window.orderBy(col("tf").desc, col("doc_id"))))
-        .withColumn("rb", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      // both rankings via ScalableRank (range partition + broadcast
+      // offsets), not an un-partitioned row_number window — the q141
+      // note the old comment deferred to, now done
+      val ranked = graft.operators.ScalableRank.globalRowNumber(
+        graft.operators.ScalableRank.globalRowNumber(base,
+          "ra", col("tf").desc, col("doc_id")),
+        "rb", col("n_chars").desc, col("doc_id"))
       ranked
         .select(col("doc_id"),
           expr("1000000L div (60L + ra) + 1000000L div (60L + rb)")
@@ -433,7 +443,7 @@ object Retrieval {
          |SELECT doc_id,
          | CAST(1000000 // (60 + ra) + 1000000 // (60 + rb) AS BIGINT)
          |  AS rrf_micro,
-         | CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb
+         | CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
          |FROM ranked
          |ORDER BY rrf_micro DESC, doc_id
          |LIMIT 20""".stripMargin,

@@ -144,7 +144,9 @@ object Similarity {
         .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
-        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
+        // BIGINT on output: Spark row_number is INT, DuckDB's BIGINT
+        .select(col("query_id"), col("cand_id"), col("cos_sim"),
+          col("rn").cast("long").as("rn"))
     }),
 
     // q32: LSH-bucketed ANN — equi-join on bucket, top-5 in-bucket.
@@ -165,7 +167,8 @@ object Similarity {
         .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("bucket"), col("cos_sim"), col("rn"))
+        .select(col("query_id"), col("cand_id"), col("bucket"), col("cos_sim"),
+          col("rn").cast("long").as("rn"))
     }),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
@@ -315,7 +318,8 @@ object Similarity {
         .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 3)
-        .select(col("query_id"), col("label"), col("cand_id"), col("cos_sim"), col("rn"))
+        .select(col("query_id"), col("label"), col("cand_id"), col("cos_sim"),
+          col("rn").cast("long").as("rn"))
     }),
 
     // q36: centroid per label — the IVF coarse-quantizer build step

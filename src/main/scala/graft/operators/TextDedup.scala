@@ -701,6 +701,12 @@ object TextDedup {
     // Shares are exact integer micro-units (cum×1e6 div total), so the
     // gate needs no float policy at all. Rank ties broken by token.
     "q121_vocab_coverage" -> ((s, d) => {
+      // the cumulative-share window only ever sees the TOP-100 rows,
+      // extracted first by a distributed TakeOrdered (orderBy+limit)
+      // over the vocabulary aggregate — the old form ran the
+      // un-partitioned window over the whole vocabulary (1e8+ distinct
+      // tokens at 100 TB) before filtering rk <= 100. rk is BIGINT on
+      // output (DuckDB row_number parity).
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("tok"))
       val wcum = org.apache.spark.sql.expressions.Window
@@ -710,9 +716,9 @@ object TextDedup {
         .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
           .as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("cum", sum(col("cnt")).over(wcum))
-        .filter(col("rk") <= 100)
         .crossJoin(broadcast(
           t(s, d, "documents").select(explode(
             regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("t2"))

@@ -121,10 +121,17 @@ case class AsOfJoinExec(
         while (i < lKeys.length) { if (k.isNullAt(i)) return true; i += 1 }
         false
       }
+      // A NULL time never as-of-matches, on either side and in either
+      // direction — the SQL-comparison semantics the oracle computes.
+      // Without the explicit guard the natural ordering (null lowest)
+      // made the two directions disagree: backward matched a null left
+      // time only to null-time right rows, forward matched it to the
+      // key's EARLIEST right row.
+      def timeIsNull(t: InternalRow): Boolean = t.isNullAt(0)
 
       if (!forward) lIter.map { l =>
         val lk = lKeyProj(l)
-        if (keyHasNull(lk)) {
+        if (keyHasNull(lk) || timeIsNull(lTimeProj(l))) {
           joined(l, nullRight)
         } else {
           // lTimeProj and rTimeProj are DISTINCT projections with
@@ -138,8 +145,11 @@ case class AsOfJoinExec(
             val r = rBuf.head
             val rk = rKeyProj(r)
             val kc = keyOrd.compare(rk, lk)
-            if (kc < 0 || keyHasNull(rk)) {
-              rBuf.next() // stale key (or null key): skip, invalidates nothing
+            if (kc < 0 || keyHasNull(rk) ||
+                (kc == 0 && timeIsNull(rTimeProj(r)))) {
+              // stale key, null key, or null right time (sorts first in
+              // the key, can never match): skip, invalidates nothing
+              rBuf.next()
             } else if (kc == 0 &&
                 timeOrd.compare(rTimeProj(r), lt) <= 0) {
               matchKey = rk.copy()
@@ -161,7 +171,7 @@ case class AsOfJoinExec(
         // permanently stale. The matching head is NOT consumed — it
         // may serve several left rows — only copied out per emission.
         val lk = lKeyProj(l)
-        if (keyHasNull(lk)) {
+        if (keyHasNull(lk) || timeIsNull(lTimeProj(l))) {
           joined(l, nullRight)
         } else {
           val lt = lTimeProj(l)
@@ -170,6 +180,9 @@ case class AsOfJoinExec(
             val r = rBuf.head
             val rk = rKeyProj(r)
             val kc = keyOrd.compare(rk, lk)
+            // a null right time sorts first within the key and is
+            // consumed by the rTime < lt stale test below (lt is
+            // non-null here), so no extra guard is needed
             if (kc < 0 || keyHasNull(rk) ||
                 (kc == 0 && timeOrd.compare(rTimeProj(r), lt) < 0)) {
               rBuf.next() // permanently stale for this and all later lefts

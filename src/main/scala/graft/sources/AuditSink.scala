@@ -95,22 +95,32 @@ object AuditSink {
   private[sources] def foldResults(
       messages: Array[WriterCommitMessage]): (Long, Long, Long) = {
     var count = 0L; var xor = 0L; var sum = 0L
-    messages.foreach { case AuditTaskResult(c, x, s) =>
-      count += c; xor ^= x; sum += s
+    messages.foreach {
+      case AuditTaskResult(c, x, s) => count += c; xor ^= x; sum += s
+      case null => // a task that produced no commit message (driver
+      // retry/speculation edge): contributes nothing, not a MatchError
+      case other => throw new IllegalStateException(
+        s"graft_audit: unexpected commit message: $other")
     }
     (count, xor, sum)
   }
 
-  private[sources] def publishAtomic(target: java.nio.file.Path, json: String): Unit = {
+  // tmp names carry a per-job token: two concurrent jobs auditing to
+  // the same manifest path must not clobber or abort-delete each
+  // other's in-flight tmp (the final ATOMIC_MOVE stays last-wins).
+  private[sources] def publishAtomic(
+      target: java.nio.file.Path, token: String, json: String): Unit = {
     if (target.getParent != null) Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    val tmp = target.resolveSibling(s".${target.getFileName}.$token.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[sources] def cleanupTmp(target: java.nio.file.Path): Unit =
-    Files.deleteIfExists(target.resolveSibling(s".${target.getFileName}.tmp"))
+  private[sources] def cleanupTmp(
+      target: java.nio.file.Path, token: String): Unit =
+    Files.deleteIfExists(
+      target.resolveSibling(s".${target.getFileName}.$token.tmp"))
 }
 
 class AuditSink extends TableProvider with DataSourceRegister {
@@ -155,19 +165,23 @@ private[sources] case class AuditTaskResult(count: Long, xor: Long, sum: Long)
     extends WriterCommitMessage
 
 private[sources] class AuditBatchWrite(schema: StructType, path: String) extends BatchWrite {
+  // captured at write construction: abort() may only delete THIS
+  // job's tmp, never a concurrent job's in-flight one
+  private val jobToken = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     AuditWriterFactory(schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (count, xor, sum) = AuditSink.foldResults(messages)
-    AuditSink.publishAtomic(Paths.get(path),
+    AuditSink.publishAtomic(Paths.get(path), jobToken,
       s"""{"rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}""")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // the no-ack path: nothing was published, only a stale temp could
     // exist (a crash between write and move) — remove it
-    AuditSink.cleanupTmp(Paths.get(path))
+    AuditSink.cleanupTmp(Paths.get(path), jobToken)
 }
 
 /** Streaming twin: one audit manifest PER EPOCH, each committed with
@@ -190,14 +204,16 @@ private[sources] class AuditStreamingWrite(schema: StructType, path: String)
     target.resolveSibling(s"${target.getFileName}.epoch-$epochId.json")
   }
 
+  private val jobToken = java.util.UUID.randomUUID().toString
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val (count, xor, sum) = AuditSink.foldResults(messages)
-    AuditSink.publishAtomic(epochPath(epochId),
+    AuditSink.publishAtomic(epochPath(epochId), jobToken,
       s"""{"epoch": $epochId, "rows": $count, "xor": $xor, "sum": $sum, "tasks": ${messages.length}}""")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    AuditSink.cleanupTmp(epochPath(epochId))
+    AuditSink.cleanupTmp(epochPath(epochId), jobToken)
 }
 
 private[sources] case class AuditStreamingWriterFactory(schema: StructType)

@@ -114,6 +114,12 @@ private[sources] class SynthTable(options: CaseInsensitiveStringMap)
   private val slices = options.getInt("slices", 8)
   private val rowsPerBatch = options.getLong("rowsPerBatch", math.max(1L, numRows / 4))
   require(numRows >= 0, s"numRows must be >= 0, got $numRows")
+  // userId = id * 2654435761 must not overflow signed 64-bit: DuckDB
+  // promotes the same product to HUGEINT, so overflow would silently
+  // break the documented oracle-reproducible contract
+  require(numRows <= Long.MaxValue / 2654435761L,
+    s"numRows must be <= ${Long.MaxValue / 2654435761L} " +
+      s"(userId = id * 2654435761 stays in signed 64-bit), got $numRows")
   require(slices > 0, s"slices must be > 0, got $slices")
   require(rowsPerBatch > 0, s"rowsPerBatch must be > 0, got $rowsPerBatch")
 

@@ -59,11 +59,50 @@ object ProtoType {
     extends ProtoType(2, StructType(fields.map(f =>
       StructField(f.name, f.dataType, nullable = true))))
 
+  /** Proto3 `map<K,V>` (wire 2): on the wire it is a repeated
+    * `entry { K key = 1; V value = 2; }` submessage — exactly the
+    * shape [[PMessage]] already parses — surfaced as a Spark
+    * `MapType`. Later entries with a duplicate key overwrite earlier
+    * ones and an absent key/value decodes to the proto3 default,
+    * both per protobuf-java's map semantics (the generality
+    * `ProtoWriteSupport` gets transitively for the reference's
+    * any-`T extends Message` bound, KPW:63). Keys follow the proto
+    * spec: integral, bool, or string only. */
+  final case class PMap(keyType: ProtoType, valueType: ProtoType)
+    extends ProtoType(2,
+      MapType(keyType.sparkType, valueType.sparkType, valueContainsNull = false)) {
+    require(keyType match {
+      case Int32 | Int64 | UInt32 | UInt64 | SInt32 | SInt64 | Bool |
+           Fixed32 | Fixed64 | SFixed32 | SFixed64 | PString => true
+      case _ => false
+    }, s"proto map key must be integral, bool, or string, got $keyType")
+    require(valueType match {
+      case _: PMap => false
+      case _ => true
+    }, "proto forbids map-of-map values")
+    private[streaming] def entryFields: Seq[ProtoField] = Seq(
+      ProtoField(1, "key", keyType), ProtoField(2, "value", valueType))
+  }
+
+  /** Proto3 default for an absent map entry key/value (protobuf-java
+    * never yields null from a map). */
+  private[streaming] def defaultOf(t: ProtoType): Any = t match {
+    case Int32 | UInt32 | SInt32 | Fixed32 | SFixed32 => 0
+    case Int64 | UInt64 | SInt64 | Fixed64 | SFixed64 => 0L
+    case Bool => false
+    case PFloat => 0.0f
+    case PDouble => 0.0d
+    case PString => ""
+    case PBytes => Array.empty[Byte]
+    case PMessage(sub) => Row.fromSeq(sub.map(_ => null))
+    case m: PMap => Map.empty[Any, Any]
+  }
+
   /** Numeric/bool scalars may arrive PACKED (one wire-2 blob of
     * concatenated payloads) when repeated — protobuf-java accepts
     * packed and unpacked interchangeably, so the codec does too. */
   def packable(t: ProtoType): Boolean = t match {
-    case PString | PBytes | _: PMessage => false
+    case PString | PBytes | _: PMessage | _: PMap => false
     case _ => true
   }
 }
@@ -74,6 +113,10 @@ object ProtoType {
 final case class ProtoField(number: Int, name: String, tpe: ProtoType,
     required: Boolean = false, repeated: Boolean = false) {
   require(!(required && repeated), s"$name: proto2 forbids required repeated")
+  require(!(repeated && tpe.isInstanceOf[ProtoType.PMap]),
+    s"$name: a map field is implicitly repeated on the wire; declare it plain")
+  require(!(required && tpe.isInstanceOf[ProtoType.PMap]),
+    s"$name: proto3 maps cannot be required")
   def dataType: DataType =
     if (repeated) ArrayType(tpe.sparkType, containsNull = false) else tpe.sparkType
 }
@@ -173,8 +216,14 @@ object ProtoWire {
       .map { case (f, i) => f.number -> ((f, i)) }.toMap
     val out = new Array[Any](fields.length)
     val rep = new Array[scala.collection.mutable.ArrayBuffer[Any]](fields.length)
+    val maps = new Array[scala.collection.mutable.LinkedHashMap[Any, Any]](fields.length)
     fields.iterator.zipWithIndex.foreach { case (f, i) =>
       if (f.repeated) rep(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+      f.tpe match {
+        case _: ProtoType.PMap =>
+          maps(i) = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        case _ => ()
+      }
     }
     val seen = new Array[Boolean](fields.length)
     var p = 0
@@ -231,15 +280,27 @@ object ProtoWire {
                 p2
               case 2 =>
                 val (start, end) = readLenRun(bytes, p1)
-                store(f.tpe match {
+                f.tpe match {
+                  case m: ProtoType.PMap =>
+                    // one map ENTRY submessage: { K key = 1; V value = 2 }.
+                    // Duplicate keys: last wins; absent key/value: proto3
+                    // default — protobuf-java's map merge semantics.
+                    val entry = decode(m.entryFields,
+                      java.util.Arrays.copyOfRange(bytes, start, end))
+                    val k = if (entry(0) == null) ProtoType.defaultOf(m.keyType)
+                            else entry(0)
+                    val v = if (entry(1) == null) ProtoType.defaultOf(m.valueType)
+                            else entry(1)
+                    maps(i).put(k, v)
                   case ProtoType.PString =>
-                    new String(bytes, start, end - start,
-                      java.nio.charset.StandardCharsets.UTF_8)
+                    store(new String(bytes, start, end - start,
+                      java.nio.charset.StandardCharsets.UTF_8))
                   case ProtoType.PMessage(sub) =>
-                    Row.fromSeq(decode(sub,
-                      java.util.Arrays.copyOfRange(bytes, start, end)).toIndexedSeq)
-                  case _ => java.util.Arrays.copyOfRange(bytes, start, end)
-                })
+                    store(Row.fromSeq(decode(sub,
+                      java.util.Arrays.copyOfRange(bytes, start, end)).toIndexedSeq))
+                  case _ =>
+                    store(java.util.Arrays.copyOfRange(bytes, start, end))
+                }
                 end
               case 5 =>
                 val (v, p2) = readLittleEndian(bytes, p1, 4)
@@ -267,6 +328,12 @@ object ProtoWire {
       if (f.required && !seen(i))
         throw new ProtoDecodeException(s"missing required field ${f.name}")
       if (f.repeated) out(i) = rep(i).toSeq
+      f.tpe match {
+        // absent map = empty map (protobuf getMap semantics, the
+        // sibling of absent-repeated = empty array above)
+        case _: ProtoType.PMap => out(i) = maps(i).toMap
+        case _ => ()
+      }
     }
     out
   }
@@ -293,8 +360,19 @@ object ProtoWire {
     val out = new java.io.ByteArrayOutputStream()
     fields.iterator.zip(values.iterator).foreach { case (f, v) =>
       if (v != null) {
-        if (f.repeated) v.asInstanceOf[Seq[Any]].foreach(writeOne(out, f, _))
-        else writeOne(out, f, v)
+        f.tpe match {
+          case m: ProtoType.PMap =>
+            // one tagged `entry { key = 1; value = 2 }` submessage per
+            // mapping, like protobuf-java's map serializer
+            v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, mv) =>
+              writeVarint(out, (f.number.toLong << 3) | 2L)
+              val inner = encode(m.entryFields, Seq(k, mv))
+              writeVarint(out, inner.length.toLong); out.write(inner, 0, inner.length)
+            }
+          case _ =>
+            if (f.repeated) v.asInstanceOf[Seq[Any]].foreach(writeOne(out, f, _))
+            else writeOne(out, f, v)
+        }
       }
     }
     out.toByteArray
@@ -334,6 +412,9 @@ object ProtoWire {
                 s"${f.name}: nested message value must be Row or Seq, got ${other.getClass}")
             }
             writeVarint(out, inner.length.toLong); out.write(inner, 0, inner.length)
+          case _: ProtoType.PMap =>
+            throw new IllegalStateException(
+              s"${f.name}: map fields are encoded entry-by-entry in encode()")
     }
   }
 }

@@ -442,10 +442,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
-  test("q173 skyline plans windows over one sort — no dominance self-join") {
+  test("q173 skyline: dominance via tiny broadcast, no self-join of users") {
+    // scale-safe shape: per-activity-level maxima (distributed agg) +
+    // suffix-max window over that TINY relation, broadcast back to the
+    // user aggregate — never a sort-merge / nested-loop dominance
+    // self-join over the full user relation
     val plan = executedPlan("q173_pareto_front")
-    assert(!plan.contains("Join"),
-      s"skyline must not join:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-n maxima must come back broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"skyline must not self-join users:\n${plan.take(1200)}")
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
 

@@ -106,7 +106,7 @@ class Analytics2Spec extends AnyFunSuite {
     val rows = q("q128_rrf_fusion").collect()
     assert(rows.length == 20)
     rows.foreach { r =>
-      val (rr, rq) = (r.getAs[Int]("r_rev"), r.getAs[Int]("r_qty"))
+      val (rr, rq) = (r.getAs[Long]("r_rev"), r.getAs[Long]("r_qty"))
       assert(r.getAs[Long]("rrf_micro") ==
         1000000L / (60 + rr) + 1000000L / (60 + rq))
     }
@@ -132,10 +132,10 @@ class Analytics2Spec extends AnyFunSuite {
   test("q130 ntile bins: quartiles partition rows near-evenly, ranges nest") {
     val rows = q("q130_ntile_binning").collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
-      assert(rs.map(_.getAs[Int]("quartile")).sorted.toSeq == Seq(1, 2, 3, 4))
+      assert(rs.map(_.getAs[Long]("quartile")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
       val ns = rs.map(_.getAs[Long]("n"))
       assert(ns.max - ns.min <= 1, "ntile bins differ by at most one row")
-      val ordered = rs.sortBy(_.getAs[Int]("quartile"))
+      val ordered = rs.sortBy(_.getAs[Long]("quartile"))
       ordered.sliding(2).foreach {
         case Array(a, b) =>
           assert(a.getAs[Double]("vmax") <= b.getAs[Double]("vmin"),
@@ -279,7 +279,7 @@ class Analytics2Spec extends AnyFunSuite {
     val dim = graft.Tables(spark, sf, "embeddings")
       .select(size(col("embedding"))).head().getInt(0)
     assert(rows.length == dim, "one output row per embedding dimension")
-    assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until dim))
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (0L until dim.toLong))
     val nEven = graft.Tables(spark, sf, "embeddings")
       .filter(col("vec_id") % 2 === 0).count()
     val nOdd = graft.Tables(spark, sf, "embeddings")

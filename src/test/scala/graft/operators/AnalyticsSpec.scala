@@ -30,9 +30,9 @@ class AnalyticsSpec extends AnyFunSuite {
   test("q56 tf-idf yields at most 5 ranked terms per doc, rn dense from 1") {
     val rows = q("q56_tfidf").collect()
     rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
-      val rns = rs.map(_.getAs[Int]("rn")).sorted
+      val rns = rs.map(_.getAs[Long]("rn")).sorted
       assert(rns.length <= 5)
-      assert(rns.toSeq == (1 to rns.length))
+      assert(rns.toSeq == (1L to rns.length.toLong))
     }
   }
 
@@ -95,7 +95,7 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_exact") <= r.getAs[Long]("n_fuzzy_pairs"))
-      val md = r.getAs[Int]("min_dist")
+      val md = r.getAs[Long]("min_dist")
       assert(md >= 0 && md <= 2)
     }
   }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scalable rank/cum-sum helpers must be value-identical to the
+  * un-partitioned windows they replace (q138/q112) — the windows are
+  * the semantics, the helpers only re-distribute the work.
+  */
+class ScalableRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRowNumber equals the un-partitioned window row_number") {
+    val df = graft.Tables(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val got = ScalableRank
+      .globalRowNumber(df, "rk", col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("rk"))
+      .as[(Long, Long)].collect().toMap
+    val exp = df.withColumn("rk", row_number()
+        .over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
+        .cast("long"))
+      .select(col("o_orderkey"), col("rk"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+
+  test("globalRowNumber keeps ranks contiguous across partition seams") {
+    val df = spark.range(0, 10007).select((col("id") * 37 % 10007).as("k"))
+    val ranks = ScalableRank.globalRowNumber(df, "rk", col("k"))
+      .select(col("rk")).as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 10007L))
+  }
+
+  test("groupedCumSum equals the per-group running-sum + total windows") {
+    val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val got = ScalableRank
+      .groupedCumSum(hist, Seq("g"), "v", "cnt", "cum", "n")
+      .select(col("g"), col("v"), col("cum"), col("n"))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("v"), col("cum"), col("n"))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+}

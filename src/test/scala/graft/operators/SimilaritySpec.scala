@@ -16,7 +16,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery.size == 10)
     byQuery.foreach { case (_, rs) =>
       assert(rs.length == 10)
-      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      val sims = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos_sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
       assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
     }
@@ -47,7 +47,7 @@ class SimilaritySpec extends AnyFunSuite {
     lshTop.foreach { case (qid, cand) =>
       bf.get(qid).foreach { neighbors =>
         // the in-bucket top-1 must not out-rank the global top-1
-        val globalBest = neighbors.minBy(_.getAs[Int]("rn"))
+        val globalBest = neighbors.minBy(_.getAs[Long]("rn"))
         assert(globalBest.getAs[Double]("cos_sim") >=
           neighbors.find(_.getAs[Long]("cand_id") == cand)
             .map(_.getAs[Double]("cos_sim")).getOrElse(-1.0))
@@ -87,8 +87,8 @@ class SimilaritySpec extends AnyFunSuite {
       // every candidate really lives in that cell
       rs.foreach(r => assert(labelOf(r.getAs[Long]("cand_id")) == r.getAs[Int]("label")))
       assert(!rs.exists(_.getAs[Long]("cand_id") == qid), "no self-match")
-      val rns = rs.map(_.getAs[Int]("rn")).sorted.toSeq
-      assert(rns == (1 to rns.length) && rns.length <= 3)
+      val rns = rs.map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(rns == (1L to rns.length.toLong) && rns.length <= 3)
     }
   }
 
@@ -102,7 +102,7 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     // for queries brute force covers (vec_id < 10), the IVF top hit
     // must be the best brute-force hit within the probed cell
-    ivf.filter(r => r.getAs[Long]("query_id") < 10 && r.getAs[Int]("rn") == 1)
+    ivf.filter(r => r.getAs[Long]("query_id") < 10 && r.getAs[Long]("rn") == 1L)
       .foreach { r =>
         val qid = r.getAs[Long]("query_id")
         val cell = r.getAs[Int]("label")

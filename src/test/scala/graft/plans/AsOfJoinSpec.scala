@@ -130,4 +130,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("e") == Some("x2")) // duplicate (key,time): sort-last wins
     assert(out("z") == None)       // null key matches nothing
   }
+
+  test("null times never match, identically in both directions") {
+    val l = Seq(
+      (1L, 1L, Some(10L)), // normal: matches the ts=5 right row backward
+      (2L, 1L, None),      // null left time -> null-extend, both modes
+      (3L, 2L, Some(10L))) // key whose only right rows have null time
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (1L, Some(5L), 100L),
+      (1L, Option.empty[Long], 99L), // null right time: never a match
+      (2L, Option.empty[Long], 98L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    for (fwd <- Seq(false, true)) {
+      val got = AsOfJoin.asofJoinNative(
+        l, "user_id", "ts", r, "o_custkey", "o_orderdate", forward = fwd)
+        .select(col("event_id"), col("o_orderkey"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got(2L) === None, s"null left time must null-extend (forward=$fwd)")
+      assert(got(3L) === None, s"null right times must never match (forward=$fwd)")
+    }
+    val back = AsOfJoin.asofJoinNative(
+      l, "user_id", "ts", r, "o_custkey", "o_orderdate")
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(back(1L) === Some(100L)) // the non-null row still matches
+  }
 }

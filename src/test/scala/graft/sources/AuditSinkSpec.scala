@@ -54,8 +54,10 @@ class AuditSinkSpec extends AnyFunSuite {
       df.write.format("graft_audit").option("path", p).mode("append").save()
     }
     assert(!Files.exists(Paths.get(p)), "manifest must not appear for a failed job")
-    assert(!Files.exists(Paths.get(p).resolveSibling(".manifest.json.tmp")),
-      "no temp residue after abort")
+    // tmp names are token-suffixed now — assert no *.tmp residue at all
+    val residue = Files.list(Paths.get(p).getParent).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp")).toSeq
+    assert(residue.isEmpty, s"no temp residue after abort: $residue")
   }
 
   test("streaming epoch audits compose to the batch audit of the same relation") {
@@ -97,5 +99,19 @@ class AuditSinkSpec extends AnyFunSuite {
     val (m1, m2) = (AuditSink.readManifest(p1), AuditSink.readManifest(p2))
     assert(m1("rows") === m2("rows"))
     assert(m1("xor") !== m2("xor"), "corrupted column must change the checksum")
+  }
+
+  test("tmp files are per-job: cleanup never touches another job's tmp") {
+    val dir = Files.createTempDirectory("graft_audit_tok")
+    val target = dir.resolve("m.json")
+    // job B crashed mid-publish, leaving its tmp behind
+    val tmpB = dir.resolve(".m.json.jobB.tmp")
+    Files.write(tmpB, "b-inflight".getBytes)
+    AuditSink.publishAtomic(target, "jobA", "{\"rows\": 1}")
+    AuditSink.cleanupTmp(target, "jobA") // A's abort path
+    assert(Files.exists(tmpB), "abort must only delete its own token's tmp")
+    assert(AuditSink.readManifest(target.toString)("rows") === 1L)
+    AuditSink.cleanupTmp(target, "jobB")
+    assert(!Files.exists(tmpB))
   }
 }

@@ -137,4 +137,19 @@ class SyntheticEventsSpec extends AnyFunSuite {
     val ids = spark.read.parquet(out).select($"id").as[Long].collect().sorted.toSeq
     assert(ids === (0L until n).toSeq) // no loss, no duplicates
   }
+
+  test("numRows beyond the userId overflow bound is rejected up front") {
+    // userId = id * 2654435761 overflows signed 64-bit past this bound;
+    // DuckDB promotes to HUGEINT, so the source refuses rather than
+    // silently diverging from its documented oracle-reproducible contract
+    val bound = Long.MaxValue / 2654435761L
+    val e = intercept[Exception] {
+      spark.read.format("graft_synth")
+        .option("numRows", (bound + 1).toString).load().count()
+    }
+    assert(e.getMessage.contains("signed 64-bit"), e.getMessage)
+    // the bound itself is accepted (construction succeeds; no scan run)
+    spark.read.format("graft_synth")
+      .option("numRows", bound.toString).load().schema
+  }
 }

@@ -151,6 +151,74 @@ class ProtoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("first-class map<K,V> fields: MapType surface, last-wins, defaults, nested values") {
+    import ProtoType._
+    // map<string,int64> + map<int32, message> on one descriptor
+    val subMsg = PMessage(Seq(
+      ProtoField(1, "name", PString), ProtoField(2, "score", Int64)))
+    val fields = Seq(
+      ProtoField(1, "id", Int64, required = true),
+      ProtoField(2, "attrs", PMap(PString, Int64)),
+      ProtoField(3, "players", PMap(Int32, subMsg)),
+      ProtoField(4, "never_set", PMap(PString, PString)))
+    val codec = ProtoCodec(fields)
+    // schema surfaces Spark MapType, not an entry array
+    assert(codec.schema("attrs").dataType ===
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType, valueContainsNull = false))
+    val bytes = ProtoWire.encode(fields, Seq(
+      7L,
+      Map("a" -> 1L, "b" -> 2L),
+      Map(1 -> org.apache.spark.sql.Row("alice", 10L)),
+      null))
+    val row = ProtoWire.decode(fields, bytes)
+    assert(row(1) === Map("a" -> 1L, "b" -> 2L))
+    val players = row(2).asInstanceOf[Map[Any, Any]]
+    assert(players(1).asInstanceOf[org.apache.spark.sql.Row].getString(0) == "alice")
+    assert(row(3) === Map.empty[Any, Any]) // absent map = empty, like getMap()
+    // duplicate key: LAST wins (protobuf-java map merge) — hand-splice
+    // a second attrs entry for key "a"
+    val dup = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bytes, 0, bytes.length)
+      val entry = ProtoWire.encode(
+        Seq(ProtoField(1, "key", PString), ProtoField(2, "value", Int64)),
+        Seq("a", 99L))
+      ProtoWire.writeVarint(out, (2L << 3) | 2L)
+      ProtoWire.writeVarint(out, entry.length.toLong)
+      out.write(entry, 0, entry.length)
+      out.toByteArray
+    }
+    assert(ProtoWire.decode(fields, dup)(1) === Map("a" -> 99L, "b" -> 2L))
+    // absent key/value inside an entry: proto3 defaults, never null
+    val emptyEntry = {
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, (1L << 3) | 0L); ProtoWire.writeVarint(out, 7L)
+      ProtoWire.writeVarint(out, (2L << 3) | 2L); ProtoWire.writeVarint(out, 0L)
+      out.toByteArray
+    }
+    assert(ProtoWire.decode(fields, emptyEntry)(1) === Map("" -> 0L))
+    // invalid declarations are rejected up front
+    intercept[IllegalArgumentException](PMap(PDouble, Int64))
+    intercept[IllegalArgumentException](
+      ProtoField(5, "m", PMap(PString, Int64), repeated = true))
+  }
+
+  test("map fields flow through the Spark decode UDF as MapType columns") {
+    import ProtoType._
+    val fields = Seq(
+      ProtoField(1, "id", Int64, required = true),
+      ProtoField(2, "attrs", PMap(PString, Int64)))
+    val bytes = ProtoWire.encode(fields, Seq(3L, Map("x" -> 5L, "y" -> 6L)))
+    val df = spark.createDataset(Seq(bytes))(
+        org.apache.spark.sql.Encoders.BINARY).toDF("value")
+      .select(ProtoCodec(fields).decode(col("value")).as("m"))
+      .selectExpr("m.id", "m.attrs['x']", "m.attrs['y']")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 5L, 6L)))
+  }
+
   test("unknown fields are skipped; repeated scalar occurrence: last wins") {
     val base = SampleMessageProto.encode("q", 1L, 2, null)
     // append unknown field 99 (varint), unknown field 98 (length-

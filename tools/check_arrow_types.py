@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Dev-only STRICT oracle compare: Arrow-level schema (column types)
+plus exact values. Catches what check_oracle.py's pandas coercion
+masks — e.g. Spark row_number() INT32 vs DuckDB BIGINT (the r5 q203
+driver red). Usage:
+  python3 tools/check_arrow_types.py <sfDir> <verifyOutDir> [query ...]
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+with open(f"{out_dir}/oracle_sql.json") as f:
+    oracle = json.load(f)
+
+
+def norm(t: pa.DataType) -> str:
+    """Canonical type label; timezone naming, large_string vs string,
+    and timestamp unit (Spark's INT96 reads as ns, DuckDB emits us —
+    values are identical, see GraftSession's outputTimestampType note)
+    are reader artifacts, not engine output differences."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no verify output")
+        fails += 1
+        continue
+    try:
+        got = pq.read_table(files[0])
+        exp = con.sql(sql).arrow()
+    except Exception as e:
+        print(f"FAIL {name}: load error: {e}")
+        fails += 1
+        continue
+    gs = {f.name: norm(f.type) for f in got.schema}
+    es = {f.name: norm(f.type) for f in exp.schema}
+    if gs != es:
+        diff = {k: (gs.get(k), es.get(k))
+                for k in sorted(set(gs) | set(es)) if gs.get(k) != es.get(k)}
+        print(f"TYPE {name}: spark vs oracle {diff}")
+        fails += 1
+    else:
+        print(f"ok   {name}")
+
+sys.exit(1 if fails else 0)
