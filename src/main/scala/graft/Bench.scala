@@ -76,17 +76,26 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
-    // stdout gets the COMPACT form: the driver recovers this line from
-    // a bounded tail of captured output (round 3's full-name 9-decimal
-    // line overflowed it → "parsed": null). Short keys (qNN) and
-    // 3-decimal times keep the whole line ~1.2 KB for 80+ queries.
+    // stdout gets the COMPACT form: the driver stores only the last
+    // ~2 KB of captured output (r5's BENCH artifact shows the tail
+    // with sbt's trailing "[success] Total time ..." line inside it
+    // and "parsed": null because the 2.6 KB JSON line lost its head).
+    // Budget: 2048 − ~90 (sbt suffix) ⇒ the line must stay under
+    // ~1.9 KB for 206 queries. That fits only as integer CENTISECONDS
+    // ("q_unit":"cs") with the "q" key prefix stripped — measured
+    // 1.86 KB vs 2.45 KB for 2-decimal seconds. Full-precision
+    // seconds with full names are always in the file artifact above.
+    spark.stop() // stop FIRST: nothing may print after the JSON line
     val compact = fmt(sorted.map { case (k, v) =>
-      k.takeWhile(_ != '_') -> (math.round(v * 1000) / 1000.0).toString })
+      k.takeWhile(_ != '_').stripPrefix("q") ->
+        math.round(v * 100).toString })
     val failedCompact =
-      fmt(failures.sortBy(_._1).map { case (k, _) => k.takeWhile(_ != '_') -> "\"error\"" })
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0
-      },"unit":"sec","queries":$compact,"failed":$failedCompact,"sf":"$sfDir"}""")
-    spark.stop()
+      if (failures.isEmpty) ""
+      else ""","failed":""" + fmt(failures.sortBy(_._1)
+        .map { case (k, _) => k.takeWhile(_ != '_').stripPrefix("q") -> "\"error\"" })
+    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0
+      },"unit":"sec","q_unit":"cs","queries":$compact$failedCompact,"sf":"${
+        new java.io.File(sfDir).getName}"}""")
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries FAILED: " +
         failures.map(_._1).mkString(", "))

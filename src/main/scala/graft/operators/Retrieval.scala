@@ -199,16 +199,23 @@ object Retrieval {
       import org.apache.spark.sql.expressions.Window
       val tf = toks(s, d).filter(col("tok") === "spark")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
-      val base = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-        .join(tf, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("tf"))
       // both rankings via ScalableRank (range partition + broadcast
       // offsets), not an un-partitioned row_number window — the q141
-      // note the old comment deferred to, now done
-      val ranked = graft.operators.ScalableRank.globalRowNumber(
-        graft.operators.ScalableRank.globalRowNumber(base,
-          "ra", col("tf").desc, col("doc_id")),
-        "rb", col("n_chars").desc, col("doc_id"))
+      // note the old comment deferred to, now done. Persisted once and
+      // ranked independently per metric (nesting would re-execute the
+      // token explode per range-sampling pass, see q138).
+      val base = graft.CacheRegistry.getOrPersist(s, s"retrieval.q174base:$d") {
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .join(tf, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("tf"))
+      }
+      val ranked = base
+        .join(graft.operators.ScalableRank.globalRowNumber(base,
+            "ra", col("tf").desc, col("doc_id"))
+          .select(col("doc_id"), col("ra")), "doc_id")
+        .join(graft.operators.ScalableRank.globalRowNumber(base,
+            "rb", col("n_chars").desc, col("doc_id"))
+          .select(col("doc_id"), col("rb")), "doc_id")
       ranked
         .select(col("doc_id"),
           expr("1000000L div (60L + ra) + 1000000L div (60L + rb)")

@@ -41,13 +41,16 @@ object ScalableRank {
   def globalRowNumber(df: DataFrame, out: String, ord: Column*): DataFrame = {
     val ranged = df.repartitionByRange(ord: _*)
       .withColumn("_srk_pid", spark_partition_id())
-    val intra = ranged.withColumn("_srk_r",
-      row_number().over(Window.partitionBy(col("_srk_pid")).orderBy(ord: _*)))
-    val offs = intra.groupBy(col("_srk_pid")).agg(count(lit(1)).as("_srk_c"))
+    // offsets come from `ranged` DIRECTLY (per-pid counts need no
+    // ordering), not from the windowed relation — so the offset branch
+    // reuses the range exchange without paying the window's sort
+    val offs = ranged.groupBy(col("_srk_pid")).agg(count(lit(1)).as("_srk_c"))
       .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
         Window.orderBy(col("_srk_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_srk_pid"), col("_srk_off"))
+    val intra = ranged.withColumn("_srk_r",
+      row_number().over(Window.partitionBy(col("_srk_pid")).orderBy(ord: _*)))
     intra.join(broadcast(offs), "_srk_pid")
       .withColumn(out, col("_srk_off") + col("_srk_r"))
       .drop("_srk_pid", "_srk_r")
@@ -76,8 +79,10 @@ object ScalableRank {
     // per-(partition, group) totals; cumulated per group in pid order.
     // O(partitions + groups) rows: range partitioning keeps each
     // partition on a contiguous (group, order) slice, so a partition
-    // touches at most (its row span / group span + 1) groups.
-    val slice = intra.groupBy(col("_srk_pid") +: gcols: _*)
+    // touches at most (its row span / group span + 1) groups. Counted
+    // from `ranged` directly (no ordering needed), so this branch
+    // reuses the range exchange without the window's sort.
+    val slice = ranged.groupBy(col("_srk_pid") +: gcols: _*)
       .agg(sum(col(weightCol)).as("_srk_c"))
     val offs = slice
       .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(

@@ -456,6 +456,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty)
   }
 
+  test("q138 quartiles run through ScalableRank — no corpus-sized un-partitioned window") {
+    // the scalable-rank signature: three range exchanges (one per
+    // quartile metric) and every corpus-facing row_number partitioned
+    // by the range-partition id. The only un-partitioned windows left
+    // are the O(shuffle-partitions) offset cumulations.
+    val plan = executedPlan("q138_rfm_segments")
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).length >= 3,
+      s"expected 3 range exchanges (r/f/m):\n${plan.take(1500)}")
+    assert("windowspecdefinition\\(_srk_pid".r.findAllIn(plan).length >= 3,
+      s"per-partition rank windows must partition by _srk_pid:\n${plan.take(1500)}")
+    assert(!plan.contains("ntile"), "ntile must not reappear (version-sensitive)")
+  }
+
+  test("q112 weighted median uses targeted rank lookup — no whole-group window") {
+    // two-pass shape: range partition on (g, v), chunk counts from a
+    // plain aggregate, and the only cumulative window runs per
+    // (partition, group) chunk over the hot chunks
+    val plan = executedPlan("q112_mad_outliers")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"histogram must be range partitioned:\n${plan.take(1500)}")
+    assert("windowspecdefinition\\(_pid".r.findAllIn(plan).nonEmpty,
+      s"cumulative windows must partition by (_pid, g):\n${plan.take(1500)}")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
