@@ -33,12 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object ScalableRank {
 
+  /** Both consumers of the range exchange (the ranking window and the
+    * offset counts) MUST read one materialization of it: range
+    * boundaries come from sampling whose seed varies per
+    * materialization, so two independent exchanges could disagree on
+    * where partitions split and silently mis-rank. Spark's exchange
+    * reuse (on by default, and what ReusedExchange/stage-cache
+    * provide under AQE) guarantees this; refuse to run without it.
+    */
+  private def requireExchangeReuse(df: DataFrame): Unit =
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "ScalableRank needs spark.sql.exchange.reuse=true: the offset and " +
+        "rank branches must observe one materialization of the range exchange")
+
   /** Appends a 1-based global row number over the total order `ord`
     * as column `out`. Equivalent to
     * `row_number().over(Window.orderBy(ord: _*))` without the
     * single-task funnel.
     */
   def globalRowNumber(df: DataFrame, out: String, ord: Column*): DataFrame = {
+    requireExchangeReuse(df)
     val ranged = df.repartitionByRange(ord: _*)
       .withColumn("_srk_pid", spark_partition_id())
     // offsets come from `ranged` DIRECTLY (per-pid counts need no
@@ -68,6 +82,7 @@ object ScalableRank {
     */
   def groupedCumSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
       weightCol: String, out: String, totalOut: String): DataFrame = {
+    requireExchangeReuse(df)
     val gcols = groupCols.map(col)
     val ord = col(orderCol)
     val ranged = df.repartitionByRange((gcols :+ ord): _*)
