@@ -66,6 +66,38 @@ object ProtoParity {
         md5(concat_ws(" ", col("toks")).cast("binary")).as("head_fp"),
         col("meta.lang").as("lang"),
         col("meta.n_tok").as("n_tok"))
+    }),
+
+    // q207: the proto3 MAP surface under the gate — each document's
+    // first-8-token term counts become a map<string,int64> field,
+    // encoded to entry submessages on the executors and decoded back
+    // through the codec seam as a Spark MAP column; the oracle
+    // recomputes key count, a probe lookup, and an order-canonical
+    // entry fingerprint from the raw table. A hash match proves the
+    // MapType decode path (entry merge + defaults) is the identity
+    // per row — including the absent-map = empty-map contract on
+    // token-less documents. Same zero-exchange per-row map shape as
+    // q81/q149.
+    "q207_proto_map_roundtrip" -> ((s, d) => {
+      val fs = MapDocProto.fields
+      val enc = udf((id: Long, toks: Seq[String]) => {
+        val counts: Map[String, Long] =
+          toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        ProtoWire.encode(fs, Seq(id, counts))
+      })
+      val encoded = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+        .select(enc(col("doc_id"), slice(col("ws"), 1, 8)).as("value"))
+      val decoded = encoded
+        .select(MapDocProto.codec.decode(col("value")).as("r"))
+        .select(col("r.*"))
+      decoded.select(col("doc_id"),
+        size(col("tok_counts")).cast("int").as("n_keys"),
+        md5(concat_ws(" ", array_sort(expr(
+          "transform(map_entries(tok_counts), e -> concat(e.key, ':', CAST(e.value AS STRING)))")))
+          .cast("binary")).as("map_fp"),
+        element_at(col("tok_counts"), "the").as("the_cnt"))
     }))
 
   /** q149's descriptor: the three shapes beyond scalars that
@@ -82,7 +114,39 @@ object ProtoParity {
     def codec: ProtoCodec = ProtoCodec(fields)
   }
 
+  /** q207's descriptor: required scalar + proto3 map<string,int64>. */
+  object MapDocProto {
+    import ProtoType._
+    val fields: Seq[ProtoField] = Seq(
+      ProtoField(1, "doc_id", Int64, required = true),
+      ProtoField(2, "tok_counts", PMap(PString, Int64)))
+    def codec: ProtoCodec = ProtoCodec(fields)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // DuckDB recomputes the per-doc term counts relationally; the
+    // fingerprint sorts the same "k:v" strings both engines build, so
+    // map iteration order can't leak into the hash. Token-less docs
+    // survive via the left join (empty map ⇒ 0 keys, md5('')).
+    "q207_proto_map_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, ws[1:8] AS head
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(head) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok || ':' || count(*) AS kv,
+        |    CASE WHEN tok = 'the' THEN count(*) END AS the_c
+        |  FROM ex GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS INT) AS n_keys,
+        |    md5(string_agg(kv, ' ' ORDER BY kv)) AS map_fp,
+        |    CAST(max(the_c) AS BIGINT) AS the_cnt
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(a.n_keys, 0) AS n_keys,
+        |  coalesce(a.map_fp, md5('')) AS map_fp,
+        |  a.the_cnt
+        |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
     "q149_proto_nested_roundtrip" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS ws
