@@ -53,19 +53,29 @@ object ScalableRank {
     */
   def globalRowNumber(df: DataFrame, out: String, ord: Column*): DataFrame = {
     requireExchangeReuse(df)
+    // Local rank WITHOUT a second corpus exchange: a window partitioned
+    // by spark_partition_id() would hash-shuffle the whole input again
+    // (Catalyst can't see that pid values align 1:1 with the existing
+    // range partitions). Instead the partitions are sorted in place and
+    // monotonically_increasing_id() — (partitionId << 33) + rowOffset
+    // by its documented layout — yields the 0-based offset within the
+    // sorted partition directly. The subtraction below is exact while a
+    // partition holds < 2^33 rows (8.6e9 — far past any sane partition
+    // sizing), and ScalableRankSpec pins the whole construction against
+    // the window formulation, so a layout change cannot slip through.
     val ranged = df.repartitionByRange(ord: _*)
+      .sortWithinPartitions(ord: _*)
       .withColumn("_srk_pid", spark_partition_id())
-    // offsets come from `ranged` DIRECTLY (per-pid counts need no
-    // ordering), not from the windowed relation — so the offset branch
-    // reuses the range exchange without paying the window's sort
+      .withColumn("_srk_r",
+        monotonically_increasing_id() - col("_srk_pid").cast("long") * lit(1L << 33) + 1L)
+    // offsets: per-pid counts (no ordering needed) cumulated over the
+    // tiny O(partitions) relation, broadcast back
     val offs = ranged.groupBy(col("_srk_pid")).agg(count(lit(1)).as("_srk_c"))
       .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
         Window.orderBy(col("_srk_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_srk_pid"), col("_srk_off"))
-    val intra = ranged.withColumn("_srk_r",
-      row_number().over(Window.partitionBy(col("_srk_pid")).orderBy(ord: _*)))
-    intra.join(broadcast(offs), "_srk_pid")
+    ranged.join(broadcast(offs), "_srk_pid")
       .withColumn(out, col("_srk_off") + col("_srk_r"))
       .drop("_srk_pid", "_srk_r")
       .drop("_srk_off")

@@ -458,14 +458,15 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q138 quartiles run through ScalableRank — no corpus-sized un-partitioned window") {
     // the scalable-rank signature: three range exchanges (one per
-    // quartile metric) and every corpus-facing row_number partitioned
-    // by the range-partition id. The only un-partitioned windows left
-    // are the O(shuffle-partitions) offset cumulations.
+    // quartile metric), local ranks from monotonically_increasing_id
+    // over the sorted range partitions (zero extra corpus exchange —
+    // no window ever sees the customer aggregate), and only the
+    // O(shuffle-partitions) offset cumulations remain as windows.
     val plan = executedPlan("q138_rfm_segments")
     assert("rangepartitioning".r.findAllIn(plan.toLowerCase).length >= 3,
       s"expected 3 range exchanges (r/f/m):\n${plan.take(1500)}")
-    assert("windowspecdefinition\\(_srk_pid".r.findAllIn(plan).length >= 3,
-      s"per-partition rank windows must partition by _srk_pid:\n${plan.take(1500)}")
+    assert("monotonically_increasing_id".r.findAllIn(plan).nonEmpty,
+      s"local ranks must come from monotonically_increasing_id:\n${plan.take(1500)}")
     assert(!plan.contains("ntile"), "ntile must not reappear (version-sensitive)")
   }
 
