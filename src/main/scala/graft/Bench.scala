@@ -89,12 +89,13 @@ object Bench {
     val compact = fmt(sorted.map { case (k, v) =>
       k.takeWhile(_ != '_').stripPrefix("q") ->
         math.round(v * 100).toString })
-    val failedCompact =
-      if (failures.isEmpty) ""
-      else ""","failed":""" + fmt(failures.sortBy(_._1)
-        .map { case (k, _) => k.takeWhile(_ != '_').stripPrefix("q") -> "\"error\"" })
+    // "failed" is ALWAYS present (12 bytes when empty): the file
+    // artifact carries it unconditionally and a consumer indexing
+    // parsed["failed"] must not break precisely on clean runs
+    val failedCompact = fmt(failures.sortBy(_._1)
+      .map { case (k, _) => k.takeWhile(_ != '_').stripPrefix("q") -> "\"error\"" })
     println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0
-      },"unit":"sec","q_unit":"cs","queries":$compact$failedCompact,"sf":"${
+      },"unit":"sec","q_unit":"cs","queries":$compact,"failed":$failedCompact,"sf":"${
         new java.io.File(sfDir).getName}"}""")
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries FAILED: " +

@@ -568,26 +568,32 @@ object Analytics2 {
     // q141: exact distributed percentiles (p50/p90/p99) per event
     // type — the exact counterpart of q63's GK sketch, for when the
     // SLA number must be exact, not ε-approximate. The rank
-    // conditions are pure integers (rn × 100 ≤ p × n picks the lower
-    // percentile rank; max over the qualifying prefix is the
-    // percentile value), so no float percent_rank enters the gate.
-    // Cost is one per-type sort — the same shuffle any ranking
-    // window pays; at extreme scale the sort becomes
-    // range-partitioned but the algebra is unchanged.
+    // conditions are pure integers (a value qualifies for percentile
+    // p iff its MIN row rank ≤ the lower percentile rank — the same
+    // prefix test the per-row form writes as rn × 100 ≤ p × n), so no
+    // float percent_rank enters the gate. Ranks come from a (type,
+    // value, cnt) histogram through [[ScalableRank.groupedCumSum]]
+    // (range-partitioned per-chunk running counts + broadcast
+    // offsets): the old per-type row_number window put each type's
+    // ENTIRE event set through one task — with a handful of types
+    // that is the q138/q112 cliff, now gone. Equal values collapse to
+    // one histogram row whose min rank = cum − cnt + 1, which is
+    // exactly when the per-row prefix test first fires, so the
+    // selected values are bit-identical to the row form (the oracle
+    // keeps the per-row formulation as proof).
     "q141_exact_percentiles" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val ranked = t(s, d, "events").filter(col("value").isNotNull)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-      ranked.groupBy(col("event_type"))
+      val hist = t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("g"), col("value").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = ScalableRank.groupedCumSum(
+        hist, Seq("g"), "v", "cnt", "cum", "n")
+      ranked.groupBy(col("g").as("event_type"))
         .agg(
-          max(when(expr("rn * 2 <= n + 1"), col("value"))).as("p50"),
-          max(when(expr("rn * 10 <= n * 9"), col("value"))).as("p90"),
-          max(when(expr("rn * 100 <= n * 99"), col("value"))).as("p99"),
-          max(col("value")).as("p100"),
-          count(lit(1)).as("n_rows"))
+          max(when(expr("(cum - cnt + 1) * 2 <= n + 1"), col("v"))).as("p50"),
+          max(when(expr("(cum - cnt + 1) * 10 <= n * 9"), col("v"))).as("p90"),
+          max(when(expr("(cum - cnt + 1) * 100 <= n * 99"), col("v"))).as("p99"),
+          max(col("v")).as("p100"),
+          sum(col("cnt")).cast("long").as("n_rows"))
     }),
 
     // q142: incremental SCD2 maintenance — merge a delta batch (days

@@ -83,7 +83,8 @@ object ScalableRank {
 
   /** Appends, per `groupCols` group in `orderCol` order, the running
     * (inclusive) sum of `weightCol` as `out` and the group total as
-    * `totalOut`. Equivalent to
+    * `totalOut` (q141's per-type percentile ranks come from this,
+    * fed by a value histogram). Equivalent to
     * `sum(w).over(Window.partitionBy(g).orderBy(v).rowsBetween(unboundedPreceding, currentRow))`
     * plus `sum(w).over(Window.partitionBy(g))`, but no task ever holds
     * a whole group: the range partition on (group, order) splits big

@@ -108,6 +108,13 @@ object AuditSink {
   // tmp names carry a per-job token: two concurrent jobs auditing to
   // the same manifest path must not clobber or abort-delete each
   // other's in-flight tmp (the final ATOMIC_MOVE stays last-wins).
+  // The token scheme loses the old fixed name's self-healing (a
+  // later publish overwrote a crash orphan), so each successful
+  // publish sweeps STALE sibling tmps instead: a write-to-move window
+  // is milliseconds, so anything minutes old is a dead job's residue,
+  // never a concurrent job's in-flight file.
+  private[sources] val StaleTmpMillis: Long = 10 * 60 * 1000L
+
   private[sources] def publishAtomic(
       target: java.nio.file.Path, token: String, json: String): Unit = {
     if (target.getParent != null) Files.createDirectories(target.getParent)
@@ -115,6 +122,23 @@ object AuditSink {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    sweepStaleTmps(target)
+  }
+
+  private def sweepStaleTmps(target: java.nio.file.Path): Unit = {
+    val dir = Option(target.getParent).getOrElse(return)
+    val prefix = s".${target.getFileName}."
+    val cutoff = System.currentTimeMillis() - StaleTmpMillis
+    try {
+      val it = Files.list(dir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n.endsWith(".tmp") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          Files.deleteIfExists(p)
+      }
+    } catch { case _: java.io.IOException => () } // best-effort hygiene
   }
 
   private[sources] def cleanupTmp(

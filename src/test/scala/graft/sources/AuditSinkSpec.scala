@@ -104,7 +104,7 @@ class AuditSinkSpec extends AnyFunSuite {
   test("tmp files are per-job: cleanup never touches another job's tmp") {
     val dir = Files.createTempDirectory("graft_audit_tok")
     val target = dir.resolve("m.json")
-    // job B crashed mid-publish, leaving its tmp behind
+    // job B is still in flight (fresh tmp)
     val tmpB = dir.resolve(".m.json.jobB.tmp")
     Files.write(tmpB, "b-inflight".getBytes)
     AuditSink.publishAtomic(target, "jobA", "{\"rows\": 1}")
@@ -113,5 +113,26 @@ class AuditSinkSpec extends AnyFunSuite {
     assert(AuditSink.readManifest(target.toString)("rows") === 1L)
     AuditSink.cleanupTmp(target, "jobB")
     assert(!Files.exists(tmpB))
+  }
+
+  test("publish sweeps stale crash orphans but never fresh in-flight tmps") {
+    val dir = Files.createTempDirectory("graft_audit_sweep")
+    val target = dir.resolve("m.json")
+    // a job that died long ago left its tmp behind
+    val stale = dir.resolve(".m.json.deadjob.tmp")
+    Files.write(stale, "orphan".getBytes)
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - AuditSink.StaleTmpMillis - 60000))
+    // a concurrent job is mid-publish right now
+    val fresh = dir.resolve(".m.json.livejob.tmp")
+    Files.write(fresh, "in-flight".getBytes)
+    // unrelated file with a near-miss name must survive too
+    val other = dir.resolve("m.json.bak")
+    Files.write(other, "keep".getBytes)
+    AuditSink.publishAtomic(target, "jobA", "{\"rows\": 2}")
+    assert(!Files.exists(stale), "stale orphan must be swept on publish")
+    assert(Files.exists(fresh), "fresh in-flight tmp must survive the sweep")
+    assert(Files.exists(other))
+    assert(AuditSink.readManifest(target.toString)("rows") === 2L)
   }
 }

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
-"""Dev-only STRICT oracle compare: Arrow-level schema (column types)
-plus exact values. Catches what check_oracle.py's pandas coercion
-masks — e.g. Spark row_number() INT32 vs DuckDB BIGINT (the r5 q203
-driver red). Usage:
+"""Dev-only STRICT oracle SCHEMA compare: Arrow-level column types
+only — values are check_oracle.py's job; run both. Catches what that
+script's pandas coercion masks — e.g. Spark row_number() INT32 vs
+DuckDB BIGINT (the r5 q203 driver red). Reads one part-file per query
+(Verify coalesces to one part; types are identical across parts
+anyway). Usage:
   python3 tools/check_arrow_types.py <sfDir> <verifyOutDir> [query ...]
 """
 import glob
