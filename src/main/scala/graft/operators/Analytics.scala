@@ -93,20 +93,18 @@ object Analytics {
     // order and cut into fixed token-budget (2048) batches; a document
     // belongs to the batch its first token lands in. All-integer
     // arithmetic (token counts + one running sum), so the gate compare
-    // is exact. Shapes at scale: the running sum is a window
-    // partitioned BY LANGUAGE (each partition sorts independently —
-    // nothing global); the production variant sub-partitions further
-    // by shard key exactly like this per-lang form, so the plan is the
-    // scale plan. Token counting itself is in-row (size of the token
-    // array — no explode, no shuffle before the window).
+    // is exact. Token counting itself is in-row (size of the token
+    // array — no explode, no shuffle before the running sum).
     "q105_sequence_pack" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      t(s, d, "documents")
+      // the per-language running token sum comes from
+      // ScalableRank.groupedCumSum — the old per-lang window put each
+      // language's ENTIRE corpus through one task (a handful of
+      // languages ⇒ the q141/q138 cliff); the cum values are
+      // bit-identical, only the distribution of the work changes
+      val toks = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      ScalableRank.groupedCumSum(toks, Seq("lang"), "doc_id", "n_tok", "cum", "_n")
         .withColumn("batch", floor((col("cum") - col("n_tok")) / 2048).cast("int"))
         .groupBy(col("lang"), col("batch"))
         .agg(count(lit(1)).as("n_docs"),

@@ -246,24 +246,35 @@ object Analytics2 {
         .agg(countDistinct(col("user_id")).as("u7"))
     }),
 
-    // q130: quantile binning (ntile) — per-type quartile assignment of
-    // `value`, the feature-discretization step before bucketized
-    // training. ntile's unique (value, event_id) tiebreak order makes
-    // bin boundaries engine-deterministic; min/max per bin are raw
-    // stored doubles (exact values, no arithmetic), counts integers.
-    // The per-type sort is the cost — same shape as any ranking
-    // window; a few distinct types means salting would be needed if
-    // one type dominated at 100 TB (see ScaleOps.saltedDistinctCount
-    // for the pattern).
+    // q130: quantile binning (ntile semantics) — per-type quartile
+    // assignment of `value`, the feature-discretization step before
+    // bucketized training; min/max per bin are raw stored doubles
+    // (exact values, no arithmetic), counts integers. Computed as the
+    // intersection of histogram rank intervals with ntile bucket
+    // intervals: equal values occupy CONSECUTIVE ranks whatever the
+    // intra-value tiebreak order, so a value row's rank interval
+    // [cum−cnt+1, cum] (from ScalableRank.groupedCumSum) contributes
+    // min(cum, bend) − max(cum−cnt+1, bstart) + 1 rows to bucket b —
+    // bit-identical to per-row ntile(4) with the (value, event_id)
+    // order, including ntile's front-loaded remainder (bucket b gets
+    // n div 4 + 1 rows iff b ≤ n mod 4). The old per-type row window
+    // pushed each type's entire event set through one task (the
+    // q141/q138 cliff); the ORACLE keeps per-row ntile as proof.
     "q130_ntile_binning" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      t(s, d, "events").filter(col("value").isNotNull)
-        // BIGINT on output: Spark ntile is INT, DuckDB's BIGINT
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .groupBy(col("event_type"), col("quartile"))
-        .agg(count(lit(1)).as("n"),
-          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val hist = t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      ScalableRank.groupedCumSum(hist, Seq("event_type"), "v", "cnt", "cum", "n")
+        .select(col("event_type"), col("v"), col("cnt"), col("cum"), col("n"),
+          explode(sequence(lit(1), lit(4))).as("b"))
+        .withColumn("bstart",
+          expr("(b - 1) * (n div 4) + least(b - 1, n % 4) + 1"))
+        .withColumn("bend", expr(
+          "bstart + (n div 4) + (CASE WHEN b <= n % 4 THEN 1 ELSE 0 END) - 1"))
+        .filter(expr("cum - cnt + 1 <= bend AND cum >= bstart"))
+        .groupBy(col("event_type"), col("b").cast("long").as("quartile"))
+        .agg(expr("CAST(sum(least(cum, bend) - greatest(cum - cnt + 1, bstart) + 1) AS BIGINT)").as("n"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     }),
 
     // q131: repetition-based quality scoring (the Gopher-rule family:
