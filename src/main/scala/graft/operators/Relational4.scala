@@ -276,12 +276,20 @@ object Relational4 {
     // window over that relation (no second scan), and the equality
     // join back is exact because both sides are the same decimal sum.
     "q163_top_supplier" -> ((s, d) => {
-      val rev = t(s, d, "lineitem")
-        .filter(col("l_shipdate") >= ts("1997-01-01") &&
-          col("l_shipdate") < ts("1997-04-01"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(vol(col("l_extendedprice"), col("l_discount"))).as("r"))
-      rev.withColumn("mx", max(col("r")).over(Window.partitionBy()))
+      // the global MAX arrives as a broadcast 1-row aggregate over the
+      // PERSISTED per-supplier relation, not an un-partitioned window:
+      // Window.partitionBy() funnels every supplier row (~1e8 at
+      // 100 TB) through one task just to annotate a scalar, while the
+      // agg's partial max never moves more than one value per
+      // partition. Persisting rev keeps the lineitem scan single-pass.
+      val rev = graft.CacheRegistry.getOrPersist(s, s"relational4.q163rev:$d") {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1997-01-01") &&
+            col("l_shipdate") < ts("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(vol(col("l_extendedprice"), col("l_discount"))).as("r"))
+      }
+      rev.crossJoin(broadcast(rev.agg(max(col("r")).as("mx"))))
         .filter(col("r") === col("mx"))
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
