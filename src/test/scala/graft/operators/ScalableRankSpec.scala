@@ -36,6 +36,25 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(ranks.toSeq === (1L to 10007L))
   }
 
+  test("groupedCumSum stitches one giant group split across every partition") {
+    // the whole point of the helper: a single group larger than any
+    // one partition — offsets must chain exactly across the seams
+    val df = spark.range(0, 50000)
+      .select(lit("g").as("g"), col("id").cast("double").as("v"),
+        (col("id") % 3 + 1).as("cnt"))
+    val got = ScalableRank.groupedCumSum(df, Seq("g"), "v", "cnt", "cum", "n")
+      .select(col("v"), col("cum"), col("n"))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    val total = (0L until 50000L).map(_ % 3 + 1).sum
+    assert(got.length === 50000)
+    assert(got.forall(_._3 == total))
+    var running = 0L
+    got.foreach { case (v, cum, _) =>
+      running += v.toLong % 3 + 1
+      assert(cum === running, s"cum broken at v=$v")
+    }
+  }
+
   test("groupedCumSum equals the per-group running-sum + total windows") {
     val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
       .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
