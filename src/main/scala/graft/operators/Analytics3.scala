@@ -31,6 +31,38 @@ object Analytics3 {
   private val CodePat  = "\\b\\d{4}\\b"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q208: per-source Gini concentration of document length — the
+    // contribution-inequality health metric of a multi-source corpus
+    // (a source where a few giant documents carry most characters
+    // trains very differently from an evenly-spread one; HHI q171
+    // measures the SOURCE mix, this measures inequality WITHIN each
+    // source). Exact integer algebra with ties handled in closed
+    // form: for ranks 1..n ascending by length v, Gini =
+    // (2·Σ i·vᵢ − (n+1)·Σv) / (n·Σv); a tie block of cnt equal
+    // values at cumulative count `cum` contributes
+    // v·(2·cum − cnt + 1)·cnt to 2·Σ i·vᵢ regardless of intra-block
+    // order, so the whole statistic computes from the (source, v,
+    // cnt) HISTOGRAM through ScalableRank.groupedCumSum — no
+    // whole-source window, no per-row rank. DECIMAL(38,0) carries
+    // the scaled numerator (×1e6 overflows BIGINT past ~1e12 total
+    // chars per source), output is exact integer micro-units.
+    "q208_source_gini" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      ScalableRank.groupedCumSum(hist, Seq("source"), "v", "cnt", "cum", "n")
+        .groupBy(col("source"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * (2 * cum - cnt + 1) * cnt"))
+            .as("two_iv"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * cnt")).as("s"))
+        .select(col("source"),
+          col("n_docs").cast("long").as("n_docs"),
+          expr("""CAST((two_iv - (n_docs + 1) * s) * 1000000
+                 DIV (n_docs * s) AS BIGINT)""").as("gini_micro"))
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -245,6 +277,28 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // same closed-form tie algebra over the histogram; the running
+    // count is a plain window (fine for the oracle — DuckDB only has
+    // to be right, not scalable). HUGEINT carries the ×1e6 numerator.
+    "q208_source_gini" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+        |  FROM documents GROUP BY source, CAST(n_chars AS BIGINT)),
+        |ranked AS (
+        |  SELECT source, v, cnt,
+        |   sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |agg AS (
+        |  SELECT source,
+        |   sum(cnt) AS n_docs,
+        |   sum(CAST(v AS HUGEINT) * (2 * cum - cnt + 1) * cnt) AS two_iv,
+        |   sum(CAST(v AS HUGEINT) * cnt) AS s
+        |  FROM ranked GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST((two_iv - (n_docs + 1) * s) * 1000000
+        |   // (n_docs * s) AS BIGINT) AS gini_micro
+        |FROM agg""".stripMargin,
     "q191_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS st,

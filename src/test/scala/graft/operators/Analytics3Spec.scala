@@ -87,4 +87,26 @@ class Analytics3Spec extends AnyFunSuite {
         (if (toks.map(weight).sum > 0) 1L else 0L))
     }
   }
+
+  test("q208 Gini matches a plain-Scala sorted-rank recompute, bounded [0, 1e6)") {
+    val rows = q("q208_source_gini").collect()
+    assert(rows.nonEmpty)
+    val lens = graft.Tables(spark, sf, "documents")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_chars"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val vs = lens(src)
+      val n = vs.length.toLong
+      assert(r.getAs[Long]("n_docs") === n)
+      val s = vs.map(BigInt(_)).sum
+      val twoIv = vs.zipWithIndex
+        .map { case (v, i) => BigInt(2) * (i + 1) * v }.sum
+      val expected = ((twoIv - (n + 1) * s) * 1000000 / (n * s)).toLong
+      val g = r.getAs[Long]("gini_micro")
+      assert(g === expected, s"source=$src")
+      assert(g >= 0L && g < 1000000L)
+    }
+  }
 }
