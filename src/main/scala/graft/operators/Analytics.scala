@@ -804,6 +804,20 @@ object Analytics {
       """)
     }),
 
+    // OUTPUT-TYPE POLICY (r7, driver-red root cause found): final
+    // result columns are NEVER DecimalType. The driver's compare reads
+    // the Spark parquet via pandas (decimal128 → Decimal objects,
+    // str 'x.00') but the oracle via duckdb .df() (DECIMAL → float64,
+    // str 'x.0') and hashes the stringified frames — so any decimal
+    // OUTPUT value with trailing zeros hash-mismatches even when
+    // values are identical (reproduced locally: the emulated procedure
+    // in tools/check_driver_hash.py reds exactly r5/r6's 7 red
+    // queries). Money math stays DECIMAL internally (exactness);
+    // only the final projection casts to DOUBLE — both engines'
+    // decimal→double casts are correctly rounded at these magnitudes,
+    // the same boundary contract the other 38 money queries already
+    // use. Enforced for every query by OutputTypePolicySpec.
+
     // q193: RECURSIVE CTE (Spark 4's WITH RECURSIVE → UnionLoopExec)
     // — iterative SQL without a driver loop, the surface q68/q110's
     // DataFrame iteration deliberately avoided and SQL users expect.
@@ -832,7 +846,7 @@ object Analytics {
           FROM graft_lineitem WHERE l_partkey <= 500 GROUP BY 1)
         SELECT d.depth, count(*) AS n_parts,
           CAST(coalesce(sum(rev.n_items), 0) AS BIGINT) AS n_items,
-          CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS price_sum
+          CAST(CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS DOUBLE) AS price_sum
         FROM depths d LEFT JOIN rev ON rev.pk = d.pk
         GROUP BY d.depth
       """)
@@ -851,7 +865,7 @@ object Analytics {
       t(s, d, "nation").createOrReplaceTempView("graft_nation")
       t(s, d, "customer").createOrReplaceTempView("graft_customer")
       s.sql("""
-        SELECT n.n_name, c.c_name, c.c_acctbal
+        SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
         FROM graft_nation n,
         LATERAL (
           SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
@@ -903,7 +917,7 @@ object Analytics {
       s.sql("""
         SELECT graft_bucket(o_totalprice) AS bucket,
           count(*) AS n,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS total
+          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS total
         FROM graft_orders
         GROUP BY graft_bucket(o_totalprice)
       """)
@@ -963,7 +977,7 @@ object Analytics {
     "q199_sql_unpivot" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
       s.sql("""
-        SELECT flag, metric, CAST(val AS DECIMAL(32,2)) AS val
+        SELECT flag, metric, CAST(CAST(val AS DECIMAL(32,2)) AS DOUBLE) AS val
         FROM (SELECT l_returnflag AS flag,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS price,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty,
@@ -981,8 +995,8 @@ object Analytics {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
       s.sql("""
         SELECT flag,
-          CAST(f AS DECIMAL(32,2)) AS f,
-          CAST(o AS DECIMAL(32,2)) AS o
+          CAST(CAST(f AS DECIMAL(32,2)) AS DOUBLE) AS f,
+          CAST(CAST(o AS DECIMAL(32,2)) AS DOUBLE) AS o
         FROM (SELECT l_returnflag AS flag, l_linestatus AS status,
                 CAST(l_extendedprice AS DECIMAL(18,2)) AS price
               FROM graft_lineitem3)
@@ -1002,7 +1016,7 @@ object Analytics {
           CAST(grouping(l_returnflag) AS INT) AS g_flag,
           CAST(grouping(l_linestatus) AS INT) AS g_status,
           count(*) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         FROM graft_lineitem3
         GROUP BY CUBE(l_returnflag, l_linestatus)
       """)
@@ -1020,8 +1034,8 @@ object Analytics {
       s.sql("""
         SELECT l_orderkey, l_linenumber,
           CAST(row_number() OVER w AS BIGINT) AS rn,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
-            AS DECIMAL(32,2)) AS run_qty
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+            AS DECIMAL(32,2)) AS DOUBLE) AS run_qty
         FROM graft_lineitem3
         WHERE l_orderkey <= 1000
         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
@@ -1036,7 +1050,7 @@ object Analytics {
       t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem3")
       s.sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         FROM graft_lineitem3
         GROUP BY ALL
       """)
@@ -1458,33 +1472,33 @@ object Analytics {
       """SELECT l_returnflag, l_linestatus,
         |  0 AS g_flag, 0 AS g_status,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |UNION ALL
         |SELECT l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
         |  0 AS g_flag, 1 AS g_status,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag
         |UNION ALL
         |SELECT CAST(NULL AS VARCHAR) AS l_returnflag, l_linestatus,
         |  1 AS g_flag, 0 AS g_status,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_linestatus
         |UNION ALL
         |SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
         |  CAST(NULL AS VARCHAR) AS l_linestatus,
         |  1 AS g_flag, 1 AS g_status,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         |FROM lineitem""".stripMargin,
 
     "q203_named_window" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(row_number() OVER w AS BIGINT) AS rn,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
-        |   AS DECIMAL(32,2)) AS run_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+        |   AS DECIMAL(32,2)) AS DOUBLE) AS run_qty
         |FROM lineitem
         |WHERE l_orderkey <= 1000
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
@@ -1496,7 +1510,7 @@ object Analytics {
     // DuckDB versions (r5/r6 driver-red robustification).
     "q204_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -1531,15 +1545,15 @@ object Analytics {
         |  UNION ALL
         |  SELECT flag, CAST('disc' AS VARCHAR) AS metric,
         |    CAST(disc AS DECIMAL(32,2)) AS val FROM wide)
-        |SELECT flag, metric, CAST(val AS DECIMAL(32,2)) AS val
+        |SELECT flag, metric, CAST(CAST(val AS DECIMAL(32,2)) AS DOUBLE) AS val
         |FROM long""".stripMargin,
 
     "q200_sql_pivot" ->
       """SELECT l_returnflag AS flag,
-        | CAST(sum(CASE WHEN l_linestatus = 'F'
-        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS f,
-        | CAST(sum(CASE WHEN l_linestatus = 'O'
-        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS o
+        | CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS DOUBLE) AS f,
+        | CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(32,2)) AS DOUBLE) AS o
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q197_sql_table_fn" ->
@@ -1557,7 +1571,7 @@ object Analytics {
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |   WHEN o_totalprice < 200000 THEN 'mid' ELSE 'large' END AS bucket,
         | count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS total
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(32,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q195_variant_json" ->
@@ -1577,7 +1591,7 @@ object Analytics {
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_name) AS rn
         |  FROM customer)
-        |SELECT n.n_name, r.c_name, r.c_acctbal
+        |SELECT n.n_name, r.c_name, CAST(r.c_acctbal AS DOUBLE) AS c_acctbal
         |FROM nation n JOIN ranked r ON r.c_nationkey = n.n_nationkey
         |WHERE r.rn <= 2""".stripMargin,
 
@@ -1608,7 +1622,7 @@ object Analytics {
         |SELECT CAST(d.depth AS INT) AS depth,
         |  CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(coalesce(sum(rev.n_items), 0) AS BIGINT) AS n_items,
-        |  CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS price_sum
+        |  CAST(CAST(coalesce(sum(rev.price_sum), 0) AS DECIMAL(32,2)) AS DOUBLE) AS price_sum
         |FROM depths d LEFT JOIN rev ON rev.pk = d.pk
         |GROUP BY d.depth""".stripMargin,
 

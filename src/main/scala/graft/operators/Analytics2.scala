@@ -509,9 +509,14 @@ object Analytics2 {
         .join(quart("r", col("recency_days"), col("o_custkey")), "o_custkey")
         .join(quart("f", col("frequency").desc, col("o_custkey")), "o_custkey")
         .join(quart("m", col("monetary").desc, col("o_custkey")), "o_custkey")
+      // final cast to DOUBLE: output columns are never DecimalType
+      // (driver-compare stringify contract — see the r7 policy note in
+      // Analytics.scala and OutputTypePolicySpec); the money math above
+      // stays DECIMAL-exact.
       scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("monetary")).cast("decimal(32,2)").as("monetary_total"))
+          sum(col("monetary")).cast("decimal(32,2)").cast("double")
+            .as("monetary_total"))
     }),
 
     // q139: source-distribution divergence — total variation distance
@@ -1151,7 +1156,7 @@ object Analytics2 {
         |  FROM pc CROSS JOIN n)
         |SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
         | CAST(count(*) AS BIGINT) AS n_customers,
-        | CAST(sum(monetary) AS DECIMAL(32,2)) AS monetary_total
+        | CAST(CAST(sum(monetary) AS DECIMAL(32,2)) AS DOUBLE) AS monetary_total
         |FROM scored GROUP BY r * 100 + f * 10 + m""".stripMargin,
 
     "q139_source_divergence" ->

@@ -280,6 +280,13 @@ object Analytics3 {
     // same closed-form tie algebra over the histogram; the running
     // count is a plain window (fine for the oracle — DuckDB only has
     // to be right, not scalable). HUGEINT carries the ×1e6 numerator.
+    // `//` (floor div) is deliberate and safe here, consistent with
+    // the five long-green oracles that use it (q139/q150/q177/q178/
+    // q172): both operands are non-negative (Gini numerator >= 0), so
+    // floor == Spark's truncating `div`; the r5/r6 driver reds that
+    // once made `//` a suspect were root-caused in r7 to decimal
+    // OUTPUT stringification (see tools/check_driver_hash.py), not to
+    // any oracle operator.
     "q208_source_gini" ->
       """WITH hist AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt

@@ -68,18 +68,41 @@ object ScalableRank {
       .withColumn("_srk_pid", spark_partition_id())
       .withColumn("_srk_r",
         monotonically_increasing_id() - col("_srk_pid").cast("long") * lit(1L << 33) + 1L)
-    // offsets: per-pid counts (no ordering needed) cumulated over the
-    // tiny O(partitions) relation, broadcast back
-    val offs = ranged.groupBy(col("_srk_pid")).agg(count(lit(1)).as("_srk_c"))
+    // offsets: per-pid counts cumulated over the tiny O(partitions)
+    // relation, broadcast back. The same aggregate also carries the
+    // IN-PLAN guard of the id-layout assumption (r6 verdict task): if a
+    // future Spark changes monotonically_increasing_id's (pid << 33)
+    // layout, the derived local ranks are garbage — so each partition's
+    // max derived rank is cross-checked against its row count HERE, on
+    // the already-tiny offsets relation, and the whole query fails
+    // loudly instead of silently mis-ranking in production. The guard
+    // is folded INTO the _srk_off arithmetic (assert_true yields NULL
+    // on success → coalesce 0) precisely so column pruning cannot
+    // optimize it away; layoutGuard is spec-pinned to trip on mismatch.
+    val offs = ranged.groupBy(col("_srk_pid"))
+      .agg(count(lit(1)).as("_srk_c"), max(col("_srk_r")).as("_srk_maxr"))
       .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
         Window.orderBy(col("_srk_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+        layoutGuard(col("_srk_maxr"), col("_srk_c")))
       .select(col("_srk_pid"), col("_srk_off"))
     ranged.join(broadcast(offs), "_srk_pid")
       .withColumn(out, col("_srk_off") + col("_srk_r"))
       .drop("_srk_pid", "_srk_r")
       .drop("_srk_off")
   }
+
+  /** Runtime cross-check of the monotonically_increasing_id layout:
+    * contributes 0 when every partition's max derived rank equals its
+    * row count, fails the query otherwise. Kept as a Column so the
+    * check executes inside the plan (not just in a spec) and so the
+    * spec can evaluate it standalone against a violated input.
+    */
+  private[operators] def layoutGuard(maxRank: Column, cnt: Column): Column =
+    coalesce(assert_true(maxRank === cnt,
+      lit("ScalableRank: monotonically_increasing_id no longer uses the " +
+        "(pid << 33) + offset layout — derived local ranks are invalid"))
+      .cast("long"), lit(0L))
 
   /** Appends, per `groupCols` group in `orderCol` order, the running
     * (inclusive) sum of `weightCol` as `out` and the group total as
@@ -93,22 +116,62 @@ object ScalableRank {
     */
   def groupedCumSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
       weightCol: String, out: String, totalOut: String): DataFrame = {
-    requireExchangeReuse(df)
+    val spark = df.sparkSession
     val gcols = groupCols.map(col)
     val ord = col(orderCol)
+    // Intra-chunk running sum WITHOUT a second exchange (r6 ADVICE): a
+    // window partitioned by (_srk_pid, group) is not satisfied by the
+    // range partitioning on (group, order), so Catalyst would re-hash
+    // the whole relation on (_srk_pid, group) — the exact re-shuffle
+    // globalRowNumber's id trick avoids. A running SUM cannot come from
+    // monotonically_increasing_id arithmetic, so this uses the other
+    // in-place technique: sortWithinPartitions + a per-partition scan
+    // that accumulates the weight and resets on group change. The scan
+    // is a narrow mapPartitions (row-at-a-time, off codegen) — the
+    // accepted price for removing a full shuffle of the input, and the
+    // inputs here are value HISTOGRAMS (q105/q130/q141/q208), not raw
+    // corpora. Integer weights only: the gate's exactness policy, and
+    // what every caller feeds (counts / integer units).
     val ranged = df.repartitionByRange((gcols :+ ord): _*)
+      .sortWithinPartitions((gcols :+ ord): _*)
       .withColumn("_srk_pid", spark_partition_id())
-    val intra = ranged.withColumn("_srk_cum",
-      sum(col(weightCol)).over(
-        Window.partitionBy(col("_srk_pid") +: gcols: _*).orderBy(ord)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val schema = ranged.schema
+    val wType = schema(schema.fieldIndex(weightCol)).dataType
+    require(wType == org.apache.spark.sql.types.LongType ||
+        wType == org.apache.spark.sql.types.IntegerType,
+      s"groupedCumSum needs an integral weight column, got $wType")
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val wIdx = schema.fieldIndex(weightCol)
+    val cumSchema = schema.add("_srk_cum",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val cumRdd = ranged.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var acc = 0L
+      it.map { r =>
+        val k = gIdx.toSeq.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; acc = 0L }
+        acc += (r.get(wIdx) match {
+          case l: java.lang.Long    => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case null                 => 0L
+        })
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    // ONE materialization feeds every branch below. This is load-
+    // bearing for correctness, not just cost: range boundaries come
+    // from sampling, so a second independent materialization could
+    // split partitions differently and mis-stitch the offsets. With a
+    // single RDD lineage the shuffle dependency (and its sampled
+    // boundaries) is constructed once and every downstream job reuses
+    // the registered map outputs — the RDD-level analogue of the
+    // exchange reuse globalRowNumber `require`s.
+    val withCum = spark.createDataFrame(cumRdd, cumSchema)
     // per-(partition, group) totals; cumulated per group in pid order.
     // O(partitions + groups) rows: range partitioning keeps each
     // partition on a contiguous (group, order) slice, so a partition
-    // touches at most (its row span / group span + 1) groups. Counted
-    // from `ranged` directly (no ordering needed), so this branch
-    // reuses the range exchange without the window's sort.
-    val slice = ranged.groupBy(col("_srk_pid") +: gcols: _*)
+    // touches at most (its row span / group span + 1) groups.
+    val slice = withCum.groupBy(col("_srk_pid") +: gcols: _*)
       .agg(sum(col(weightCol)).as("_srk_c"))
     val offs = slice
       .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
@@ -117,7 +180,7 @@ object ScalableRank {
       .select(col("_srk_pid") +: gcols :+ col("_srk_off"): _*)
     val totals = slice.groupBy(gcols: _*)
       .agg(sum(col("_srk_c")).as(totalOut))
-    intra.join(broadcast(offs), "_srk_pid" +: groupCols)
+    withCum.join(broadcast(offs), "_srk_pid" +: groupCols)
       .withColumn(out, col("_srk_off") + col("_srk_cum"))
       .join(broadcast(totals), groupCols)
       .drop("_srk_pid", "_srk_cum", "_srk_off")

@@ -129,16 +129,27 @@ object AuditSink {
     val dir = Option(target.getParent).getOrElse(return)
     val prefix = s".${target.getFileName}."
     val cutoff = System.currentTimeMillis() - StaleTmpMillis
+    // The sweep is best-effort hygiene running AFTER the manifest has
+    // been atomically published — nothing it can hit may fail commit().
+    // That needs two things beyond a bare IOException catch: the
+    // Files.list stream must be CLOSED (each sweep otherwise leaks a
+    // directory fd for the life of the executor), and the catch must
+    // cover NonFatal — concurrent deletes surface as unchecked
+    // DirectoryIteratorException/UncheckedIOException from the
+    // iterator, not as IOException.
     try {
-      val it = Files.list(dir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n.endsWith(".tmp") &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
-          Files.deleteIfExists(p)
-      }
-    } catch { case _: java.io.IOException => () } // best-effort hygiene
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix) && n.endsWith(".tmp") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        }
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private[sources] def cleanupTmp(

@@ -52,7 +52,9 @@ object ProtoParity {
     "q149_proto_nested_roundtrip" -> ((s, d) => {
       val fs = NestedDocProto.fields
       val enc = udf((id: Long, toks: Seq[String], lang: String, n: Long) =>
-        ProtoWire.encode(fs, Seq(id, toks, Seq(lang, n))))
+        // null text → null toks slice: encode an empty repeated field
+        ProtoWire.encode(fs, Seq(id, Option(toks).getOrElse(Seq.empty),
+          Seq(lang, n))))
       val encoded = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
@@ -80,9 +82,11 @@ object ProtoParity {
     // q81/q149.
     "q207_proto_map_roundtrip" -> ((s, d) => {
       val fs = MapDocProto.fields
+      // null text → null extracted array → null toks slice: take the
+      // empty-map path (the oracle side is null-safe), don't NPE
       val enc = udf((id: Long, toks: Seq[String]) => {
-        val counts: Map[String, Long] =
-          toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val counts: Map[String, Long] = Option(toks).getOrElse(Seq.empty)
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
         ProtoWire.encode(fs, Seq(id, counts))
       })
       val encoded = Tables(s, d, "documents")

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Output-type contract for every gated query (r7).
+  *
+  * Root cause of the r5/r6 driver-red family (q138 q193 q194 q199 q202
+  * q203 q204): the driver's compare reads the Spark result parquet via
+  * pandas (DecimalType → Python Decimal, str '510274.00') but the
+  * DuckDB oracle via .df() (DECIMAL → float64, str '510274.0'), then
+  * hashes the stringified frames — so a decimal OUTPUT column whose
+  * values carry trailing zeros mismatches even when numerically equal.
+  * Emulating that procedure (tools/check_driver_hash.py) reproduced the
+  * driver's red set exactly, 208/208 queries.
+  *
+  * Contract enforced here: money/metric math may be DECIMAL internally
+  * (exact merges, q01 policy), but the FINAL projection of every query
+  * casts to DOUBLE / BIGINT / STRING — DecimalType never appears in a
+  * result schema, at any nesting depth. Queries q196/q200 were green
+  * only because their sf0.01 values happened to have no trailing
+  * zeros; this spec removes the luck from the gate.
+  */
+class OutputTypePolicySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
+    case _: DecimalType => Seq(path)
+    case s: StructType =>
+      s.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}"))
+    case a: ArrayType => decimalPaths(a.elementType, s"$path[]")
+    case m: MapType =>
+      decimalPaths(m.keyType, s"$path<key>") ++
+        decimalPaths(m.valueType, s"$path<value>")
+    case _ => Seq.empty
+  }
+
+  test("no gated query exposes DecimalType in its result schema") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // schema resolution only — builders that execute eagerly still
+        // just return their (tiny, sf0.001) result frame here
+        val schema =
+          try fn(spark, sf).schema
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to build at $sf: ${e.getMessage}")
+          }
+        schema.fields.toSeq.flatMap(f =>
+          decimalPaths(f.dataType, s"$name/${f.name}"))
+    }
+    CacheRegistry.clear(spark)
+    assert(violations.isEmpty,
+      s"DecimalType reached a result schema (driver-hash hazard):\n  " +
+        violations.mkString("\n  "))
+  }
+}

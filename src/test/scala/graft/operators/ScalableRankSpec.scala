@@ -55,6 +55,62 @@ class ScalableRankSpec extends AnyFunSuite {
     }
   }
 
+  test("layoutGuard trips on a violated id-layout assumption, is silent when it holds") {
+    // silent path: contributes exactly 0 to the offset arithmetic
+    val ok = spark.range(1)
+      .select(ScalableRank.layoutGuard(lit(7L), lit(7L)).as("g"))
+      .as[Long].collect()
+    assert(ok.toSeq === Seq(0L))
+    // violated path: the query must FAIL, not mis-rank
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(ScalableRank.layoutGuard(lit(7L), lit(6L)).as("g"))
+        .collect()
+    }
+    assert(e.getMessage.contains("monotonically_increasing_id"),
+      s"guard must name the violated assumption: ${e.getMessage}")
+  }
+
+  test("globalRowNumber carries the layout guard wherever the rank is consumed") {
+    val df = graft.Tables(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = ScalableRank
+      .globalRowNumber(df, "rk", col("o_totalprice").desc, col("o_orderkey"))
+    ranked.collect()
+    // assert_true desugars to if(cond, null, raise_error) in the plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("raise_error"),
+      s"layout guard was optimized out of the plan:\n${plan.take(1500)}")
+    // if the caller DROPS the rank column, pruning the guard with it is
+    // correct (no rank consumed → nothing to mis-rank); the contract is
+    // only that a consumed rank is a guarded rank
+    val pruned = ranked.select(col("o_orderkey"))
+    pruned.collect()
+    assert(!pruned.queryExecution.executedPlan.toString.contains("raise_error"))
+  }
+
+  test("groupedCumSum replaces the corpus window with a pre-aggregated slice shuffle") {
+    val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = ScalableRank.groupedCumSum(hist, Seq("g"), "v", "cnt", "cum", "n")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the r6-ADVICE exchange was a WINDOW clustered on (_srk_pid, g):
+    // a full re-shuffle of the relation because windows cannot
+    // partial-aggregate. The per-partition scan replaces it, so no
+    // window over _srk_pid may remain...
+    assert(!plan.contains("windowspecdefinition(_srk_pid"),
+      s"intra-chunk cum-sum still windows on (_srk_pid, group):\n${plan.take(1500)}")
+    // ...and the surviving (_srk_pid, g) exchange is the slice
+    // aggregate, which MUST be two-phase: map-side partials collapse
+    // each partition to its O(groups-per-partition) slice rows before
+    // the shuffle, so the exchange carries slices, not the corpus.
+    assert(plan.contains("partial_sum"),
+      s"slice aggregate lost its map-side partial phase:\n${plan.take(1500)}")
+  }
+
   test("groupedCumSum equals the per-group running-sum + total windows") {
     val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
       .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
