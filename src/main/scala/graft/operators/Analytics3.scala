@@ -63,6 +63,168 @@ object Analytics3 {
                  DIV (n_docs * s) AS BIGINT)""").as("gini_micro"))
     }),
 
+    // q209: NATIVE session windows — Spark's session_window()
+    // aggregation (dynamic-gap session assignment inside the
+    // aggregate operator) in batch mode, vs q78's hand-built
+    // streaming sessionization and q191's overlap-merging sweep.
+    // What's gated: Spark's merge rule (an event extends a session
+    // iff its time is STRICTLY before last_event + gap — session
+    // windows are end-exclusive) lands on exactly the islands the
+    // oracle's lag/cum-sum form computes with `delta >= gap` opening
+    // a new session. Duration = (end − start) = (last − first) + gap,
+    // in exact integer micros. Scale shape: session_window is a
+    // keyed aggregate — one (user_id) exchange, per-key in-operator
+    // merging, never a corpus-wide sort or window.
+    "q209_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{session_window => sw}
+      val sess = t(s, d, "events")
+        .groupBy(sw(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start"))).as("dur"),
+          col("n_ev"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"),
+          sum(col("dur")).as("total_session_micros"))
+    }),
+
+    // q210: LISTAGG ... WITHIN GROUP (ORDER BY ...) — Spark 4's
+    // ordered string aggregation (the SQL:2016 construct analysts
+    // reach for first when flattening a dimension); deterministic
+    // because the order key is total. DuckDB spells the same thing
+    // string_agg(x, sep ORDER BY k). The per-nation branch exercises
+    // a bigger group (customers per nation ordered by key) so the
+    // gate covers multi-element ordering, not just the 5-row region
+    // case.
+    "q210_listagg" -> ((s, d) => {
+      t(s, d, "region").createOrReplaceTempView("graft_region")
+      t(s, d, "nation").createOrReplaceTempView("graft_nation2")
+      t(s, d, "customer").createOrReplaceTempView("graft_customer2")
+      s.sql("""
+        SELECT r.r_name,
+          listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+          CAST(count(*) AS BIGINT) AS n_nations,
+          CAST(sum(c.n_cust) AS BIGINT) AS n_customers,
+          md5(CAST(listagg(c.cust_heads, '|')
+            WITHIN GROUP (ORDER BY n.n_name) AS BINARY)) AS heads_fp
+        FROM graft_region r
+        JOIN graft_nation2 n ON n.n_regionkey = r.r_regionkey
+        JOIN (
+          SELECT c_nationkey, count(*) AS n_cust,
+            listagg(c_name, ';') WITHIN GROUP (ORDER BY c_custkey) AS cust_heads
+          FROM graft_customer2 WHERE c_custkey <= 300
+          GROUP BY c_nationkey
+        ) c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+      """)
+    }),
+
+    // q211: rank-filter pushdown — the `WHERE rk <= k` over a ranked
+    // subquery that Spark 4 plans as WindowGroupLimit: every task
+    // keeps only its local top-k per group BEFORE the shuffle, so the
+    // exchange carries O(tasks × groups × k) rows instead of the
+    // corpus — the optimizer-derived sibling of the native
+    // TopKPerGroup operator (q91) and the plan shape that makes
+    // per-group top-k viable at 100 TB without a custom operator.
+    // Plan-guarded in PlanQualitySpec; rank() with a total tiebreak
+    // is deterministic and identical in DuckDB.
+    "q211_window_group_limit" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem4")
+      s.sql("""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+          CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+            rank() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+          FROM graft_lineitem4)
+        WHERE rk <= 3
+      """)
+    }),
+
+    // q212: SALTED SKEW JOIN — the other half of q60's salted
+    // distinct and q134's skew profiler: actually JOINING through a
+    // hot key without one task owning the hot key's entire fan-in.
+    // A synthetic 70%-hot key (the q134 construction) joins a derived
+    // dimension; the fact side salts with a DETERMINISTIC shard
+    // (linenumber mod S — no randomness, q54 policy), the dim side
+    // replicates ×S via explode(sequence), and the join key becomes
+    // (key, salt) — the hot key's rows spread over S tasks instead of
+    // one. S=8 is a local constant; at 100 TB S sizes to
+    // hot-key-rows / target-task-rows, and AQE's skew-join split is
+    // the adaptive alternative when skew is not known a priori. The
+    // oracle is the UNSALTED join — salting must be invisible in the
+    // result.
+    "q212_salted_join" -> ((s, d) => {
+      val S = 8
+      val fact = t(s, d, "lineitem")
+        .select(
+          when(col("l_orderkey") % 10 < 7, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_linenumber") % S).cast("int").as("_salt"))
+      val dim = t(s, d, "orders")
+        .select(
+          when(col("o_orderkey") % 10 < 7, lit(1L))
+            .otherwise(col("o_orderkey")).as("k"),
+          col("o_orderpriority"))
+        .groupBy(col("k"))
+        .agg(min(col("o_orderpriority")).as("prio"))
+        .withColumn("_salt", explode(expr(s"sequence(0, ${S - 1})")))
+      fact.join(dim, Seq("k", "_salt"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("qty")).as("qty_sum"))
+    }),
+
+    // q213: BITWISE AGGREGATES (bit_and / bit_or / bit_xor) — the
+    // feature-flag / bitmap-rollup surface (e.g. "which capability
+    // bits are common to ALL events of a type"). Order-insensitive
+    // and exact by construction, so the gate is pure semantics
+    // parity; grouped + a global ALL row via UNION (not CUBE — keys
+    // stay non-null VARCHAR).
+    "q213_bit_aggs" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_events2")
+      s.sql("""
+        SELECT event_type,
+          CAST(bit_and(user_id) AS BIGINT) AS b_and,
+          CAST(bit_or(user_id)  AS BIGINT) AS b_or,
+          CAST(bit_xor(user_id) AS BIGINT) AS b_xor,
+          count(*) AS n
+        FROM graft_events2 GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+          CAST(bit_and(user_id) AS BIGINT) AS b_and,
+          CAST(bit_or(user_id)  AS BIGINT) AS b_or,
+          CAST(bit_xor(user_id) AS BIGINT) AS b_xor,
+          count(*) AS n
+        FROM graft_events2
+      """)
+    }),
+
+    // q214: CALENDAR EDGE SEMANTICS — month/year arithmetic at
+    // end-of-month boundaries is where engines classically diverge
+    // (Jan 31 + 1 month; leap-day + 1 year), plus quarter truncation
+    // and last_day. Spark's add_months clamps to month end and DuckDB's
+    // INTERVAL arithmetic does the same — this gate PINS that
+    // equivalence over every order date rather than assuming it.
+    // Output: per (quarter, is-month-end flag of the +1-month due
+    // date) counts — any divergence in any row moves a count.
+    "q214_calendar_edges" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("od"))
+        .withColumn("due", add_months(col("od"), 1))
+        .withColumn("q_start", to_date(date_trunc("quarter", col("od"))))
+        .withColumn("is_eom", (col("due") === last_day(col("due"))).cast("int"))
+      o.groupBy(col("q_start"), col("is_eom"))
+        .agg(count(lit(1)).as("n"),
+          min(col("due")).as("min_due"),
+          max(col("due")).as("max_due"))
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -277,6 +439,101 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the UNSALTED join — salting must be invisible in the result
+    "q212_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+        |              ELSE l_orderkey END AS k,
+        |   CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        | dim AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1
+        |              ELSE o_orderkey END AS k,
+        |   min(o_orderpriority) AS prio
+        |  FROM orders GROUP BY 1)
+        |SELECT d.prio, count(*) AS n_items,
+        | CAST(sum(f.qty) AS BIGINT) AS qty_sum
+        |FROM fact f JOIN dim d ON d.k = f.k
+        |GROUP BY d.prio""".stripMargin,
+
+    "q213_bit_aggs" ->
+      """SELECT event_type,
+        | CAST(bit_and(user_id) AS BIGINT) AS b_and,
+        | CAST(bit_or(user_id)  AS BIGINT) AS b_or,
+        | CAST(bit_xor(user_id) AS BIGINT) AS b_xor,
+        | count(*) AS n
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL' AS event_type,
+        | CAST(bit_and(user_id) AS BIGINT) AS b_and,
+        | CAST(bit_or(user_id)  AS BIGINT) AS b_or,
+        | CAST(bit_xor(user_id) AS BIGINT) AS b_xor,
+        | count(*) AS n
+        |FROM events""".stripMargin,
+
+    "q214_calendar_edges" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS od,
+        |   CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS due,
+        |   CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+        |     AS q_start
+        |  FROM orders)
+        |SELECT q_start,
+        | CAST(CASE WHEN due = last_day(due) THEN 1 ELSE 0 END AS INT)
+        |   AS is_eom,
+        | count(*) AS n, min(due) AS min_due, max(due) AS max_due
+        |FROM o GROUP BY q_start,
+        | CAST(CASE WHEN due = last_day(due) THEN 1 ELSE 0 END AS INT)""".stripMargin,
+
+    // islands form: a session opens where the gap from the previous
+    // event is >= 30 min (Spark's end-exclusive merge rule), duration
+    // = span + gap — exact integer micros end to end
+    "q209_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        | lagged AS (SELECT user_id, tu,
+        |   lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev
+        |  FROM e),
+        | isl AS (SELECT user_id, tu,
+        |   sum(CASE WHEN prev IS NULL OR tu - prev >= 1800000000
+        |     THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY tu) AS sid
+        |  FROM lagged),
+        | sess AS (SELECT user_id, sid, count(*) AS n_ev,
+        |   max(tu) - min(tu) + 1800000000 AS dur
+        |  FROM isl GROUP BY user_id, sid)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n_ev) AS BIGINT) AS n_events,
+        | CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        | CAST(sum(dur) AS BIGINT) AS total_session_micros
+        |FROM sess GROUP BY user_id""".stripMargin,
+
+    "q210_listagg" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, count(*) AS n_cust,
+        |   string_agg(c_name, ';' ORDER BY c_custkey) AS cust_heads
+        |  FROM customer WHERE c_custkey <= 300
+        |  GROUP BY c_nationkey)
+        |SELECT r.r_name,
+        | string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        | CAST(count(*) AS BIGINT) AS n_nations,
+        | CAST(sum(c.n_cust) AS BIGINT) AS n_customers,
+        | md5(string_agg(c.cust_heads, '|' ORDER BY n.n_name)) AS heads_fp
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN c ON c.c_nationkey = n.n_nationkey
+        |GROUP BY r.r_name""".stripMargin,
+
+    "q211_window_group_limit" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(rk AS BIGINT) AS rk
+        |FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  rank() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem)
+        |WHERE rk <= 3""".stripMargin,
+
     // same closed-form tie algebra over the histogram; the running
     // count is a plain window (fine for the oracle — DuckDB only has
     // to be right, not scalable). HUGEINT carries the ×1e6 numerator.

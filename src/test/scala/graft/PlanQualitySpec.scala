@@ -481,6 +481,50 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cumulative windows must partition by (_pid, g):\n${plan.take(1500)}")
   }
 
+  test("q211 rank filter plans WindowGroupLimit (map-side per-group top-k pruning)") {
+    // the optimizer must turn `WHERE rk <= 3` into WindowGroupLimit:
+    // each task keeps its local top-k per group BEFORE the exchange,
+    // so the shuffle carries O(tasks × groups × k) rows, not the
+    // corpus — without this the query re-sorts all of lineitem
+    val plan = executedPlan("q211_window_group_limit")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter pushdown did not engage:\n${plan.take(1500)}")
+  }
+
+  test("q209 session windows cost one user_id exchange (keyed aggregate, no corpus sort)") {
+    val df = SparkEntry.queries("q209_session_window")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("user_id")),
+      s"session windows must shuffle only on user_id, got $keys:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange SinglePartition") || plan.contains("partial"),
+      s"no global funnel expected:\n${plan.take(1200)}")
+  }
+
+  test("q212 salted join: the salt column reaches the join keys (hot key spread over tasks)") {
+    // with broadcast off (the at-scale shape — the replicated dim stops
+    // fitting), the join must partition on (k, _salt), not k alone:
+    // that is the whole mechanism that splits the 70%-hot key
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val df = SparkEntry.queries("q212_salted_join")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("hashpartitioning\\(k#\\d+L?, _salt".r.findAllIn(plan).nonEmpty,
+        s"join must partition on (k, _salt):\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
