@@ -225,6 +225,49 @@ object Analytics3 {
           max(col("due")).as("max_due"))
     }),
 
+    // q215: EXACT Kolmogorov–Smirnov drift per source — the
+    // two-sample KS statistic between two md5-hash-split halves
+    // of each source's length distribution (the snapshot
+    // drift check q140 does for embeddings, here for a scalar shape
+    // with the full-CDF statistic instead of per-dim means).
+    // Exactness construction: at every distinct length v,
+    // |CDF₀(v) − CDF₁(v)| = |cum0·n1 − cum1·n0| / (n0·n1) — the
+    // common denominator makes the numerator EXACT integer algebra,
+    // so the max is found before any division and one truncating
+    // division at the end yields micro-units (q208's DECIMAL(38,0)
+    // pattern: cum×n products overflow BIGINT at corpus scale).
+    // Plan: both cumulative counts ride ONE groupedCumSums pass
+    // (single range exchange, per-partition scan) over the (source,
+    // v) histogram — never a whole-source window, never two passes.
+    "q215_ks_drift" -> ((s, d) => {
+      // halves split by the md5-hash coin (q71's portable
+      // construction) — doc_id PARITY is degenerate in this corpus
+      // (source assignment correlates with it), the hash bit is not
+      val half0 = substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 1) < "8"
+      val hist = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+        .agg(
+          sum(when(half0, 1L).otherwise(0L)).as("c0"),
+          sum(when(!half0, 1L).otherwise(0L)).as("c1"))
+      ScalableRank.groupedCumSums(hist, Seq("source"), "v",
+          Seq("c0", "c1"), Seq("cum0", "cum1"), Seq("n0", "n1"))
+        .groupBy(col("source"))
+        .agg(
+          max(col("n0")).as("n_h0"),
+          max(col("n1")).as("n_h1"),
+          max(abs(expr("CAST(cum0 AS DECIMAL(38,0)) * n1 - " +
+            "CAST(cum1 AS DECIMAL(38,0)) * n0"))).as("num"))
+        // a source entirely inside one half has no two-sample
+        // statistic (division by n0·n1 = 0) — excluded on both sides
+        .filter(col("n_h0") > 0 && col("n_h1") > 0)
+        .select(col("source"),
+          col("n_h0").cast("long").as("n_h0"),
+          col("n_h1").cast("long").as("n_h1"),
+          expr("CAST(num * 1000000 DIV (CAST(n_h0 AS DECIMAL(38,0)) " +
+            "* n_h1) AS BIGINT)").as("ks_micro"))
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -439,6 +482,34 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // plain per-source windows (fine for the oracle); HUGEINT carries
+    // the cum×n products, floor division at the very end only
+    "q215_ks_drift" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |   sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |       THEN 1 ELSE 0 END) AS c0,
+        |   sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |       THEN 0 ELSE 1 END) AS c1
+        |  FROM documents GROUP BY source, CAST(n_chars AS BIGINT)),
+        | cum AS (
+        |  SELECT source,
+        |   sum(c0) OVER (PARTITION BY source ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+        |   sum(c1) OVER (PARTITION BY source ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |   sum(c0) OVER (PARTITION BY source) AS n0,
+        |   sum(c1) OVER (PARTITION BY source) AS n1
+        |  FROM hist)
+        |SELECT source,
+        | CAST(max(n0) AS BIGINT) AS n_h0,
+        | CAST(max(n1) AS BIGINT) AS n_h1,
+        | CAST(max(abs(CAST(cum0 AS HUGEINT) * n1 -
+        |              CAST(cum1 AS HUGEINT) * n0)) * 1000000
+        |   // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_micro
+        |FROM cum GROUP BY source
+        |HAVING max(n0) > 0 AND max(n1) > 0""".stripMargin,
+
     // the UNSALTED join — salting must be invisible in the result
     "q212_salted_join" ->
       """WITH fact AS (

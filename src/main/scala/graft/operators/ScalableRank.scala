@@ -115,7 +115,22 @@ object ScalableRank {
     * stitch the pieces back together.
     */
   def groupedCumSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      weightCol: String, out: String, totalOut: String): DataFrame = {
+      weightCol: String, out: String, totalOut: String): DataFrame =
+    groupedCumSums(df, groupCols, orderCol,
+      Seq(weightCol), Seq(out), Seq(totalOut))
+
+  /** Multi-weight form: running (inclusive) sums of EVERY `weightCols`
+    * column in one pass — same single range exchange, same per-
+    * partition scan, one accumulator per weight. The shape drift
+    * detection needs (q215 KS: cumulative counts of two corpus halves
+    * over one shared value ordering) without paying the machinery
+    * twice.
+    */
+  def groupedCumSums(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      weightCols: Seq[String], outs: Seq[String],
+      totalOuts: Seq[String]): DataFrame = {
+    require(weightCols.nonEmpty && weightCols.size == outs.size &&
+      outs.size == totalOuts.size, "weightCols/outs/totalOuts must align")
     val spark = df.sparkSession
     val gcols = groupCols.map(col)
     val ord = col(orderCol)
@@ -136,26 +151,36 @@ object ScalableRank {
       .sortWithinPartitions((gcols :+ ord): _*)
       .withColumn("_srk_pid", spark_partition_id())
     val schema = ranged.schema
-    val wType = schema(schema.fieldIndex(weightCol)).dataType
-    require(wType == org.apache.spark.sql.types.LongType ||
-        wType == org.apache.spark.sql.types.IntegerType,
-      s"groupedCumSum needs an integral weight column, got $wType")
+    weightCols.foreach { w =>
+      val wType = schema(schema.fieldIndex(w)).dataType
+      require(wType == org.apache.spark.sql.types.LongType ||
+          wType == org.apache.spark.sql.types.IntegerType,
+        s"groupedCumSum needs integral weight columns, got $w: $wType")
+    }
     val gIdx = groupCols.map(schema.fieldIndex).toArray
-    val wIdx = schema.fieldIndex(weightCol)
-    val cumSchema = schema.add("_srk_cum",
-      org.apache.spark.sql.types.LongType, nullable = false)
+    val wIdx = weightCols.map(schema.fieldIndex).toArray
+    val cumSchema = weightCols.indices.foldLeft(schema) { (sc, i) =>
+      sc.add(s"_srk_cum$i", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    }
     val cumRdd = ranged.rdd.mapPartitions { it =>
       var curKey: Seq[Any] = null
-      var acc = 0L
+      val acc = new Array[Long](wIdx.length)
       it.map { r =>
         val k = gIdx.toSeq.map(r.get)
-        if (curKey == null || k != curKey) { curKey = k; acc = 0L }
-        acc += (r.get(wIdx) match {
-          case l: java.lang.Long    => l.longValue
-          case i: java.lang.Integer => i.longValue
-          case null                 => 0L
-        })
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        if (curKey == null || k != curKey) {
+          curKey = k; java.util.Arrays.fill(acc, 0L)
+        }
+        var i = 0
+        while (i < wIdx.length) {
+          acc(i) += (r.get(wIdx(i)) match {
+            case l: java.lang.Long    => l.longValue
+            case n: java.lang.Integer => n.longValue
+            case null                 => 0L
+          })
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ acc)
       }
     }
     // ONE materialization feeds every branch below. This is load-
@@ -172,17 +197,29 @@ object ScalableRank {
     // partition on a contiguous (group, order) slice, so a partition
     // touches at most (its row span / group span + 1) groups.
     val slice = withCum.groupBy(col("_srk_pid") +: gcols: _*)
-      .agg(sum(col(weightCol)).as("_srk_c"))
-    val offs = slice
-      .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
+      .agg(sum(col(weightCols.head)).as("_srk_c0"),
+        weightCols.tail.zipWithIndex.map { case (w, i) =>
+          sum(col(w)).as(s"_srk_c${i + 1}")
+        }: _*)
+    val cCols = weightCols.indices.map(i => s"_srk_c$i")
+    val offCols = weightCols.indices.map(i => s"_srk_off$i")
+    val offs = cCols.zip(offCols).foldLeft(slice) { case (acc, (c, o)) =>
+      acc.withColumn(o, coalesce(sum(col(c)).over(
         Window.partitionBy(gcols: _*).orderBy(col("_srk_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_srk_pid") +: gcols :+ col("_srk_off"): _*)
+    }.select(col("_srk_pid") +: gcols ++: offCols.map(col): _*)
     val totals = slice.groupBy(gcols: _*)
-      .agg(sum(col("_srk_c")).as(totalOut))
-    withCum.join(broadcast(offs), "_srk_pid" +: groupCols)
-      .withColumn(out, col("_srk_off") + col("_srk_cum"))
-      .join(broadcast(totals), groupCols)
-      .drop("_srk_pid", "_srk_cum", "_srk_off")
+      .agg(sum(col(cCols.head)).as(totalOuts.head),
+        cCols.tail.zip(totalOuts.tail).map { case (c, t) =>
+          sum(col(c)).as(t)
+        }: _*)
+    val joined = withCum.join(broadcast(offs), "_srk_pid" +: groupCols)
+    val withOuts = outs.zipWithIndex.foldLeft(joined) { case (acc, (o, i)) =>
+      acc.withColumn(o, col(s"_srk_off$i") + col(s"_srk_cum$i"))
+    }
+    val dropCols = "_srk_pid" +:
+      (weightCols.indices.flatMap(i => Seq(s"_srk_cum$i", s"_srk_off$i")))
+    withOuts.join(broadcast(totals), groupCols)
+      .drop(dropCols: _*)
   }
 }

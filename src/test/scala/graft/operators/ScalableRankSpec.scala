@@ -111,6 +111,31 @@ class ScalableRankSpec extends AnyFunSuite {
       s"slice aggregate lost its map-side partial phase:\n${plan.take(1500)}")
   }
 
+  test("groupedCumSums carries two weights through one pass, equal to two window stacks") {
+    val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("ca"),
+        sum(when(col("l_orderkey") % 2 === 0, 1L).otherwise(0L)).as("cb"))
+    val got = ScalableRank.groupedCumSums(hist, Seq("g"), "v",
+        Seq("ca", "cb"), Seq("cuma", "cumb"), Seq("na", "nb"))
+      .select(col("g"), col("v"), col("cuma"), col("cumb"), col("na"), col("nb"))
+      .as[(String, Double, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val exp = hist
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .select(col("g"), col("v"), col("cuma"), col("cumb"), col("na"), col("nb"))
+      .as[(String, Double, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+
   test("groupedCumSum equals the per-group running-sum + total windows") {
     val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
       .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
