@@ -65,8 +65,10 @@ object Analytics3 {
 
     // q209: NATIVE session windows — Spark's session_window()
     // aggregation (dynamic-gap session assignment inside the
-    // aggregate operator) in batch mode, vs q78's hand-built
-    // streaming sessionization and q191's overlap-merging sweep.
+    // aggregate operator) in BATCH mode: q78 gates the same construct
+    // through the streaming engine (merging session state across
+    // micro-batches); this gates the batch operator path plus the
+    // duration algebra q78's per-session output doesn't aggregate.
     // What's gated: Spark's merge rule (an event extends a session
     // iff its time is STRICTLY before last_event + gap — session
     // windows are end-exclusive) lands on exactly the islands the
@@ -266,6 +268,53 @@ object Analytics3 {
           col("n_h1").cast("long").as("n_h1"),
           expr("CAST(num * 1000000 DIV (CAST(n_h0 AS DECIMAL(38,0)) " +
             "* n_h1) AS BIGINT)").as("ks_micro"))
+    }),
+
+    // q216: URL PARSING (parse_url HOST/PATH/QUERY-param) — the
+    // web-corpus staple (a crawl pipeline groups by registrable
+    // host and slices by query params constantly). URLs are built
+    // deterministically from document columns, so what's gated is
+    // Spark's parse_url component extraction landing on exactly the
+    // regexp decomposition the oracle spells — including the
+    // query-param lookup path.
+    "q216_url_parse" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("graft_docs3")
+      s.sql("""
+        WITH u AS (
+          SELECT concat('https://crawl-', source, '.example.org/docs/',
+                        CAST(doc_id AS STRING), '/view?lang=', lang,
+                        '&len=', CAST(n_chars AS STRING)) AS url
+          FROM graft_docs3)
+        SELECT parse_url(url, 'HOST') AS host,
+          count(*) AS n_pages,
+          count(DISTINCT parse_url(url, 'PATH')) AS n_paths,
+          CAST(sum(CAST(parse_url(url, 'QUERY', 'len') AS BIGINT))
+            AS BIGINT) AS len_sum,
+          CAST(sum(CASE WHEN parse_url(url, 'QUERY', 'lang') = 'en'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        FROM u GROUP BY parse_url(url, 'HOST')
+      """)
+    }),
+
+    // q217: PERCENTILE_DISC ... WITHIN GROUP — the SQL-standard
+    // inverse-distribution function (smallest value whose cumulative
+    // distribution reaches p). On an integer-valued column the
+    // result is an ACTUAL data value, so the gate is exact with no
+    // interpolation rounding in sight; quartiles per return flag,
+    // the q63/q141 percentile family's parser-level sibling.
+    "q217_percentile_disc" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem5")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(percentile_disc(0.25) WITHIN GROUP
+            (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q25,
+          CAST(percentile_disc(0.50) WITHIN GROUP
+            (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q50,
+          CAST(percentile_disc(0.75) WITHIN GROUP
+            (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q75,
+          count(*) AS n
+        FROM graft_lineitem5 GROUP BY l_returnflag
+      """)
     }),
 
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
@@ -482,6 +531,33 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // oracle rebuilds the same URLs and decomposes them with regexps
+    // (parse_url is the gated Spark construct; DuckDB spells the
+    // generic URL grammar)
+    "q216_url_parse" ->
+      """WITH u AS (
+        |  SELECT concat('https://crawl-', source, '.example.org/docs/',
+        |                CAST(doc_id AS VARCHAR), '/view?lang=', lang,
+        |                '&len=', CAST(n_chars AS VARCHAR)) AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        | count(*) AS n_pages,
+        | CAST(count(DISTINCT regexp_extract(url,
+        |   '^[a-z]+://[^/?#]+([^?#]*)', 1)) AS BIGINT) AS n_paths,
+        | CAST(sum(CAST(regexp_extract(url, '[?&]len=([^&#]*)', 1)
+        |   AS BIGINT)) AS BIGINT) AS len_sum,
+        | CAST(sum(CASE WHEN regexp_extract(url, '[?&]lang=([^&#]*)', 1)
+        |   = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q217_percentile_disc" ->
+      """SELECT l_returnflag,
+        | CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,
+        | CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) AS q50,
+        | CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS q75,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     // plain per-source windows (fine for the oracle); HUGEINT carries
     // the cum×n products, floor division at the very end only
     "q215_ks_drift" ->
