@@ -74,13 +74,24 @@ object Bench {
     val failures = outcomes.collect { case (n, Left(m)) => n -> m }
     // Isolated re-touch of the heaviest entries: anything still
     // inflated by a host phase must reproduce now, far from its
-    // original slot, or be replaced by its warm value.
-    val retouch = firstPass.toSeq.sortBy(-_._2).take(10)
-    val results = firstPass ++ retouch.flatMap { case (name, t0) =>
-      val again = timeReps(SparkEntry.queries(name), 2)
-        .collect { case Right(t) => t }
-      if (again.isEmpty) None else Some(name -> math.min(t0, again.min))
+    // original slot, or be replaced by its warm value. Same rep
+    // discipline as the main pass (first of 3 never counted, so the
+    // protocol flags stay accurate for these entries too); a retouch
+    // whose counted reps all fail keeps its valid first-pass time but
+    // is reported loudly and EXCLUDED from the "retouched" list — the
+    // artifact must never claim a re-measurement that didn't happen.
+    val retouchCandidates = firstPass.toSeq.sortBy(-_._2).take(10)
+    val retouched = retouchCandidates.flatMap { case (name, t0) =>
+      val again = timeReps(SparkEntry.queries(name), 3).drop(1)
+      val ok = again.collect { case Right(t) => t }
+      val errs = again.collect { case Left(m) => m }
+      if (errs.nonEmpty)
+        System.err.println(
+          s"[bench] retouch of $name failed (${errs.head}) — keeping first-pass time")
+      if (ok.isEmpty) None else Some(name -> math.min(t0, ok.min))
     }
+    val retouch = retouched // names that actually re-measured
+    val results = firstPass ++ retouched
     CacheRegistry.clear(spark) // release operator-persisted relations
     def fmt(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -143,10 +143,13 @@ object ScalableRank {
     // in-place technique: sortWithinPartitions + a per-partition scan
     // that accumulates the weight and resets on group change. The scan
     // is a narrow mapPartitions (row-at-a-time, off codegen) — the
-    // accepted price for removing a full shuffle of the input, and the
-    // inputs here are value HISTOGRAMS (q105/q130/q141/q208), not raw
-    // corpora. Integer weights only: the gate's exactness policy, and
-    // what every caller feeds (counts / integer units).
+    // accepted price for removing a full shuffle of the input. Most
+    // callers feed value HISTOGRAMS (q130/q141/q208/q215); q105 feeds
+    // one row per document (its order key is the doc id, so rows
+    // can't collapse) and pays the per-row Row path on the corpus —
+    // still the right trade, because the alternative re-SHUFFLES that
+    // same corpus. Integer weights only: the gate's exactness policy,
+    // and what every caller feeds (counts / integer units).
     val ranged = df.repartitionByRange((gcols :+ ord): _*)
       .sortWithinPartitions((gcols :+ ord): _*)
       .withColumn("_srk_pid", spark_partition_id())
@@ -196,11 +199,17 @@ object ScalableRank {
     // O(partitions + groups) rows: range partitioning keeps each
     // partition on a contiguous (group, order) slice, so a partition
     // touches at most (its row span / group span + 1) groups.
+    // localCheckpoint materializes the tiny slice relation ONCE: offs
+    // and totals both derive from it, and without the checkpoint each
+    // would re-run the whole cumRdd scan (shuffle reads are reused but
+    // the per-row map re-executes — 3 corpus passes instead of 2 for
+    // q105-shaped callers).
     val slice = withCum.groupBy(col("_srk_pid") +: gcols: _*)
       .agg(sum(col(weightCols.head)).as("_srk_c0"),
         weightCols.tail.zipWithIndex.map { case (w, i) =>
           sum(col(w)).as(s"_srk_c${i + 1}")
         }: _*)
+      .localCheckpoint(true)
     val cCols = weightCols.indices.map(i => s"_srk_c$i")
     val offCols = weightCols.indices.map(i => s"_srk_off$i")
     val offs = cCols.zip(offCols).foldLeft(slice) { case (acc, (c, o)) =>

@@ -52,12 +52,19 @@ object ProtoParity {
     "q149_proto_nested_roundtrip" -> ((s, d) => {
       val fs = NestedDocProto.fields
       val enc = udf((id: Long, toks: Seq[String], lang: String, n: Long) =>
-        // null text → null toks slice: encode an empty repeated field
+        // defensive only — `ws` is coalesced non-null at the call site
         ProtoWire.encode(fs, Seq(id, Option(toks).getOrElse(Seq.empty),
           Seq(lang, n))))
+      // null text must take the empty-tokens path INSIDE the relation,
+      // not inside the UDF: the `n: Long` parameter is a primitive, so
+      // a NULL size(ws) would short-circuit the whole UDF to NULL
+      // before the body ever ran (the oracle side is null-safe and
+      // emits the row) — coalescing the extracted array to array()
+      // keeps slice/size non-null so the UDF always executes
       val encoded = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+          coalesce(regexp_extract_all(col("text"), lit("\\S+"), lit(0)),
+            array()).as("ws"))
         .select(enc(col("doc_id"), slice(col("ws"), 1, 5), col("lang"),
           size(col("ws")).cast("long")).as("value"))
       val decoded = encoded
@@ -91,7 +98,10 @@ object ProtoParity {
       })
       val encoded = Tables(s, d, "documents")
         .select(col("doc_id"),
-          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+          // non-null by construction (q149 note): keeps the UDF running
+          // on null-text rows so the empty-map path actually executes
+          coalesce(regexp_extract_all(col("text"), lit("\\S+"), lit(0)),
+            array()).as("ws"))
         .select(enc(col("doc_id"), slice(col("ws"), 1, 8)).as("value"))
       val decoded = encoded
         .select(MapDocProto.codec.decode(col("value")).as("r"))

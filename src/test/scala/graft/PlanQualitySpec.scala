@@ -500,7 +500,7 @@ class PlanQualitySpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(keys.subsetOf(Set("user_id")),
       s"session windows must shuffle only on user_id, got $keys:\n${plan.take(1500)}")
-    assert(!plan.contains("Exchange SinglePartition") || plan.contains("partial"),
+    assert(!plan.contains("Exchange SinglePartition"),
       s"no global funnel expected:\n${plan.take(1200)}")
   }
 

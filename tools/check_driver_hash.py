@@ -53,9 +53,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 fails = 0
+checked = 0
+unknown = only - set(oracle)
+if unknown:
+    # a misspelled filter name must not silently produce a green run
+    print(f"FAIL unknown query name(s) in filter: {sorted(unknown)}")
+    fails += 1
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
+    checked += 1
     try:
         ora = canon(con.sql(sql).df())
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
@@ -76,4 +83,7 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
         fails += 1
 
+if checked == 0:
+    print("FAIL no queries checked")
+    fails += 1
 sys.exit(1 if fails else 0)
