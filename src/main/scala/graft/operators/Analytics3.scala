@@ -317,6 +317,29 @@ object Analytics3 {
       """)
     }),
 
+    // q218: DATETIME CONVENTION PARITY — the functions whose
+    // conventions genuinely DIFFER between engines, pinned by
+    // desugaring the oracle to Spark's convention: dayofweek is
+    // 1-based-Sunday in Spark but 0-based-Sunday in DuckDB (+1 in the
+    // oracle); timestampdiff(MONTH) counts FULL elapsed months in
+    // Spark while DuckDB's datediff('month') counts month-boundary
+    // CROSSINGS (Jan 31 → Feb 15 is 1 there, 0 here) — the oracle
+    // spells the full-month closed form. weekofyear is ISO in both
+    // (2023-01-01 → week 52) and rides along as the agreeing control.
+    // The anchor day 15 exists in every month, so no end-of-month
+    // clamping interacts with the closed form.
+    "q218_datetime_conventions" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_orders3")
+      s.sql("""
+        SELECT dayofweek(od) AS dow, count(*) AS n,
+          CAST(sum(weekofyear(od)) AS BIGINT) AS isoweek_sum,
+          CAST(sum(timestampdiff(MONTH, od, DATE '2026-01-15'))
+            AS BIGINT) AS full_months_sum
+        FROM (SELECT to_date(o_orderdate) AS od FROM graft_orders3)
+        GROUP BY dayofweek(od)
+      """)
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -531,6 +554,18 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // dow+1 (0-based→1-based Sunday), full months spelled closed-form
+    // (DuckDB datediff('month') counts boundary crossings, not full
+    // months)
+    "q218_datetime_conventions" ->
+      """SELECT dayofweek(od) + 1 AS dow, count(*) AS n,
+        | CAST(sum(weekofyear(od)) AS BIGINT) AS isoweek_sum,
+        | CAST(sum((2026 - year(od)) * 12 + (1 - month(od))
+        |   - CASE WHEN day(od) > 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS full_months_sum
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+        |GROUP BY dayofweek(od) + 1""".stripMargin,
+
     // oracle rebuilds the same URLs and decomposes them with regexps
     // (parse_url is the gated Spark construct; DuckDB spells the
     // generic URL grammar)

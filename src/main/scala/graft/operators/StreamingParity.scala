@@ -628,6 +628,57 @@ object StreamingParity {
       runAppendToCompletion(joined, s"graft_stream_asof_${runId.incrementAndGet()}")
     }),
 
+    // q219: CHAINED STATEFUL OPERATORS — a watermarked stream-stream
+    // INNER join feeding a windowed aggregation in the SAME streaming
+    // query (Spark 3.5+'s multiple-stateful-operator support; before
+    // it, the join output had to detour through a sink). Append-mode
+    // windows only finalize when the watermark passes them, so the
+    // q103 sentinel mechanics drive the flush — with the twist that
+    // an INNER join's sentinels must never join EACH OTHER: the
+    // sentinel purchase is user -1 and the sentinel click user -2, so
+    // they advance both watermark nodes but emit nothing, and the
+    // daily windows carry only real pairs.
+    "q219_stream_join_then_agg" -> ((s, d) => {
+      import s.implicits._
+      val fileEv = eventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val flush =
+        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
+      val flushDf = flush.toDF()
+        .select(explode(array(
+            struct(lit("purchase").as("event_type"), lit(-1L).as("user_id")),
+            struct(lit("click").as("event_type"), lit(-2L).as("user_id"))))
+          .as("e"),
+          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
+        .select(col("e.user_id"), col("e.event_type"), col("ts"))
+      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      val agg = joined
+        .groupBy(window(col("p_ts"), "1 day"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val name = s"graft_stream_jagg_${runId.incrementAndGet()}"
+      dropPriorSinks(s)
+      liveSinks.add((s, name))
+      flush.addData(1)
+      val q = withStateParts(s, 4) {
+        agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+      }
+      try {
+        q.processAllAvailable()
+        flush.addData(2); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(col("window.start").as("day"), col("n_pairs"))
+    }),
+
     "q70_stream_dedup_count" -> ((s, d) => {
       val agg = eventStream(s, d)
         .withWatermark("ts", "24 hours")
@@ -681,6 +732,19 @@ object StreamingParity {
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         | count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // same pair relation as q80, rolled into tumbling UTC days — the
+    // chained join→agg streamed result must equal the batch rollup
+    "q219_stream_join_then_agg" ->
+      """SELECT CAST(date_trunc('day', p.p_ts) AS TIMESTAMP) AS day,
+        | count(*) AS n_pairs
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |  WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        |  AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+        |GROUP BY 1""".stripMargin,
 
     "q80_stream_interval_join" ->
       """SELECT p.user_id, count(*) AS n_pairs

@@ -136,6 +136,55 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("property: random skewed datasets match the window forms (rank + cum-sums)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // group-size skew (one giant group, several small, singletons),
+    // duplicate order values ACROSS groups (range boundaries land on
+    // ties), zero weights, and weights near Int.MaxValue (sum overflow
+    // into Long territory must stay exact)
+    val genRow = for {
+      g <- Gen.frequency((6, Gen.const(0)), (3, Gen.choose(1, 8)),
+        (1, Gen.choose(9, 200)))
+      v <- Gen.frequency((4, Gen.choose(0L, 40L)), (1, Gen.const(7L)))
+      w <- Gen.frequency((5, Gen.choose(0L, 9L)),
+        (1, Gen.const(Int.MaxValue.toLong)))
+    } yield (g, v, w)
+    for (seed <- Seq(1L, 42L)) {
+      val rows = Gen.listOfN(4000, genRow)(Gen.Parameters.default, Seed(seed)).get
+      import spark.implicits._
+      // collapse to unique (g, v): the cum-sum contract is defined on
+      // unique keys (callers feed histograms / unique-ordered rows)
+      val hist = rows.toDF("g", "v", "w")
+        .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+      val got = ScalableRank.groupedCumSum(hist, Seq("g"), "v", "w", "cum", "n")
+        .select(col("g"), col("v"), col("cum"), col("n"))
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exp = hist
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("n", sum(col("w")).over(Window.partitionBy(col("g"))))
+        .select(col("g"), col("v"), col("cum"), col("n"))
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got === exp, s"groupedCumSum diverged at seed=$seed")
+      // rank side: unique total order via a DERIVED id tiebreak
+      // ((g, v) is unique post-collapse, so this is injective and —
+      // unlike monotonically_increasing_id — identical across the
+      // two independent materializations below)
+      val ranked = hist.withColumn("id", col("g") * 1000000L + col("v"))
+      val gotRk = ScalableRank
+        .globalRowNumber(ranked, "rk", col("v"), col("g"), col("id"))
+        .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+      val expRk = ranked.withColumn("rk", row_number()
+          .over(Window.orderBy(col("v"), col("g"), col("id"))).cast("long"))
+        .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+      assert(gotRk === expRk, s"globalRowNumber diverged at seed=$seed")
+    }
+  }
+
   test("groupedCumSum equals the per-group running-sum + total windows") {
     val hist = graft.Tables(spark, TestSpark.sf, "lineitem")
       .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("v"))
