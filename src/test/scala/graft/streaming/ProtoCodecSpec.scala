@@ -59,6 +59,50 @@ class ProtoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random values across the scalar surface roundtrip bit-exactly") {
+    import ProtoType._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val fields = Seq(
+      ProtoField(1, "a_i32", Int32), ProtoField(2, "a_i64", Int64),
+      ProtoField(3, "a_s32", SInt32), ProtoField(4, "a_s64", SInt64),
+      ProtoField(5, "a_bool", Bool), ProtoField(6, "a_str", PString),
+      ProtoField(7, "a_f32", Fixed32), ProtoField(8, "a_f64", Fixed64),
+      ProtoField(9, "a_flt", PFloat), ProtoField(10, "a_dbl", PDouble))
+    // hammer varint continuation boundaries (127/128, 2^14±1, …),
+    // sign edges, and unicode (incl. surrogate-pair emoji) strings
+    val boundary = Gen.oneOf(0L, 1L, 127L, 128L, 16383L, 16384L,
+      -1L, Long.MaxValue, Long.MinValue, Int.MaxValue.toLong, Int.MinValue.toLong)
+    val genVals: Gen[Seq[Any]] = for {
+      i32 <- Gen.frequency((1, boundary.map(_.toInt)), (2, Gen.choose(Int.MinValue, Int.MaxValue)))
+      i64 <- Gen.frequency((1, boundary), (2, Gen.choose(Long.MinValue, Long.MaxValue)))
+      s32 <- Gen.choose(Int.MinValue, Int.MaxValue)
+      s64 <- Gen.frequency((1, boundary), (2, Gen.choose(Long.MinValue, Long.MaxValue)))
+      b <- Gen.oneOf(true, false)
+      str <- Gen.oneOf(Gen.alphaNumStr, Gen.const("∆é→😀"), Gen.const("")).flatMap(g => g)
+      f32 <- Gen.choose(Int.MinValue, Int.MaxValue)
+      f64 <- Gen.choose(Long.MinValue, Long.MaxValue)
+      flt <- Gen.oneOf(0f, -0f, 1.5f, Float.NaN, Float.PositiveInfinity,
+        Float.MinPositiveValue, -123.456f)
+      dbl <- Gen.oneOf(0.0, -0.0, Double.NaN, Double.NegativeInfinity,
+        Double.MinPositiveValue, 2.718281828459045)
+    } yield Seq(i32, i64, s32, s64, b, str, f32, f64, flt, dbl)
+    val cases = Gen.listOfN(200, genVals)(Gen.Parameters.default, Seed(7L)).get
+    for (vals <- cases) {
+      val back = ProtoWire.decode(fields, ProtoWire.encode(fields, vals)).toSeq
+      (back, vals).zipped.foreach {
+        // NaN != NaN under ==: compare across the bit pattern
+        case (g: Float, w: Float) =>
+          assert(java.lang.Float.floatToRawIntBits(g) ==
+            java.lang.Float.floatToRawIntBits(w))
+        case (g: Double, w: Double) =>
+          assert(java.lang.Double.doubleToRawLongBits(g) ==
+            java.lang.Double.doubleToRawLongBits(w))
+        case (g, w) => assert(g == w, s"got $g want $w in $vals")
+      }
+    }
+  }
+
   test("repeated + nested message fields roundtrip (ProtoWriteSupport transitive shapes)") {
     import ProtoType._
     val inner = Seq(
