@@ -340,6 +340,35 @@ object Analytics3 {
       """)
     }),
 
+    // q220: INCREMENTAL JOIN-AGGREGATE MAINTENANCE — q115's mergeable-
+    // partials idea carried across a JOIN: a materialized aggregate
+    // over fact ⋈ dim absorbs an appended fact batch by joining ONLY
+    // the delta against the dim and merging partials (sum-of-counts,
+    // sum-of-sums) — the base relation is never re-joined or
+    // re-scanned. At 100 TB this is the difference between touching a
+    // day's append and recomputing a year's join. The driver gate
+    // compares the incrementally-maintained result against the oracle's
+    // full recompute — the merge algebra must be invisible. The
+    // "append" is the deterministic l_orderkey % 10 = 9 slice standing
+    // in for a new ingest batch.
+    "q220_join_ivm" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      def partial(li: DataFrame): DataFrame = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val base = partial(t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 =!= 9))
+      val delta = partial(t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 9))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("qty")).cast("long").as("qty"))
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -554,6 +583,15 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle is the FULL recompute — incremental maintenance must
+    // be invisible in the result
+    "q220_join_ivm" ->
+      """SELECT o.o_orderpriority,
+        | count(*) AS n,
+        | CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
     // dow+1 (0-based→1-based Sunday), full months spelled closed-form
     // (DuckDB datediff('month') counts boundary crossings, not full
     // months)

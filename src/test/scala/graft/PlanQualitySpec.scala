@@ -525,6 +525,54 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // DPP is the join-driven sibling of the static partition-filter
+    // test above: the fact side's partition filter is not known until
+    // the dim side is evaluated, so the optimizer injects a
+    // dynamicpruning subquery into the fact scan — at 100 TB this is
+    // the difference between scanning 3 date partitions and all of
+    // them. The spec drives it end to end: partitioned fact write,
+    // non-literal dim filter, then asserts both the injected filter
+    // and that fewer files were actually read.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    graft.Tables(spark, sf, "orders")
+      .withColumn("bucket", (col("o_orderkey") % 7).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/fact")
+    import spark.implicits._
+    Seq((1, "keep"), (3, "keep")).toDF("bucket", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tp"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery injected:\n${plan.take(1500)}")
+    // AQE wraps stages in QueryStageExec/AdaptiveSparkPlanExec whose
+    // children are not traversed by collect — unwrap recursively
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(allNodes)) ++ inner
+    }
+    val scans = allNodes(joined.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("fact")) => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.head.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$dir/fact").inputFiles.length
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"read $filesRead of $allFiles fact files — DPP did not prune")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
