@@ -369,6 +369,38 @@ object Analytics3 {
           sum(col("qty")).cast("long").as("qty"))
     }),
 
+    // q221: LOCF gap fill — last_value(... IGNORE NULLS) over a
+    // per-user event-time frame, the last-observation-carried-forward
+    // staple of sensor/metric pipelines (q101 fills MISSING buckets on
+    // a spine; this fills NULL measurements on existing rows). Nulls
+    // are planted deterministically (event_id % 3 ≠ 0 masks the
+    // value), values quantized to integer cents so the carried value
+    // is exact; the leading-null run stays NULL in both engines, and
+    // the aggregate counts both fill states so any divergence on any
+    // row moves a count.
+    "q221_locf_fill" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_events3")
+      s.sql("""
+        WITH masked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN event_id % 3 = 0
+                 THEN CAST(round(value * 100) AS BIGINT) END AS v
+          FROM graft_events3),
+        filled AS (
+          SELECT user_id, v,
+            last_value(v) IGNORE NULLS OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+          FROM masked)
+        SELECT user_id,
+          count(*) AS n,
+          CAST(count(v) AS BIGINT) AS n_observed,
+          CAST(count(v_fill) AS BIGINT) AS n_filled,
+          CAST(sum(v_fill) AS BIGINT) AS fill_sum
+        FROM filled GROUP BY user_id
+      """)
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -583,6 +615,30 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // same construct (IGNORE NULLS is inside the parens in DuckDB's
+    // grammar, after them in Spark's). round(double→int) ties are
+    // half-AWAY-from-zero in both engines (Spark's HALF_UP on the
+    // magnitude ≡ C round), so the integer-cents quantization is
+    // engine-stable; fill_sum would red instantly if it weren't.
+    "q221_locf_fill" ->
+      """WITH masked AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN event_id % 3 = 0
+        |        THEN CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events),
+        | filled AS (
+        |  SELECT user_id, v,
+        |   last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |  FROM masked)
+        |SELECT user_id,
+        | count(*) AS n,
+        | CAST(count(v) AS BIGINT) AS n_observed,
+        | CAST(count(v_fill) AS BIGINT) AS n_filled,
+        | CAST(sum(v_fill) AS BIGINT) AS fill_sum
+        |FROM filled GROUP BY user_id""".stripMargin,
+
     // the oracle is the FULL recompute — incremental maintenance must
     // be invisible in the result
     "q220_join_ivm" ->
