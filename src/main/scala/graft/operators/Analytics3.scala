@@ -331,7 +331,7 @@ object Analytics3 {
     "q218_datetime_conventions" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("graft_orders3")
       s.sql("""
-        SELECT dayofweek(od) AS dow, count(*) AS n,
+        SELECT CAST(dayofweek(od) AS BIGINT) AS dow, count(*) AS n,
           CAST(sum(weekofyear(od)) AS BIGINT) AS isoweek_sum,
           CAST(sum(timestampdiff(MONTH, od, DATE '2026-01-15'))
             AS BIGINT) AS full_months_sum
@@ -652,7 +652,7 @@ object Analytics3 {
     // (DuckDB datediff('month') counts boundary crossings, not full
     // months)
     "q218_datetime_conventions" ->
-      """SELECT dayofweek(od) + 1 AS dow, count(*) AS n,
+      """SELECT CAST(dayofweek(od) + 1 AS BIGINT) AS dow, count(*) AS n,
         | CAST(sum(weekofyear(od)) AS BIGINT) AS isoweek_sum,
         | CAST(sum((2026 - year(od)) * 12 + (1 - month(od))
         |   - CASE WHEN day(od) > 15 THEN 1 ELSE 0 END) AS BIGINT)
