@@ -667,6 +667,9 @@ object StreamingParity {
       dropPriorSinks(s)
       liveSinks.add((s, name))
       flush.addData(1)
+      // 4 state partitions like the q103/q113 siblings; an A/B at 2
+      // partitions measured within noise (~5%) — the stacked
+      // join+agg store lifecycles are not the bottleneck here
       val q = withStateParts(s, 4) {
         agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
