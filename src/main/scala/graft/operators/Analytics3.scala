@@ -401,6 +401,24 @@ object Analytics3 {
       """)
     }),
 
+    // q222: PAGINATION — ORDER BY ALL + LIMIT/OFFSET, the result-page
+    // surface (Spark 3.4 added OFFSET, 4.0 ORDER BY ALL — both
+    // DuckDB-native, so the oracle is byte-identical SQL). The page
+    // is deterministic because ORDER BY ALL totals the row; the gate
+    // pins that both engines infer the same column order for ALL and
+    // land on the same second page.
+    "q222_pagination" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem6")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM graft_lineitem6
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY ALL
+        LIMIT 3 OFFSET 2
+      """)
+    }),
+
     // q191: INTERVAL UNION / coverage — the overlap-merging sweep
     // (total "active time" from possibly-overlapping sessions), the
     // gaps-and-islands variant q122's same-state runs don't cover:
@@ -615,6 +633,14 @@ object Analytics3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q222_pagination" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY ALL
+        |LIMIT 3 OFFSET 2""".stripMargin,
+
     // same construct (IGNORE NULLS is inside the parens in DuckDB's
     // grammar, after them in Spark's). round(double→int) ties are
     // half-AWAY-from-zero in both engines (Spark's HALF_UP on the
