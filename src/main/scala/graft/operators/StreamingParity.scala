@@ -154,6 +154,58 @@ object StreamingParity {
     s.table(name)
   }
 
+  /** Shared scaffolding for append-mode stateful queries whose output
+    * only drains when the WATERMARK advances (outer-join null
+    * emission, post-join window finalization — q103/q113/q219): the
+    * file events union a MemoryStream of far-future sentinel rows,
+    * batch 0 carries the first sentinel pair WITH the data (so the
+    * batch's event-time max already includes it — one trailing batch
+    * then suffices to drain evictions: 2 batch cycles total, each one
+    * opening/committing every state store, the dominant fixed cost at
+    * gate volume).
+    *
+    * Sentinel subtleties, shared by construction instead of
+    * hand-replicated per query: Catalyst pushes each side's
+    * event_type filter BELOW the EventTimeWatermark node, so a
+    * sentinel only advances a side's watermark if it PASSES that
+    * side's filter (the multi-watermark policy takes the min across
+    * nodes — one starved node pins the global watermark); every batch
+    * therefore carries one sentinel per event_type, with caller-chosen
+    * NEGATIVE user ids so sentinels can never join real rows — and,
+    * for inner-join callers, distinct ids per type so they can never
+    * join EACH OTHER.
+    */
+  private def runWithWatermarkFlush(
+      s: SparkSession, d: String, name: String, stateParts: Int,
+      sentinels: Seq[(String, Long)])(
+      build: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val fileEv = eventStream(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val flush =
+      MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
+    val flushDf = flush.toDF()
+      .select(explode(array(sentinels.map { case (et, uid) =>
+          struct(lit(uid).as("user_id"), lit(et).as("event_type"))
+        }: _*)).as("e"),
+        expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
+      .select(col("e.user_id"), col("e.event_type"), col("ts"))
+    val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
+    val out = build(ev)
+    dropPriorSinks(s)
+    liveSinks.add((s, name))
+    flush.addData(1)
+    val q = withStateParts(s, stateParts) {
+      out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    }
+    try {
+      q.processAllAvailable()
+      flush.addData(2); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** q143's count-min geometry and row hashes — shared verbatim by the
     * streaming state update (plain Scala) and the post-process
     * estimate expression (Column arithmetic), so the two sides are
@@ -348,46 +400,22 @@ object StreamingParity {
     // sentinel purchase's own null-emission — impossible anyway, the
     // watermark never passes its event time — is excluded batch-side).
     "q103_stream_left_outer_join" -> ((s, d) => {
-      import s.implicits._
-      val fileEv = eventStream(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val flush =
-        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
-      val flushDf = flush.toDF()
-        .select(explode(array(lit("purchase"), lit("click"))).as("event_type"),
-          lit(-1L).as("user_id"),
-          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"),
-        "left_outer")
-      val name = s"graft_stream_loj_${runId.incrementAndGet()}"
-      dropPriorSinks(s)
-      liveSinks.add((s, name))
-      // first sentinel pair rides IN batch 0 with the file data: rows
-      // are never late against the initial watermark, and the batch's
-      // event-time max already includes the sentinel — so one trailing
-      // batch (second sentinel) suffices to drain evictions: 2 batches
-      // total instead of 3 (each batch cycle opens/commits every state
-      // store, the dominant fixed cost at gate volume)
-      flush.addData(1)
-      val q = withStateParts(s, 4) {
-        joined.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
+      val sink = runWithWatermarkFlush(s, d,
+        s"graft_stream_loj_${runId.incrementAndGet()}", 4,
+        Seq("purchase" -> -1L, "click" -> -1L)) { ev =>
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
       }
-      try {
-        q.processAllAvailable()
-        flush.addData(2); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name)
-        .filter(col("user_id") >= 0)
+      // the sentinel purchase's own null-emission (impossible anyway —
+      // the watermark never passes its event time) stays excluded
+      sink.filter(col("user_id") >= 0)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_rows"),
           count(col("c_ts")).as("n_matched"),
@@ -406,38 +434,20 @@ object StreamingParity {
     // outer result.
     "q113_stream_full_outer_join" -> ((s, d) => {
       import s.implicits._
-      val fileEv = eventStream(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val flush =
-        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
-      val flushDf = flush.toDF()
-        .select(explode(array(lit("purchase"), lit("click"))).as("event_type"),
-          lit(-1L).as("user_id"),
-          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"),
-        "full_outer")
-      val name = s"graft_stream_foj_${runId.incrementAndGet()}"
-      dropPriorSinks(s)
-      liveSinks.add((s, name))
-      flush.addData(1)
-      val q = withStateParts(s, 4) {
-        joined.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
+      val sink = runWithWatermarkFlush(s, d,
+        s"graft_stream_foj_${runId.incrementAndGet()}", 4,
+        Seq("purchase" -> -1L, "click" -> -1L)) { ev =>
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
       }
-      try {
-        q.processAllAvailable()
-        flush.addData(2); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name)
+      sink
         .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
           col("p_ts"), col("c_ts"))
         .filter(col("user_id") >= 0)
@@ -639,47 +649,24 @@ object StreamingParity {
     // they advance both watermark nodes but emit nothing, and the
     // daily windows carry only real pairs.
     "q219_stream_join_then_agg" -> ((s, d) => {
-      import s.implicits._
-      val fileEv = eventStream(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val flush =
-        MemoryStream[Int]((runId.incrementAndGet() & 0x3fffffff).toInt, s, None)
-      val flushDf = flush.toDF()
-        .select(explode(array(
-            struct(lit("purchase").as("event_type"), lit(-1L).as("user_id")),
-            struct(lit("click").as("event_type"), lit(-2L).as("user_id"))))
-          .as("e"),
-          expr("timestampadd(DAY, value, timestamp'2024-06-01 00:00:00')").as("ts"))
-        .select(col("e.user_id"), col("e.event_type"), col("ts"))
-      val ev = fileEv.unionByName(flushDf).withWatermark("ts", "2 hours")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-      val agg = joined
-        .groupBy(window(col("p_ts"), "1 day"))
-        .agg(count(lit(1)).as("n_pairs"))
-      val name = s"graft_stream_jagg_${runId.incrementAndGet()}"
-      dropPriorSinks(s)
-      liveSinks.add((s, name))
-      flush.addData(1)
-      // 4 state partitions like the q103/q113 siblings; an A/B at 2
-      // partitions measured within noise (~5%) — the stacked
-      // join+agg store lifecycles are not the bottleneck here
-      val q = withStateParts(s, 4) {
-        agg.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-      }
-      try {
-        q.processAllAvailable()
-        flush.addData(2); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name)
-        .select(col("window.start").as("day"), col("n_pairs"))
+      // distinct sentinel ids (-1/-2): an INNER join's sentinels must
+      // never join each other. 4 state partitions like the q103/q113
+      // siblings; an A/B at 2 partitions measured within noise (~5%) —
+      // the stacked join+agg store lifecycles are not the bottleneck.
+      runWithWatermarkFlush(s, d,
+        s"graft_stream_jagg_${runId.incrementAndGet()}", 4,
+        Seq("purchase" -> -1L, "click" -> -2L)) { ev =>
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .groupBy(window(col("p_ts"), "1 day"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }.select(col("window.start").as("day"), col("n_pairs"))
     }),
 
     "q70_stream_dedup_count" -> ((s, d) => {
