@@ -51,6 +51,10 @@ object Bench {
     // schema drift broke six queries). Queries with any failed rep
     // are reported under "failed" with the exception class+message,
     // excluded from the total, and force a non-zero exit code.
+    // ANY rep includes the discarded warm rep (r7 ADVICE): a query
+    // that crashes only on its first target-SF execution (state /
+    // init bugs) is a real failure that must not vanish just because
+    // rep 1 is excluded from TIMING.
     def timeReps(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  n: Int): Seq[Either[String, Double]] =
       (1 to n).map { _ =>
@@ -65,29 +69,61 @@ object Bench {
       }
     val outcomes: Seq[(String, Either[String, Double])] =
       selected.map { case (name, fn) =>
-        val reps0 = timeReps(fn, reps + 1).drop(1) // rep 1 never counted
-        val errs = reps0.collect { case Left(m) => m }
+        val repsAll = timeReps(fn, reps + 1)
+        val reps0 = repsAll.drop(1) // rep 1 never counted for TIMING
+        val errs = repsAll.collect { case Left(m) => m } // ...but its errors count
         name -> (if (errs.nonEmpty) Left(errs.head)
                  else Right(reps0.collect { case Right(t) => t }.min))
       }
     val firstPass = outcomes.collect { case (n, Right(t)) => n -> t }.toMap
     val failures = outcomes.collect { case (n, Left(m)) => n -> m }
-    // Isolated re-touch of the heaviest entries: anything still
-    // inflated by a host phase must reproduce now, far from its
-    // original slot, or be replaced by its warm value. Same rep
-    // discipline as the main pass (first of 3 never counted, so the
-    // protocol flags stay accurate for these entries too); a retouch
-    // whose counted reps all fail keeps its valid first-pass time but
-    // is reported loudly and EXCLUDED from the "retouched" list — the
-    // artifact must never claim a re-measurement that didn't happen.
-    val retouchCandidates = firstPass.toSeq.sortBy(-_._2).take(10)
+    // Isolated re-touch of inflated entries: anything still inflated
+    // by a host phase must reproduce now, far from its original slot,
+    // or be replaced by its warm value. Candidate selection (protocol
+    // v3, r7 verdict #1): the r7 artifact shipped q76/q77 at 2.25/
+    // 2.30 s — code untouched, 0.88/0.24 s warm — because the v2 rule
+    // ("top-10 slowest") was a PREDICTION of which entries a degraded
+    // host phase would inflate, and these two fell just outside it.
+    // The phase doesn't care about rank, so the rule now also triggers
+    // on EVIDENCE: any entry measuring > 2× its last committed steady
+    // state (tools/bench_steady.json = per-query min over every prior
+    // committed artifact) is re-benched, wherever it ranks. The 0.3 s
+    // floor keeps sub-second noise (0.05 → 0.12 s) from doubling the
+    // suite; entries without a steady-state record (new queries) are
+    // covered by the top-10 rule alone.
+    val steady: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "tools/bench_steady.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        """"(q[^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty } // absent file → top-10 only
+    }
+    val top10 = firstPass.toSeq.sortBy(-_._2).take(10)
+    val inflated = firstPass.toSeq.filter { case (name, t) =>
+      t > 0.3 && steady.get(name).exists(s => t > 2 * s)
+    }
+    val retouchCandidates = (top10 ++ inflated).distinctBy(_._1)
+    // Same rep discipline as the main pass (first of 3 never counted,
+    // so the protocol flags stay accurate for these entries too); a
+    // retouch whose counted reps ALL fail keeps its valid first-pass
+    // time but is reported loudly and EXCLUDED from the "retouched"
+    // list — the artifact must never claim a re-measurement that
+    // didn't happen. A PARTIAL failure (one rep errs, the other
+    // succeeds) IS min-merged and listed, and the log says so (r7
+    // ADVICE: the old message claimed "keeping first-pass time" even
+    // when the entry was in fact retouched).
     val retouched = retouchCandidates.flatMap { case (name, t0) =>
       val again = timeReps(SparkEntry.queries(name), 3).drop(1)
       val ok = again.collect { case Right(t) => t }
       val errs = again.collect { case Left(m) => m }
-      if (errs.nonEmpty)
+      if (errs.nonEmpty && ok.isEmpty)
         System.err.println(
           s"[bench] retouch of $name failed (${errs.head}) — keeping first-pass time")
+      else if (errs.nonEmpty)
+        System.err.println(s"[bench] retouch of $name partially failed " +
+          s"(${errs.head}) — min-merging the ${ok.size} successful rep(s)")
       if (ok.isEmpty) None else Some(name -> math.min(t0, ok.min))
     }
     val retouch = retouched // names that actually re-measured
@@ -102,7 +138,7 @@ object Bench {
     // full-precision, full-name artifact → file (never truncated)
     val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       fmt(sorted.map { case (k, v) => k -> v.toString })
-      },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouched":[${
+      },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouch_rule":"top10+2x_steady","retouched":[${
       retouch.map(r => "\"" + r._1 + "\"").mkString(",")}]},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileJson + "\n")

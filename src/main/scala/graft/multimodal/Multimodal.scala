@@ -394,7 +394,7 @@ object Multimodal {
       |  SELECT media_id, bkt, count(*) AS c FROM grams GROUP BY 1, 2),
       |tot AS (SELECT media_id, sum(c) AS tc FROM buckets GROUP BY 1),
       |bandbits AS (
-      |  SELECT b.media_id, bkt // 16 AS band,
+      |  SELECT b.media_id, divide(bkt, 16) AS band,
       |         CAST(sum(CASE WHEN b.c * 64 > t.tc
       |                       THEN 1 << CAST(bkt % 16 AS INT) ELSE 0 END)
       |              AS INT) AS bv
@@ -438,8 +438,8 @@ object Multimodal {
         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
         |frames AS (
         |  SELECT media_id, f AS frame_no,
-        |   CASE WHEN f * greatest(1, len // 4) >= len THEN ''
-        |    ELSE substr(text, f * greatest(1, len // 4) + 1, greatest(1, len // 4))
+        |   CASE WHEN f * greatest(1, divide(len, 4)) >= len THEN ''
+        |    ELSE substr(text, f * greatest(1, divide(len, 4)) + 1, greatest(1, divide(len, 4)))
         |   END AS fb
         |  FROM vids, (SELECT unnest(generate_series(0, 3)) AS f))
         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
@@ -473,8 +473,8 @@ object Multimodal {
         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
         |frames AS MATERIALIZED (
         |  SELECT media_id, f AS frame_no,
-        |   CASE WHEN f * greatest(1, len // 8) >= len THEN ''
-        |    ELSE substr(text, f * greatest(1, len // 8) + 1, greatest(1, len // 8))
+        |   CASE WHEN f * greatest(1, divide(len, 8)) >= len THEN ''
+        |    ELSE substr(text, f * greatest(1, divide(len, 8)) + 1, greatest(1, divide(len, 8)))
         |   END AS fb
         |  FROM vids, (SELECT unnest(generate_series(0, 7)) AS f)),
         |fsum AS MATERIALIZED (
@@ -491,7 +491,7 @@ object Multimodal {
         |jm AS (
         |  SELECT media_id,
         |   CASE WHEN pn IS NULL THEN NULL
-        |    ELSE CAST(abs(s * pn - ps * n) * 1000 // (n * pn) AS BIGINT)
+        |    ELSE CAST(divide(abs(s * pn - ps * n) * 1000, (n * pn)) AS BIGINT)
         |   END AS jump
         |  FROM j)
         |SELECT media_id, count(*) AS n_frames,
@@ -502,7 +502,7 @@ object Multimodal {
 
     "q79_resize_stats" ->
       """SELECT media_type, count(*) AS n_media,
-        | CAST(sum((octet_length(encode(text)) + 3) // 4) AS BIGINT) AS resized_bytes
+        | CAST(sum(divide((octet_length(encode(text)) + 3), 4)) AS BIGINT) AS resized_bytes
         |FROM (SELECT
         |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

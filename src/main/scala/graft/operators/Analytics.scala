@@ -1277,9 +1277,9 @@ object Analytics {
     "q110_pagerank" -> {
       def iter(prev: String, cur: String): String =
         s"""$cur AS (SELECT $prev.node,
-           |   150000000 + (CAST(coalesce(s.s, 0) AS BIGINT) * 85) // 100 AS r
+           |   150000000 + divide((CAST(coalesce(s.s, 0) AS BIGINT) * 85), 100) AS r
            |  FROM $prev LEFT JOIN (
-           |   SELECT dst, CAST(sum(r // deg) AS BIGINT) AS s
+           |   SELECT dst, CAST(sum(divide(r, deg)) AS BIGINT) AS s
            |   FROM $prev JOIN ed ON $prev.node = ed.src GROUP BY 1) s
            |  ON $prev.node = s.dst)""".stripMargin
       s"""WITH pairs AS (
@@ -1561,7 +1561,7 @@ object Analytics {
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
         | inst AS (
-        |  SELECT i AS inst_no, cents // 4 AS amount
+        |  SELECT i AS inst_no, divide(cents, 4) AS amount
         |  FROM urgent, (SELECT unnest(generate_series(0, 3)) AS i))
         |SELECT CAST(inst_no AS INT) AS inst_no, count(*) AS n_orders,
         | CAST(sum(amount) AS BIGINT) AS total_due
@@ -1663,7 +1663,7 @@ object Analytics {
         | count(*) OVER w AS n_last_hour,
         | CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_last_hour
         |FROM (SELECT event_id, user_id, value,
-        |   epoch_ns(CAST(ts AS TIMESTAMP)) // 1000000000 AS sec FROM events)
+        |   divide(epoch_ns(CAST(ts AS TIMESTAMP)), 1000000000) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 

@@ -902,7 +902,7 @@ object Analytics2 {
         |  WHERE from_type IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+        | CAST(divide(n * 1000000, sum(n) OVER (PARTITION BY from_type))
         |  AS BIGINT) AS micro_share
         |FROM trans""".stripMargin,
 
@@ -945,9 +945,9 @@ object Analytics2 {
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         | total AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
         |SELECT p1, p2, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
-        | n_pair * 1000000 // ia.n_item AS conf_ab_micro,
-        | n_pair * 1000000 // ib.n_item AS conf_ba_micro,
-        | n_pair * n_orders * 1000000 // (ia.n_item * ib.n_item) AS lift_micro
+        | divide(n_pair * 1000000, ia.n_item) AS conf_ab_micro,
+        | divide(n_pair * 1000000, ib.n_item) AS conf_ba_micro,
+        | divide(n_pair * n_orders * 1000000, (ia.n_item * ib.n_item)) AS lift_micro
         |FROM pairs
         |JOIN items ia ON ia.pk = p1
         |JOIN items ib ON ib.pk = p2
@@ -965,7 +965,7 @@ object Analytics2 {
         |   row_number() OVER (ORDER BY qty DESC, l_partkey) AS r_qty
         |  FROM agg)
         |SELECT l_partkey, r_rev, r_qty,
-        | 1000000 // (60 + r_rev) + 1000000 // (60 + r_qty) AS rrf_micro
+        | divide(1000000, (60 + r_rev)) + divide(1000000, (60 + r_qty)) AS rrf_micro
         |FROM ranked
         |ORDER BY rrf_micro DESC, l_partkey
         |LIMIT 20""".stripMargin,
@@ -1015,9 +1015,9 @@ object Analytics2 {
         |   GROUP BY doc_id, bg)
         |  GROUP BY 1)
         |SELECT base.doc_id, CAST(n AS BIGINT) AS n_tok,
-        | CAST(nd * 1000000 // n AS BIGINT) AS distinct_micro,
-        | max_uni * 1000000 // n AS top_unigram_micro,
-        | max_bi * 1000000 // (n - 1) AS top_bigram_micro
+        | CAST(divide(nd * 1000000, n) AS BIGINT) AS distinct_micro,
+        | divide(max_uni * 1000000, n) AS top_unigram_micro,
+        | divide(max_bi * 1000000, (n - 1)) AS top_bigram_micro
         |FROM base
         |JOIN uni ON uni.doc_id = base.doc_id
         |JOIN bi ON bi.doc_id = base.doc_id""".stripMargin,
@@ -1033,7 +1033,7 @@ object Analytics2 {
         | w AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n_t FROM tp)
         |SELECT touch_type, count(*) AS n_touches,
         | CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
-        | CAST(sum(1000000 // n_t) AS BIGINT) AS credit_micro
+        | CAST(sum(divide(1000000, n_t)) AS BIGINT) AS credit_micro
         |FROM w GROUP BY 1""".stripMargin,
 
     "q133_seasonal_anomaly" ->
@@ -1048,12 +1048,12 @@ object Analytics2 {
         |  SELECT event_type, hh, count(*) AS total FROM ev GROUP BY 1, 2),
         | nd AS (SELECT count(DISTINCT day) AS n_days FROM ev)
         |SELECT cells.event_type, day, cells.hh, actual, total,
-        | actual * n_days * 1000000 // total AS ratio_micro
+        | divide(actual * n_days * 1000000, total) AS ratio_micro
         |FROM cells
         |JOIN baseline ON baseline.event_type = cells.event_type
         | AND baseline.hh = cells.hh
         |CROSS JOIN nd
-        |WHERE actual * n_days * 1000000 // total >= 2000000""".stripMargin,
+        |WHERE divide(actual * n_days * 1000000, total) >= 2000000""".stripMargin,
 
     "q134_skew_profile" ->
       """WITH lf AS (
@@ -1084,12 +1084,12 @@ object Analytics2 {
         |     AS keys_f100p
         |  FROM ef)
         |SELECT profiled_key, n_rows, n_keys, max_freq,
-        | max_freq * 1000000 // n_rows AS top_share_micro,
+        | divide(max_freq * 1000000, n_rows) AS top_share_micro,
         | keys_f1, keys_f2_9, keys_f10_99, keys_f100p
         |FROM lp
         |UNION ALL
         |SELECT profiled_key, n_rows, n_keys, max_freq,
-        | max_freq * 1000000 // n_rows AS top_share_micro,
+        | divide(max_freq * 1000000, n_rows) AS top_share_micro,
         | keys_f1, keys_f2_9, keys_f10_99, keys_f100p
         |FROM ep""".stripMargin,
 
@@ -1179,7 +1179,7 @@ object Analytics2 {
         |  GROUP BY 1, 2),
         | tot AS (SELECT source, sum(n) AS tot FROM st GROUP BY 1),
         | share AS (
-        |  SELECT st.source, term, n * 1000000 // tot AS p
+        |  SELECT st.source, term, divide(n * 1000000, tot) AS p
         |  FROM st JOIN tot ON tot.source = st.source),
         | grid AS (
         |  SELECT s.source, v.term, coalesce(p, 0) AS p
@@ -1187,7 +1187,7 @@ object Analytics2 {
         |  CROSS JOIN vocab v
         |  LEFT JOIN share ON share.source = s.source AND share.term = v.term)
         |SELECT a.source AS src1, b.source AS src2,
-        | CAST(sum(abs(a.p - b.p)) // 2 AS BIGINT) AS tvd_micro
+        | CAST(divide(sum(abs(a.p - b.p)), 2) AS BIGINT) AS tvd_micro
         |FROM grid a JOIN grid b
         | ON a.term = b.term AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
@@ -1202,10 +1202,10 @@ object Analytics2 {
         |SELECT dim,
         | CAST(sum(CASE WHEN is_even THEN milli END) AS BIGINT) AS s_even,
         | CAST(sum(CASE WHEN NOT is_even THEN milli END) AS BIGINT) AS s_odd,
-        | CAST(abs(sum(CASE WHEN is_even THEN milli END) * 1000
-        |   // sum(CASE WHEN is_even THEN 1 ELSE 0 END)
-        |  - sum(CASE WHEN NOT is_even THEN milli END) * 1000
-        |   // sum(CASE WHEN NOT is_even THEN 1 ELSE 0 END)) AS BIGINT)
+        | CAST(abs(divide(sum(CASE WHEN is_even THEN milli END) * 1000
+        |, sum(CASE WHEN is_even THEN 1 ELSE 0 END))
+        |  - divide(sum(CASE WHEN NOT is_even THEN milli END) * 1000
+        |, sum(CASE WHEN NOT is_even THEN 1 ELSE 0 END))) AS BIGINT)
         |  AS drift_milli_x1000
         |FROM e GROUP BY 1""".stripMargin,
 
@@ -1277,8 +1277,8 @@ object Analytics2 {
          |  FROM docw)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          | CAST(sum(pieces) AS BIGINT) AS n_pieces,
-         | CAST(CAST(sum(pieces) AS BIGINT) * 1000000
-         |   // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_micro
+         | CAST(divide(CAST(sum(pieces) AS BIGINT) * 1000000
+         |, CAST(count(*) AS BIGINT)) AS BIGINT) AS fertility_micro
          |FROM docp GROUP BY doc_id""".stripMargin
     },
 
@@ -1314,8 +1314,8 @@ object Analytics2 {
         |  GROUP BY v)
         |SELECT deg.v AS pk, deg.deg,
         |  COALESCE(tcnt.n_tri, 0) AS n_tri,
-        |  CAST(2 * COALESCE(tcnt.n_tri, 0) * 1000000
-        |       // (deg.deg * (deg.deg - 1)) AS BIGINT) AS coeff_micro
+        |  CAST(divide(2 * COALESCE(tcnt.n_tri, 0) * 1000000
+        |, (deg.deg * (deg.deg - 1))) AS BIGINT) AS coeff_micro
         |FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
         |WHERE deg.deg >= 2""".stripMargin)
 }

@@ -152,14 +152,17 @@ object Analytics3 {
     // hot key without one task owning the hot key's entire fan-in.
     // A synthetic 70%-hot key (the q134 construction) joins a derived
     // dimension; the fact side salts with a DETERMINISTIC shard
-    // (linenumber mod S — no randomness, q54 policy), the dim side
-    // replicates ×S via explode(sequence), and the join key becomes
-    // (key, salt) — the hot key's rows spread over S tasks instead of
-    // one. S=8 is a local constant; at 100 TB S sizes to
-    // hot-key-rows / target-task-rows, and AQE's skew-join split is
-    // the adaptive alternative when skew is not known a priori. The
-    // oracle is the UNSALTED join — salting must be invisible in the
-    // result.
+    // ((orderkey + linenumber) mod S — no randomness, q54 policy;
+    // NOT linenumber mod S alone: l_linenumber ∈ [1,7], so that
+    // expression never hits salt 0 and spreads the hot key over at
+    // most 7 of the S shards while every dim key drags a dead salt-0
+    // replica through the join — r7 ADVICE), the dim side replicates
+    // ×S via explode(sequence), and the join key becomes (key, salt)
+    // — the hot key's rows spread over S tasks instead of one. S=8 is
+    // a local constant; at 100 TB S sizes to hot-key-rows /
+    // target-task-rows, and AQE's skew-join split is the adaptive
+    // alternative when skew is not known a priori. The oracle is the
+    // UNSALTED join — salting must be invisible in the result.
     "q212_salted_join" -> ((s, d) => {
       val S = 8
       val fact = t(s, d, "lineitem")
@@ -167,7 +170,7 @@ object Analytics3 {
           when(col("l_orderkey") % 10 < 7, lit(1L))
             .otherwise(col("l_orderkey")).as("k"),
           col("l_quantity").cast("long").as("qty"),
-          (col("l_linenumber") % S).cast("int").as("_salt"))
+          ((col("l_orderkey") + col("l_linenumber")) % S).cast("int").as("_salt"))
       val dim = t(s, d, "orders")
         .select(
           when(col("o_orderkey") % 10 < 7, lit(1L))
@@ -735,9 +738,9 @@ object Analytics3 {
         |SELECT source,
         | CAST(max(n0) AS BIGINT) AS n_h0,
         | CAST(max(n1) AS BIGINT) AS n_h1,
-        | CAST(max(abs(CAST(cum0 AS HUGEINT) * n1 -
+        | CAST(divide(max(abs(CAST(cum0 AS HUGEINT) * n1 -
         |              CAST(cum1 AS HUGEINT) * n0)) * 1000000
-        |   // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_micro
+        |, (CAST(max(n0) AS HUGEINT) * max(n1))) AS BIGINT) AS ks_micro
         |FROM cum GROUP BY source
         |HAVING max(n0) > 0 AND max(n1) > 0""".stripMargin,
 
@@ -862,8 +865,8 @@ object Analytics3 {
         |   sum(CAST(v AS HUGEINT) * cnt) AS s
         |  FROM ranked GROUP BY source)
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        | CAST((two_iv - (n_docs + 1) * s) * 1000000
-        |   // (n_docs * s) AS BIGINT) AS gini_micro
+        | CAST(divide((two_iv - (n_docs + 1) * s) * 1000000
+        |, (n_docs * s)) AS BIGINT) AS gini_micro
         |FROM agg""".stripMargin,
     "q191_interval_union" ->
       """WITH iv AS (
@@ -934,12 +937,12 @@ object Analytics3 {
         |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n2 FROM docbg GROUP BY 1, 2),
         | uni AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM lm GROUP BY 1),
         | cond AS (
-        |  SELECT lm.w1, lm.w2, CAST(n2 * 1000000 // n1 AS BIGINT) AS cond_micro
+        |  SELECT lm.w1, lm.w2, CAST(divide(n2 * 1000000, n1) AS BIGINT) AS cond_micro
         |  FROM lm JOIN uni ON lm.w1 = uni.w1)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
         | CAST(sum(m * cond_micro) AS BIGINT) AS lm_total_micro,
-        | CAST(CAST(sum(m * cond_micro) AS BIGINT)
-        |   // CAST(sum(m) AS BIGINT) AS BIGINT) AS avg_micro
+        | CAST(divide(CAST(sum(m * cond_micro) AS BIGINT)
+        |, CAST(sum(m) AS BIGINT)) AS BIGINT) AS avg_micro
         |FROM docbg JOIN cond ON docbg.w1 = cond.w1 AND docbg.w2 = cond.w2
         |GROUP BY doc_id""".stripMargin,
 
@@ -961,7 +964,7 @@ object Analytics3 {
         |  (((a3 | (a3 * 2)) & 1431655765)
         |   | (((b3 | (b3 * 2)) & 1431655765) * 2)) AS z FROM s3),
         |mx AS (SELECT max(z) AS zmax FROM zc)
-        |SELECT (z * 64) // (zmax + 1) AS bucket, count(*) AS n,
+        |SELECT divide((z * 64), (zmax + 1)) AS bucket, count(*) AS n,
         | min(ux) AS min_user, max(ux) AS max_user,
         | min(vb) AS min_val, max(vb) AS max_val
         |FROM zc, mx
@@ -972,11 +975,11 @@ object Analytics3 {
         |ev AS (
         | SELECT user_id, ts,
         |  CAST(floor(value * 1000.0) AS BIGINT) AS vm,
-        |  least((epoch_us(now_ts) - epoch_us(ts)) // 2419200000000, 62)
+        |  least(divide((epoch_us(now_ts) - epoch_us(ts)), 2419200000000), 62)
         |   AS halves
         | FROM events, mx)
         |SELECT user_id, count(*) AS n_events,
-        | CAST(sum(vm // (1::BIGINT << CAST(halves AS INT))) AS BIGINT)
+        | CAST(sum(divide(vm, (1::BIGINT << CAST(halves AS INT)))) AS BIGINT)
         |  AS score_milli,
         | max(ts) AS last_seen
         |FROM ev GROUP BY 1""".stripMargin,
@@ -985,7 +988,7 @@ object Analytics3 {
       """WITH t0 AS (SELECT min(ts) AS tmin FROM events),
         |ev AS (
         | SELECT event_type,
-        |  (epoch_us(ts) - epoch_us(tmin)) // 86400000000 AS x,
+        |  divide((epoch_us(ts) - epoch_us(tmin)), 86400000000) AS x,
         |  CAST(floor(value * 1000.0) AS BIGINT) AS y
         | FROM events, t0),
         |s AS (
@@ -997,7 +1000,7 @@ object Analytics3 {
         |SELECT event_type, n,
         | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
         | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-        | CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+        | CAST(divide((1000 * (n * sxy - sx * sy)), (n * sxx - sx * sx)) AS BIGINT)
         |  AS slope_milli_per_day
         |FROM s""".stripMargin)
 }

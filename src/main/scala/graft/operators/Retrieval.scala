@@ -382,10 +382,10 @@ object Retrieval {
          |  WHERE tok IN ('spark', 'join', 'slow') GROUP BY 1, 2),
          |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
          |SELECT doc_id,
-         | CAST(sum(((1000000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
-         |   * ((1000000 * 44 * tf * d_total)
-         |     // (20 * tf * d_total + 6 * d_total + 18 * dl * n_docs)))
-         |  // 1000000) AS BIGINT) AS score_micro,
+         | CAST(sum(divide((divide((1000000 * (2 * n_docs - 2 * df + 1)), (2 * df + 1))
+         |   * (divide((1000000 * 44 * tf * d_total)
+         |, (20 * tf * d_total + 6 * d_total + 18 * dl * n_docs))))
+         |, 1000000)) AS BIGINT) AS score_micro,
          | count(*) AS n_terms_hit
          |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
          |GROUP BY doc_id
@@ -416,7 +416,7 @@ object Retrieval {
         |SELECT dim, count(*) AS n,
         | CAST(sum(milli) AS BIGINT) AS sum_milli,
         | min(milli) AS min_milli, max(milli) AS max_milli,
-        | CAST(sum(milli) * 1000 // count(*) AS BIGINT) AS mean_micro
+        | CAST(divide(sum(milli) * 1000, count(*)) AS BIGINT) AS mean_micro
         |FROM e GROUP BY 1""".stripMargin,
 
     "q173_pareto_front" ->
@@ -448,7 +448,7 @@ object Retrieval {
          |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb
          | FROM base)
          |SELECT doc_id,
-         | CAST(1000000 // (60 + ra) + 1000000 // (60 + rb) AS BIGINT)
+         | CAST(divide(1000000, (60 + ra)) + divide(1000000, (60 + rb)) AS BIGINT)
          |  AS rrf_micro,
          | CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
          |FROM ranked
@@ -501,7 +501,7 @@ object Retrieval {
         | FROM embeddings),
         |cent AS (
         | SELECT label, dim,
-        |  CAST(CAST(sum(milli) AS BIGINT) * 1000 // count(*) AS BIGINT)
+        |  CAST(divide(CAST(sum(milli) AS BIGINT) * 1000, count(*)) AS BIGINT)
         |   AS c_micro
         | FROM e GROUP BY 1, 2)
         |SELECT a.label AS label_a, b.label AS label_b,
@@ -539,8 +539,8 @@ object Retrieval {
         |  count(*) AS n_langs
         | FROM by_lang GROUP BY 1)
         |SELECT source, total AS n_docs, n_langs,
-        | CAST(sum((c * 1000000 // total) * (c * 1000000 // total)
-        |   // 1000000) AS BIGINT) AS hhi_micro
+        | CAST(sum(divide((divide(c * 1000000, total)) * (divide(c * 1000000, total))
+        |, 1000000)) AS BIGINT) AS hhi_micro
         |FROM by_lang JOIN by_source USING (source)
         |GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -199,17 +199,28 @@ object ScalableRank {
     // O(partitions + groups) rows: range partitioning keeps each
     // partition on a contiguous (group, order) slice, so a partition
     // touches at most (its row span / group span + 1) groups.
-    // localCheckpoint materializes the tiny slice relation ONCE: offs
-    // and totals both derive from it, and without the checkpoint each
-    // would re-run the whole cumRdd scan (shuffle reads are reused but
-    // the per-row map re-executes — 3 corpus passes instead of 2 for
-    // q105-shaped callers).
+    // persist() keeps the tiny slice relation to ONE computation: offs
+    // and totals both derive from it, and without it each would re-run
+    // the whole cumRdd scan (shuffle reads are reused but the per-row
+    // map re-executes — 3 corpus passes instead of 2 for q105-shaped
+    // callers). This was localCheckpoint(true) until r7 ADVICE: eager
+    // checkpoint ran Spark jobs at DataFrame-CONSTRUCTION time and
+    // pinned MEMORY_AND_DISK blocks freed only by ContextCleaner GC —
+    // across bench reps the orphans accumulated and could evict timed
+    // cache blocks. A registered lazy persist has the same
+    // compute-once property (CacheManager serves both branches) and a
+    // bounded lifetime (CacheRegistry.clear, which Bench/Verify call).
+    // Checkpoint's lineage truncation bought nothing for CORRECTNESS:
+    // cumRdd is one RDD val whose range partitioner (and its sampled
+    // boundaries) is instantiated once at `ranged.rdd` above, so even
+    // a cache-evicted recompute replays identical partition splits.
     val slice = withCum.groupBy(col("_srk_pid") +: gcols: _*)
       .agg(sum(col(weightCols.head)).as("_srk_c0"),
         weightCols.tail.zipWithIndex.map { case (w, i) =>
           sum(col(w)).as(s"_srk_c${i + 1}")
         }: _*)
-      .localCheckpoint(true)
+      .persist()
+    graft.CacheRegistry.register(spark, slice)
     val cCols = weightCols.indices.map(i => s"_srk_c$i")
     val offCols = weightCols.indices.map(i => s"_srk_off$i")
     val offs = cCols.zip(offCols).foldLeft(slice) { case (acc, (c, o)) =>

@@ -765,8 +765,8 @@ object TextDedup {
         | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         | CAST(sum(CASE WHEN n_docs >= 2 AND min_doc < doc_id THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_trim,
-        | CAST(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |   * 1000000 // count(*) AS BIGINT) AS dup_micro
+        | CAST(divide(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000, count(*)) AS BIGINT) AS dup_micro
         |FROM g JOIN gs USING (gram)
         |GROUP BY doc_id""".stripMargin,
 
@@ -810,7 +810,7 @@ object TextDedup {
          |   GROUP BY 1, 2)
          |SELECT doc_c, doc_e, jac_micro FROM (
          |  SELECT doc_c, doc_e,
-         |   CAST(cnt * 1000000 // (sc.n + se.n - cnt) AS BIGINT) AS jac_micro
+         |   CAST(divide(cnt * 1000000, (sc.n + se.n - cnt)) AS BIGINT) AS jac_micro
          |  FROM inter
          |  JOIN sizes sc ON sc.doc_id = doc_c
          |  JOIN sizes se ON se.doc_id = doc_e)
@@ -825,7 +825,7 @@ object TextDedup {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, na, nb, cont_micro FROM (
          |  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
-         |   CAST(c * 1000000 // least(sa.n, sb.n) AS BIGINT) AS cont_micro
+         |   CAST(divide(c * 1000000, least(sa.n, sb.n)) AS BIGINT) AS cont_micro
          |  FROM inter
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b)
@@ -1049,7 +1049,7 @@ object TextDedup {
         |  FROM vocab),
         | total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
         |SELECT rk, tok, cnt,
-        | CAST((cum * 1000000) // total AS BIGINT) AS cum_share_micro
+        | CAST(divide((cum * 1000000), total) AS BIGINT) AS cum_share_micro
         |FROM ranked CROSS JOIN total
         |WHERE rk <= 100""".stripMargin,
 

@@ -1,32 +1,22 @@
 #!/usr/bin/env python3
 """Exact emulation of the driver's hash gate (reverse-engineered, r7).
 
-Two rounds of locally-green-but-driver-red queries (r5/r6: q138 q193
-q194 q199 q202 q203 q204) were explained by a REPRESENTATION asymmetry
-in the driver's compare, not by values:
-
-  - the Spark result parquet is read via pandas/pyarrow, so DECIMAL
-    columns arrive as Python Decimal objects → str() keeps the scale:
-    Decimal('510274.00') → '510274.00'
-  - the oracle runs through duckdb .df(), which converts DECIMAL to
-    float64 → str() drops trailing zeros: 510274.0 → '510274.0'
-  - the frames are stringified, sorted, and hashed → any decimal value
-    whose scale-2 string has a trailing zero mismatches even though the
-    values are numerically identical.
-
-Running THIS procedure over all 208 round-6 queries reproduced the
-driver's red set exactly (7/7 red, 201/201 green), which is how the
-root cause was isolated. The fix is a repo-wide output contract: final
-result columns are never DecimalType — money math stays DECIMAL
-internally, the last projection casts to DOUBLE (or BIGINT cents).
-Enforced by OutputTypePolicySpec; this script is the local gate that
-matches what the driver actually does.
+The driver reads the Spark result parquet via pandas/pyarrow but runs
+the DuckDB oracle via .df(), then compares STRINGIFIED sorted frames —
+a representation asymmetry (Decimal keeps scale, float64 drops
+trailing zeros; float32 repr differs from float64) that can red a
+numerically identical result. Full forensics, the reproduction that
+isolated it, and the resulting repo-wide output-type contract live in
+docs/driver-gate.md (the single authority); OutputTypePolicySpec
+enforces the contract, and THIS script is the local gate that matches
+what the driver actually does.
 
 Usage: python3 tools/check_driver_hash.py <sfDir> <verifyOutDir> [query ...]
 Exit 0 iff every checked query matches under the emulated procedure.
 """
 import glob
 import json
+import pathlib
 import sys
 
 import duckdb
@@ -36,8 +26,10 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
+# Table list is shared with the engine (graft.Tables.all) via
+# tools/tables.txt — single source, parity asserted by TablesContractSpec.
+tables_txt = pathlib.Path(__file__).with_name("tables.txt")
+for t in tables_txt.read_text().split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 with open(f"{out_dir}/oracle_sql.json") as f:

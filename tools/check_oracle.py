@@ -4,6 +4,7 @@ oracle SQL (exact value equality, columns sorted by name, rows sorted).
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
+import pathlib
 import sys
 
 import duckdb
@@ -13,8 +14,10 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
+# Table list is shared with the engine (graft.Tables.all) via
+# tools/tables.txt — single source, parity asserted by TablesContractSpec.
+tables_txt = pathlib.Path(__file__).with_name("tables.txt")
+for t in tables_txt.read_text().split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 with open(f"{out_dir}/oracle_sql.json") as f:
