@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, ScalableRank, TextDedup}
+
+/** Measured (not argued) scale evidence for the five scale-critical
+  * primitives (r7 verdict #5): feed each one 50–2000× the sf0.1 input
+  * volume it normally sees and record, from real task metrics, whether
+  * any task absorbs a super-linear share of the work.
+  *
+  * `runMain graft.ScaleEvidence` prints one markdown row per path:
+  * input rows, wall time, and for the heaviest shuffle stage of the
+  * run its task count, mean/max per-task shuffle-read rows+bytes, and
+  * the max/mean ratio. The claim under test is the flat part — at
+  * 1000 executors a primitive is only as fast as its most loaded
+  * task, so max/mean is the single number that predicts the 100 TB
+  * wall-clock. Each path also carries an EXACTNESS assertion at the
+  * scaled volume (rank sums, cum-sum fixpoints, component counts,
+  * join cardinalities): the 10×-step bug classes the r7 verdict
+  * called out (integer overflow, range-boundary drift, band
+  * collisions) fail the run loudly instead of shipping wrong numbers
+  * that happen to be balanced.
+  *
+  * Inputs are deterministic `spark.range` derivations (and a
+  * salt-perturbed replication of the real sf0.1 documents for the
+  * MinHash path) — no randomness, re-runs measure the same job.
+  * Volumes are env-tunable; defaults size the whole run to ~10 min on
+  * local[32]:
+  *   SCALE_RANK_ROWS    (default 100 000 000)  — globalRowNumber
+  *   SCALE_CUM_ROWS     (default  20 000 000)  — groupedCumSums histogram
+  *   SCALE_DOC_REPS     (default 100)          — MinHash corpus ×reps
+  *   SCALE_GRAPH_NODES  (default  10 000 000)  — components
+  *   SCALE_JOIN_ROWS    (default 100 000 000)  — salted join fact side
+  */
+object ScaleEvidence {
+
+  /** Per-stage task-metric aggregation (the numbers the Spark UI
+    * shows per task, captured programmatically). */
+  private final class Agg(val name: String) {
+    var tasks = 0
+    var shufRows, shufRowsMax, shufBytes, shufBytesMax = 0L
+    var inRows = 0L
+  }
+
+  private final class BalanceListener extends SparkListener {
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+      stages.putIfAbsent(e.stageInfo.stageId, new Agg(e.stageInfo.name))
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val a = stages.computeIfAbsent(e.stageId, _ => new Agg("?"))
+        a.synchronized {
+          a.tasks += 1
+          val sr = m.shuffleReadMetrics
+          val rows = sr.recordsRead
+          val bytes = sr.localBytesRead + sr.remoteBytesRead
+          a.shufRows += rows; a.shufRowsMax = math.max(a.shufRowsMax, rows)
+          a.shufBytes += bytes; a.shufBytesMax = math.max(a.shufBytesMax, bytes)
+          a.inRows += m.inputMetrics.recordsRead
+        }
+      }
+    }
+    def snapshotIds: Set[Int] = {
+      val s = scala.collection.mutable.Set.empty[Int]
+      stages.forEach((k, _) => { s += k; () })
+      s.toSet
+    }
+  }
+
+  private def human(n: Long): String =
+    if (n >= 1000000000L) f"${n / 1e9}%.2fG"
+    else if (n >= 1000000L) f"${n / 1e6}%.2fM"
+    else if (n >= 1000L) f"${n / 1e3}%.1fk"
+    else n.toString
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val listener = new BalanceListener
+    spark.sparkContext.addSparkListener(listener)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def env(k: String, d: Long): Long = sys.env.get(k).map(_.toLong).getOrElse(d)
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** Run `action` under the listener, assert its invariant, report
+      * the heaviest (by total shuffle-read rows) stage's balance. */
+    def measure(path: String, inputRows: Long)(action: => Unit): Unit = {
+      val before = listener.snapshotIds
+      val t0 = System.nanoTime()
+      action
+      val secs = (System.nanoTime() - t0) / 1e9
+      val newAggs = {
+        val ids = listener.snapshotIds -- before
+        ids.toSeq.map(listener.stages.get(_)).filter(_ != null)
+      }
+      val heavy = newAggs.filter(_.shufRows > 0).sortBy(-_.shufRows).headOption
+      val row = heavy match {
+        case Some(a) =>
+          val mean = a.shufRows.toDouble / math.max(a.tasks, 1)
+          f"| $path | ${human(inputRows)} | $secs%.1f | ${a.tasks} | ${
+            human(mean.toLong)} | ${human(a.shufRowsMax)} | ${
+            a.shufRowsMax / math.max(mean, 1.0)}%.2f | ${
+            human(a.shufBytesMax)} |"
+        case None =>
+          f"| $path | ${human(inputRows)} | $secs%.1f | — | — | — | — (no shuffle) | — |"
+      }
+      rows += row
+      println("ROW " + row)
+      CacheRegistry.clear(spark)
+      spark.catalog.clearCache()
+    }
+
+    // ---- 1. globalRowNumber: exact global rank over 1000× events ----
+    val nRank = env("SCALE_RANK_ROWS", 100000000L)
+    measure("ScalableRank.globalRowNumber (q138/q128 shape)", nRank) {
+      val df = spark.range(nRank).select(col("id"),
+        ((col("id") * 2654435761L) % 1000003L).as("v"))
+      val ranked = ScalableRank.globalRowNumber(df, "rn", col("v"), col("id"))
+      val Array(sumRn, maxRn) =
+        ranked.agg(sum(col("rn")), max(col("rn"))).collect()(0) match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+      // Σ 1..N exact — any boundary overlap/gap between range chunks,
+      // or (pid<<33) layout drift, shifts this sum
+      require(maxRn == nRank && sumRn == nRank * (nRank + 1) / 2,
+        s"globalRowNumber broke at $nRank rows: max=$maxRn sum=$sumRn")
+    }
+
+    // ---- 2. groupedCumSums: q215 two-weight KS histogram shape ----
+    val nCum = env("SCALE_CUM_ROWS", 20000000L)
+    val groups = 40L
+    measure("ScalableRank.groupedCumSums (q215/q208 shape)", nCum) {
+      val hist = spark.range(nCum).select(
+        concat(lit("src"), (col("id") % groups)).as("source"),
+        (col("id") / groups).as("v"),
+        ((col("id") * 31L) % 7L + 1L).as("c0"),
+        ((col("id") * 17L) % 5L + 1L).as("c1"))
+      val cum = ScalableRank.groupedCumSums(hist, Seq("source"), "v",
+        Seq("c0", "c1"), Seq("cum0", "cum1"), Seq("n0", "n1"))
+      // fixpoint: at each group's max v, cum == group total, both weights
+      val bad = cum.groupBy(col("source"))
+        .agg(max(struct(col("v"), col("cum0"), col("cum1"),
+          col("n0"), col("n1"))).as("top"))
+        .filter(col("top.cum0") =!= col("top.n0") ||
+          col("top.cum1") =!= col("top.n1"))
+        .count()
+      require(bad == 0, s"groupedCumSums fixpoint violated in $bad groups")
+    }
+
+    // ---- 3. MinHash LSH pairs over a ×reps salted corpus ----
+    val reps = env("SCALE_DOC_REPS", 100L)
+    val baseDocs = Tables(spark, sfDir, "documents").count()
+    measure(s"TextDedup.minhashPairs (q29 shape, ×$reps corpus)",
+        baseDocs * reps) {
+      // Replicas get a replica-specific salt token spliced after every
+      // 4th word, so cross-replica trigram Jaccard lands ~0.25 — below
+      // the LSH band threshold. A verbatim ×100 replication would make
+      // every replica family an all-pairs clique (quadratic output =
+      // wrong evidence); salting keeps the TRUE pair count linear in
+      // reps while the candidate join still fights 100× the shingle
+      // volume.
+      val scaled = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+        .withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          expr("replace(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ', " +
+            "'$1 zsaltz '), 'zsaltz', concat('z', rep, 'q'))").as("text"))
+      val nPairs = TextDedup.minhashPairsOf(spark, scaled, s"scale$reps").count()
+      require(nPairs > 0, "no candidate pairs at scale")
+      // linearity guard: salting kept replica families out of the
+      // band buckets — pair count stays O(reps), not O(reps²)
+      require(nPairs < baseDocs * reps * 20,
+        s"pair explosion: $nPairs pairs for ${baseDocs * reps} docs")
+      println(s"[scale] minhash pairs at ×$reps: $nPairs")
+    }
+
+    // ---- 4. Components: pointer doubling on chains + a 10k-way star ----
+    val nNodes = env("SCALE_GRAPH_NODES", 10000000L)
+    val block = 64L
+    val starHeads = 10000L
+    measure("Components.minLabel (q148 shape)", nNodes) {
+      // chains of `block` nodes (diameter stress) + a star joining the
+      // first 10k chain heads into one giant component (skew stress:
+      // one label value fans out to 640k nodes)
+      require(nNodes % block == 0, "node count must be a block multiple")
+      val heads = math.min(starHeads, nNodes / block) // clamp for tiny runs
+      val chain = spark.range(nNodes).filter((col("id") + 1) % block =!= 0)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val star = spark.range(heads)
+        .select(lit(0L).as("a"), (col("id") * block).as("b"))
+      val labels = Components.minLabel(chain.union(star), "a", "b")
+      val nComp = labels.select(countDistinct(col("lab"))).collect()(0).getLong(0)
+      val expected = nNodes / block - heads + 1
+      require(nComp == expected,
+        s"component count $nComp != expected $expected")
+    }
+
+    // ---- 5. Salted skew join: 70% hot key over 1000× volume ----
+    val nFact = env("SCALE_JOIN_ROWS", 100000000L)
+    val hotRows = nFact / 10 * 7
+    // q212's sizing rule, applied: S = hot-key rows / target task rows
+    val salts = math.max(8L, hotRows / 3000000L).min(64L)
+    measure(s"salted skew join (q212 shape, S=$salts)", nFact) {
+      val fact = spark.range(nFact).select(
+        when(col("id") % 10 < 7, lit(1L)).otherwise(col("id")).as("k"),
+        (col("id") % 50).as("qty"),
+        (col("id") % salts).cast("int").as("_salt"))
+      val dim = spark.range(1000000L).select(
+        when(col("id") % 10 < 7, lit(1L)).otherwise(col("id")).as("k"))
+        .groupBy(col("k")).agg((max(col("k")) % 5).as("prio"))
+        .withColumn("_salt",
+          explode(expr(s"transform(sequence(0, ${salts - 1}), x -> CAST(x AS INT))")))
+      val joined = fact.join(dim, Seq("k", "_salt"))
+        .groupBy(col("prio")).agg(count(lit(1)).as("n"), sum(col("qty")).as("q"))
+      val total = joined.agg(sum(col("n"))).collect()(0).getLong(0)
+      // exact cardinality: every hot row matches k=1; tail rows match
+      // iff id < 1e6 and id%10 in {7,8,9}
+      require(total == hotRows + 300000L,
+        s"salted join cardinality $total != ${hotRows + 300000L}")
+    }
+
+    println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")
+    println("|---|---|---|---|---|---|---|---|")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

@@ -51,7 +51,15 @@ object TextDedup {
     * exchange at all before the distinct.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    shinglesOf(t(s, d, "documents"))
+
+  /** Same pipeline over an arbitrary `(doc_id, text)` relation — the
+    * scale-evidence harness ([[graft.ScaleEvidence]]) feeds a
+    * replicated corpus through the REAL operator chain instead of a
+    * reimplementation, so the measured task balance is the shipped
+    * code's. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
       .filter(size(col("ws")) >= 3) // sequence(1,0) would count DOWN
@@ -92,9 +100,13 @@ object TextDedup {
     * exact partitioning the q28 pair self-join consumes next.
     */
   private def filteredShingles(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.getOrPersist(s, s"textdedup.shingles:$d") {
+    filteredShinglesOf(s, t(s, d, "documents"), d)
+
+  private[graft] def filteredShinglesOf(s: SparkSession, docs: DataFrame,
+      key: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"textdedup.shingles:$key") {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-      shingles(s, d)
+      shinglesOf(docs)
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxShingleDf)
         .select(col("doc_id"), col("shingle"))
@@ -169,8 +181,12 @@ object TextDedup {
     * cross-set probe a third time); without the persist each reader
     * recomputes the signature chain. */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$d") {
-      val sh = filteredShingles(s, d)
+    minhashBandsOf(s, t(s, d, "documents"), d)
+
+  private[graft] def minhashBandsOf(s: SparkSession, docs: DataFrame,
+      key: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$key") {
+      val sh = filteredShinglesOf(s, docs, key)
       val sig = sh.groupBy(col("doc_id")).agg(
         min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("h0"),
         (1 until 16).map(i =>
@@ -184,8 +200,12 @@ object TextDedup {
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     }
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d)
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(s, t(s, d, "documents"), d)
+
+  private[graft] def minhashPairsOf(s: SparkSession, docs: DataFrame,
+      key: String): DataFrame = {
+    val bands = minhashBandsOf(s, docs, key)
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     l.join(r, Seq("band", "bh"))
