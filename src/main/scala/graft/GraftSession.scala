@@ -56,6 +56,16 @@ object GraftSession {
       // skips the native-instance open/commit tax per store per batch.
       // The DEFAULT stays RocksDB — the only backend whose state
       // volume is bounded by disk, which is what survives 100 TB.
+      // A/B MEASURED (r8, interleaved passes, min of counted reps,
+      // BASELINE.md §I): q103 3.17 vs 2.71 s, q113 2.98 vs 2.82,
+      // q184 2.68 vs 2.90, q219 3.49 vs 3.53 (RocksDB vs HDFS) —
+      // within the ±0.5 s host-noise envelope, i.e. the native-store
+      // tax is NOT measurable at gate scale, while the StateProbe
+      // metrics show the structural difference the default buys:
+      // q219's join state lives in 21 MB of native/disk-bounded
+      // RocksDB memory vs 11 MB ON-HEAP (all versions) under HDFS,
+      // and changelog commit stays O(batch) (289 ms for a 77 k-put
+      // batch).
       .config("spark.sql.streaming.stateStore.providerClass",
         sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
