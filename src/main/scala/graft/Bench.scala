@@ -93,13 +93,27 @@ object Bench {
     // covered by the top-10 rule alone.
     val steady: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "tools/bench_steady.json")
+      // A missing/unreadable/empty steady file silently degrades the
+      // v3 retouch rule to top-10-only, so that degradation must be
+      // LOUD (stderr) and HONEST (the artifact's retouch_rule field
+      // below reflects the rule actually used, not the aspiration).
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        """"(q[^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        val m = """"(q[^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty } // absent file → top-10 only
+        if (m.isEmpty) System.err.println(
+          s"[bench] steady-state file $path parsed to 0 entries — retouch degrades to top-10 only")
+        m
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] steady-state file $path unreadable (${e.getClass.getSimpleName}) — " +
+              "retouch degrades to top-10 only")
+          Map.empty
+      }
     }
+    val retouchRule = if (steady.nonEmpty) "top10+2x_steady" else "top10_only"
     val top10 = firstPass.toSeq.sortBy(-_._2).take(10)
     val inflated = firstPass.toSeq.filter { case (name, t) =>
       t > 0.3 && steady.get(name).exists(s => t > 2 * s)
@@ -115,9 +129,14 @@ object Bench {
     // ADVICE: the old message claimed "keeping first-pass time" even
     // when the entry was in fact retouched).
     val retouched = retouchCandidates.flatMap { case (name, t0) =>
-      val again = timeReps(SparkEntry.queries(name), 3).drop(1)
+      // errors are collected from ALL retouch reps — including the
+      // discarded warm rep — mirroring the main pass's any-rep failure
+      // policy (r8 ADVICE: a state/init crash that reappears only on
+      // the retouch's first execution must not vanish with drop(1))
+      val againAll = timeReps(SparkEntry.queries(name), 3)
+      val again = againAll.drop(1)
       val ok = again.collect { case Right(t) => t }
-      val errs = again.collect { case Left(m) => m }
+      val errs = againAll.collect { case Left(m) => m }
       if (errs.nonEmpty && ok.isEmpty)
         System.err.println(
           s"[bench] retouch of $name failed (${errs.head}) — keeping first-pass time")
@@ -138,7 +157,7 @@ object Bench {
     // full-precision, full-name artifact → file (never truncated)
     val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       fmt(sorted.map { case (k, v) => k -> v.toString })
-      },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouch_rule":"top10+2x_steady","retouched":[${
+      },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouch_rule":"$retouchRule","retouched":[${
       retouch.map(r => "\"" + r._1 + "\"").mkString(",")}]},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileJson + "\n")

@@ -90,10 +90,16 @@ object ScaleEvidence {
     /** Run `action` under the listener, assert its invariant, report
       * the heaviest (by total shuffle-read rows) stage's balance. */
     def measure(path: String, inputRows: Long)(action: => Unit): Unit = {
+      // the listener bus is asynchronous — drain it both before the
+      // snapshot diff (so a prior path's late TaskEnd events can't
+      // bleed into this one) and after the action (so this path's own
+      // heaviest-stage aggregates are complete) (r8 ADVICE)
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
       val before = listener.snapshotIds
       val t0 = System.nanoTime()
       action
       val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
       val newAggs = {
         val ids = listener.snapshotIds -- before
         ids.toSeq.map(listener.stages.get(_)).filter(_ != null)

@@ -15,8 +15,10 @@ depth 0; the right operand is a single primary (number, possibly
 qualified identifier with optional call parens, or parenthesized
 expression, each with optional ::TYPE suffix).
 
-Validation is external: tools/validate_intdiv_sweep.py compares each
-rewritten oracle against its pre-sweep form frame-for-frame in DuckDB.
+Validation evidence: the committed sf0.1 correctness artifact
+(CORRECTNESS_SF01_LOCAL.json) was regenerated after the sweep with all
+three checkers green — every rewritten oracle reproduces its pre-sweep
+frame exactly under the driver-hash compare.
 """
 import re
 import sys
