@@ -142,14 +142,20 @@ object ScalableRank {
     // monotonically_increasing_id arithmetic, so this uses the other
     // in-place technique: sortWithinPartitions + a per-partition scan
     // that accumulates the weight and resets on group change. The scan
-    // is a narrow mapPartitions (row-at-a-time, off codegen) — the
-    // accepted price for removing a full shuffle of the input. Most
-    // callers feed value HISTOGRAMS (q130/q141/q208/q215); q105 feeds
-    // one row per document (its order key is the doc id, so rows
-    // can't collapse) and pays the per-row Row path on the corpus —
-    // still the right trade, because the alternative re-SHUFFLES that
-    // same corpus. Integer weights only: the gate's exactness policy,
-    // and what every caller feeds (counts / integer units).
+    // is a narrow mapPartitions over INTERNAL rows (r8 verdict #2: the
+    // original `df.rdd` formulation deserialized every field of every
+    // row into a boxed external Row and re-encoded it on the way back
+    // — measured 133 s for the 20M-row ScaleEvidence histogram; this
+    // Tungsten-format path does one UnsafeProjection + one row copy
+    // per row and no field boxing). Group-change detection projects
+    // the key columns into a reused UnsafeRow and binary-compares —
+    // an allocation only on an actual group boundary. Most callers
+    // feed value HISTOGRAMS (q130/q141/q208/q215); q105 feeds one row
+    // per document (its order key is the doc id, so rows can't
+    // collapse) and pays the per-row path on the corpus — still the
+    // right trade, because the alternative re-SHUFFLES that same
+    // corpus. Integer weights only: the gate's exactness policy, and
+    // what every caller feeds (counts / integer units).
     val ranged = df.repartitionByRange((gcols :+ ord): _*)
       .sortWithinPartitions((gcols :+ ord): _*)
       .withColumn("_srk_pid", spark_partition_id())
@@ -162,30 +168,44 @@ object ScalableRank {
     }
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val wIdx = weightCols.map(schema.fieldIndex).toArray
+    val wIsInt = wIdx.map(i =>
+      schema(i).dataType == org.apache.spark.sql.types.IntegerType)
     val cumSchema = weightCols.indices.foldLeft(schema) { (sc, i) =>
       sc.add(s"_srk_cum$i", org.apache.spark.sql.types.LongType,
         nullable = false)
     }
-    val cumRdd = ranged.rdd.mapPartitions { it =>
-      var curKey: Seq[Any] = null
-      val acc = new Array[Long](wIdx.length)
-      it.map { r =>
-        val k = gIdx.toSeq.map(r.get)
-        if (curKey == null || k != curKey) {
-          curKey = k; java.util.Arrays.fill(acc, 0L)
+    val cumRdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(ranged)
+      .mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+        val keyProj = UnsafeProjection.create(gIdx.map(i =>
+          BoundReference(i, schema(i).dataType, schema(i).nullable)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
+        val outProj = UnsafeProjection.create(cumSchema)
+        val acc = new Array[Long](wIdx.length)
+        val cumRow = new GenericInternalRow(wIdx.length)
+        val joined = new JoinedRow
+        var prevKey: UnsafeRow = null
+        it.map { r =>
+          val k = keyProj(r)
+          if (prevKey == null || k != prevKey) {
+            prevKey = k.copy(); java.util.Arrays.fill(acc, 0L)
+          }
+          var i = 0
+          while (i < wIdx.length) {
+            val idx = wIdx(i)
+            if (!r.isNullAt(idx))
+              acc(i) += (if (wIsInt(i)) r.getInt(idx).toLong else r.getLong(idx))
+            i += 1
+          }
+          var j = 0
+          while (j < acc.length) { cumRow.update(j, acc(j)); j += 1 }
+          // upstream iterators reuse their row buffers; the projected
+          // row is the projection's single reused buffer too — copy
+          // (one bounded memcpy) before handing the row downstream
+          outProj(joined(r, cumRow)).copy()
+            .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
         }
-        var i = 0
-        while (i < wIdx.length) {
-          acc(i) += (r.get(wIdx(i)) match {
-            case l: java.lang.Long    => l.longValue
-            case n: java.lang.Integer => n.longValue
-            case null                 => 0L
-          })
-          i += 1
-        }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ acc)
       }
-    }
     // ONE materialization feeds every branch below. This is load-
     // bearing for correctness, not just cost: range boundaries come
     // from sampling, so a second independent materialization could
@@ -194,7 +214,8 @@ object ScalableRank {
     // boundaries) is constructed once and every downstream job reuses
     // the registered map outputs — the RDD-level analogue of the
     // exchange reuse globalRowNumber `require`s.
-    val withCum = spark.createDataFrame(cumRdd, cumSchema)
+    val withCum = org.apache.spark.sql.graftbridge.Bridge
+      .internalCreateDataFrame(spark, cumRdd, cumSchema)
     // per-(partition, group) totals; cumulated per group in pid order.
     // O(partitions + groups) rows: range partitioning keeps each
     // partition on a contiguous (group, order) slice, so a partition

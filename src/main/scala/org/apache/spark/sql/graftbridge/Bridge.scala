@@ -35,6 +35,29 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** Executed physical plan of a DataFrame as `RDD[InternalRow]`
+    * (`QueryExecution.toRdd`). The UNBOXED analogue of `df.rdd`:
+    * no per-row InternalRow→Row conversion — rows stay in Tungsten
+    * binary format. CONTRACT: iterator rows may be reused by the
+    * upstream operator; a consumer that holds a row across `next()`
+    * (or emits something referencing its buffers into an operator
+    * that buffers) must copy. */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
+  /** `SparkSession.internalCreateDataFrame` (private[sql]): wrap an
+    * `RDD[InternalRow]` already in the given schema's binary layout
+    * back into a DataFrame WITHOUT a per-row encoder pass (the unboxed
+    * analogue of `createDataFrame(rdd, schema)`). */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** `Dataset.ofRows` (private[sql]): wrap a custom logical node back
     * into the public DataFrame surface. */
   def ofRows(
