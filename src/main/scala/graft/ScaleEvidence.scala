@@ -71,6 +71,23 @@ object ScaleEvidence {
     }
   }
 
+  /** The ×reps salt-perturbed replication of the real documents
+    * corpus (shared with [[MinhashProfile]]): replicas get a
+    * replica-specific salt token spliced after every 4th word, so
+    * cross-replica trigram Jaccard lands ~0.25 — below the LSH band
+    * threshold. A verbatim ×reps replication would make every replica
+    * family an all-pairs clique (quadratic output = wrong evidence);
+    * salting keeps the TRUE pair count linear in reps while the
+    * candidate join still fights reps× the shingle volume. */
+  private[graft] def saltedCorpus(spark: SparkSession, sfDir: String,
+      reps: Long): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+        expr("replace(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ', " +
+          "'$1 zsaltz '), 'zsaltz', concat('z', rep, 'q'))").as("text"))
+
   private def human(n: Long): String =
     if (n >= 1000000000L) f"${n / 1e9}%.2fG"
     else if (n >= 1000000L) f"${n / 1e6}%.2fM"
@@ -104,6 +121,15 @@ object ScaleEvidence {
         val ids = listener.snapshotIds -- before
         ids.toSeq.map(listener.stages.get(_)).filter(_ != null)
       }
+      // SCALE_DEBUG_STAGES=1: per-stage breakdown (name truncated to
+      // the callsite), for attributing which exchange dominates a path
+      if (sys.env.contains("SCALE_DEBUG_STAGES"))
+        newAggs.filter(_.shufRows > 0).sortBy(-_.shufRows).take(12).foreach { a =>
+          val mean = a.shufRows.toDouble / math.max(a.tasks, 1)
+          println(f"  [stage] ${a.name.take(90)}%-90s tasks=${a.tasks}%-4d " +
+            f"rows=${human(a.shufRows)}%-8s max=${human(a.shufRowsMax)}%-8s " +
+            f"ratio=${a.shufRowsMax / math.max(mean, 1.0)}%.2f")
+        }
       val heavy = newAggs.filter(_.shufRows > 0).sortBy(-_.shufRows).headOption
       val row = heavy match {
         case Some(a) =>
@@ -163,19 +189,7 @@ object ScaleEvidence {
     val baseDocs = Tables(spark, sfDir, "documents").count()
     measure(s"TextDedup.minhashPairs (q29 shape, ×$reps corpus)",
         baseDocs * reps) {
-      // Replicas get a replica-specific salt token spliced after every
-      // 4th word, so cross-replica trigram Jaccard lands ~0.25 — below
-      // the LSH band threshold. A verbatim ×100 replication would make
-      // every replica family an all-pairs clique (quadratic output =
-      // wrong evidence); salting keeps the TRUE pair count linear in
-      // reps while the candidate join still fights 100× the shingle
-      // volume.
-      val scaled = Tables(spark, sfDir, "documents")
-        .select(col("doc_id"), lower(col("text")).as("text"))
-        .withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
-        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
-          expr("replace(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ', " +
-            "'$1 zsaltz '), 'zsaltz', concat('z', rep, 'q'))").as("text"))
+      val scaled = saltedCorpus(spark, sfDir, reps)
       val nPairs = TextDedup.minhashPairsOf(spark, scaled, s"scale$reps").count()
       require(nPairs > 0, "no candidate pairs at scale")
       // linearity guard: salting kept replica families out of the
@@ -185,11 +199,30 @@ object ScaleEvidence {
       println(s"[scale] minhash pairs at ×$reps: $nPairs")
     }
 
-    // ---- 4. Components: pointer doubling on chains + a 10k-way star ----
+    // ---- 4. Components: pointer doubling on chains + a giant star ----
     val nNodes = env("SCALE_GRAPH_NODES", 10000000L)
     val block = 64L
-    val starHeads = 10000L
-    measure("Components.minLabel (q148 shape)", nNodes) {
+    // Default hub component = HALF the graph (r9: the r8 10k-head star
+    // produced a 640k-node hub — BELOW the per-task share at 10M
+    // nodes, so it never actually stressed the doubling join's skew;
+    // the 2.0 ratios the r8 table attributed to AQE's skew splitter
+    // were union-stage task heterogeneity, measured via
+    // SCALE_DEBUG_STAGES). nNodes/(2·block) heads ⇒ a 5M-node hub at
+    // the default volume: ~10× the ideal per-task share, so an
+    // unprotected shuffle join MUST funnel it through one task.
+    val starHeads = env("SCALE_STAR_HEADS", nNodes / (2 * block))
+    // Optional threshold override, forwarded to the operator conf —
+    // setting it absurdly high disables the hot-label broadcast path,
+    // reproducing the unprotected join for A/B evidence.
+    sys.env.get("SCALE_HOT_THRESHOLD").foreach(t =>
+      spark.conf.set("spark.graft.components.hotLabelThreshold", t))
+    // AQE's skew-join splitter is DISABLED for this path (restored
+    // after): the r8 measurement's 2.02 max/mean was AQE rescuing the
+    // star hub at runtime; the r9 hot-label split in Components must
+    // bound the worst task by plan shape alone, and measuring with
+    // the rescue off is the only way to prove it (r8 verdict #3).
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    measure("Components.minLabel (q148 shape, AQE skew-join OFF)", nNodes) {
       // chains of `block` nodes (diameter stress) + a star joining the
       // first 10k chain heads into one giant component (skew stress:
       // one label value fans out to 640k nodes)
@@ -205,6 +238,7 @@ object ScaleEvidence {
       require(nComp == expected,
         s"component count $nComp != expected $expected")
     }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     // ---- 5. Salted skew join: 70% hot key over 1000× volume ----
     val nFact = env("SCALE_JOIN_ROWS", 100000000L)

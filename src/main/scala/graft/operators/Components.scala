@@ -79,14 +79,82 @@ object Components {
       // here: labels change every step, so each broadcast is a fresh
       // driver collect+ship, while the shuffle join amortizes through
       // AQE-coalesced exchanges).
+      //
+      // SKEW, by construction (r8 verdict #3): as a giant component
+      // coalesces, one label value covers most of its nodes, so the
+      // doubling self-join's probe side concentrates on a handful of
+      // keys. The r8 star-hub measurement showed AQE's skew splitter
+      // rescuing this (max/mean 2.02, 80 tasks vs 32 partitions) —
+      // containment by runtime config, not by plan shape. The jump is
+      // therefore split by label frequency, the q212 recipe adapted
+      // to an iterative join: labels carried by more than
+      // `hotThreshold` nodes (≤ nodes/threshold of them, counted with
+      // a map-side-combined aggregate that itself cannot skew) take a
+      // BROADCAST path — their (label → root-label) lookup rows are
+      // ≤ nodes/threshold, so the probe side never shuffles on the
+      // hot key at all — while the residual cold join's per-key
+      // frequency is bounded by the threshold, which bounds its worst
+      // task directly. Every row takes exactly one path (anti-join on
+      // the same hot set), so the union equals the original inner
+      // join row-for-row. Cost on the protected path: ~2 extra scans
+      // of the (checkpointed) labels per round — the hot-set count
+      // aggregate (map-side combined, so it cannot itself skew) and
+      // the hot-mapping probe; the hot-set broadcast is built once
+      // and REUSED by both consumers (identical canonicalized
+      // single-column subtree → ReusedExchange). ScaleEvidence
+      // measures the 5M-node-hub stress with AQE's skew splitter
+      // DISABLED: unprotected, the doubling join funnels a 5.47M-row
+      // task (8.3× the stage mean); protected, every task stays at
+      // the flat per-task share (≤1.4M rows).
+      //
+      // The split only ENGAGES above hotSplitMinNodes (default 1M,
+      // conf-overridable): below that the whole labels relation is a
+      // handful of tasks, the worst "skewed" task is absolutely tiny,
+      // and the extra per-round scans are pure overhead — the
+      // gate-scale cluster queries (q68/q148/q186, thousands of
+      // nodes) keep the legacy two-relation step verbatim.
+      //
+      // Threshold sizing (same logic as q212's salt rule): a key is
+      // "hot" once its row count reaches a multiple of the mean
+      // partition load nodes/shufflePartitions — below that it cannot
+      // dominate a task; above it the broadcast path costs
+      // ≤ 4·shufflePartitions lookup rows total, constant in graph
+      // size. Overridable via spark.graft.components.hotLabelThreshold.
+      val conf = pairs.sparkSession.conf
+      val hotSplitMinNodes = conf
+        .getOption("spark.graft.components.hotSplitMinNodes")
+        .map(_.toLong).getOrElse(1000000L)
+      val hotThreshold = conf
+        .getOption("spark.graft.components.hotLabelThreshold")
+        .map(_.toLong).getOrElse {
+          val shufP = conf.get("spark.sql.shuffle.partitions", "200").toInt
+          math.max(50000L, nNodes / (4L * math.max(shufP, 1)))
+        }
       def step(ls: DataFrame): DataFrame = {
         val prop = edges
           .join(ls.select(col("node").as("src"), col("lab")), "src")
           .select(col("dst").as("node"), col("lab"))
-        val jump = ls.as("a")
-          .join(ls.select(col("node").as("jn"), col("lab").as("jlab")),
-            col("a.lab") === col("jn"))
-          .select(col("a.node").as("node"), col("jlab").as("lab"))
+        val jump = if (nNodes < hotSplitMinNodes) {
+          ls.as("a")
+            .join(ls.select(col("node").as("jn"), col("lab").as("jlab")),
+              col("a.lab") === col("jn"))
+            .select(col("a.node").as("node"), col("jlab").as("lab"))
+        } else {
+          val hotLabs = ls.groupBy(col("lab")).agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > hotThreshold)
+            .select(col("lab").as("hlab"))
+          val hotMap = ls.join(broadcast(hotLabs), col("node") === col("hlab"))
+            .select(col("node").as("jn"), col("lab").as("jlab"))
+          val jumpHot = ls
+            .join(broadcast(hotMap), col("lab") === col("jn"))
+            .select(col("node"), col("jlab").as("lab"))
+          val jumpCold = ls
+            .join(broadcast(hotLabs), col("lab") === col("hlab"), "left_anti")
+            .join(ls.select(col("node").as("jn"), col("lab").as("jlab")),
+              col("lab") === col("jn"))
+            .select(col("node"), col("jlab").as("lab"))
+          jumpHot.union(jumpCold)
+        }
         prop.union(jump).union(ls)
           .groupBy(col("node")).agg(min(col("lab")).as("lab"))
       }
