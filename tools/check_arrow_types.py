@@ -60,10 +60,31 @@ for name, sql in sorted(oracle.items()):
         continue
     gs = {f.name: norm(f.type) for f in got.schema}
     es = {f.name: norm(f.type) for f in exp.schema}
+    # Null-in-fragile-type guard (r9, from the TypeFixture roundtrip:
+    # tools/check_type_roundtrip.py): a NULL in a BOOL / DATE / LIST /
+    # STRUCT output column stringifies differently between the
+    # pandas-read Spark parquet ('None') and the duckdb .df() oracle
+    # ('nan' / 'NaT') — and a null anywhere in a struct's integer
+    # field floats the WHOLE field on the pandas side only. These
+    # columns are fine while null-free (18 gate queries emit them);
+    # the first data-dependent null would red the driver gate, so it
+    # reds HERE first with a rule pointer (docs/driver-gate.md).
+    nulls = []
+    for f in got.schema:
+        if (pa.types.is_boolean(f.type) or pa.types.is_date(f.type)
+                or pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                or pa.types.is_struct(f.type)):
+            if any(pq.read_table(fl, columns=[f.name])[f.name].null_count > 0
+                   for fl in files):
+                nulls.append(f.name)
     if gs != es:
         diff = {k: (gs.get(k), es.get(k))
                 for k in sorted(set(gs) | set(es)) if gs.get(k) != es.get(k)}
         print(f"TYPE {name}: spark vs oracle {diff}")
+        fails += 1
+    elif nulls:
+        print(f"NULL {name}: null in fragile-typed column(s) {nulls} — "
+              "coalesce before the final projection (docs/driver-gate.md)")
         fails += 1
     else:
         print(f"ok   {name}")
