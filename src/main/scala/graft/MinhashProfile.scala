@@ -11,10 +11,18 @@ import graft.operators.TextDedup
   * exploiting the chain's own CacheRegistry persists so each
   * measurement isolates the NEW work of its stage:
   *
-  *   A  shingle explode + distinct            (nothing cached yet)
-  *   B  + df-cap window                       (re-runs A's chain; B−A = window cost)
-  *   C  16-hash signature agg + band explode  (reads B's persisted relation)
-  *   D  band self-join + pair distinct        (reads C's persisted relation)
+  *   A  shingle explode (+ in-row dedup)       (nothing cached yet)
+  *   B  + df-cap window                        (re-runs A's chain; B−A = window cost)
+  *   C  16-hash signature agg + band explode   (reads B's persisted relation)
+  *   D  band self-join + pair distinct         (reads C's persisted relation)
+  *
+  * The host is NOISY (single-shot stage timings observed swinging
+  * 3×+ between consecutive runs, including a physically impossible
+  * B < A), so the profile applies the bench protocol: each full
+  * chain runs `SCALE_PROFILE_REPS` times (default 3, persists cleared
+  * between reps after a discarded JIT warm pass) and the reported
+  * share per stage is the MIN across reps — the least-interfered
+  * observation, the same estimator Bench.scala uses.
   *
   * `runMain graft.MinhashProfile` — volumes via SCALE_DOC_REPS
   * (default 100), data via SPARK_GRAFT_SF_DIR.
@@ -25,31 +33,45 @@ object MinhashProfile {
     val spark: SparkSession = GraftSession.build(s"local[$cpus]", cpus.toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.get("SCALE_DOC_REPS").map(_.toLong).getOrElse(100L)
+    val profileReps = sys.env.get("SCALE_PROFILE_REPS").map(_.toInt).getOrElse(3)
     // JIT/codegen warm pass at ×1 (the bench methodology): stage
     // deltas at ×reps must measure data volume, not first-run codegen
     TextDedup.minhashPairsOf(spark,
       ScaleEvidence.saltedCorpus(spark, sfDir, 1), "profwarm").count()
     CacheRegistry.clear(spark)
 
-    val scaled = ScaleEvidence.saltedCorpus(spark, sfDir, reps)
-    val key = s"prof$reps"
-    def time(label: String)(a: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = a
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[minhash-profile] $label%-40s $secs%8.1f s  (rows=$n)")
-      secs
+    val stages = Seq("A shingles explode (in-row dedup)",
+      "B filtered shingles (A + df window)",
+      "C signature agg + band explode",
+      "D band self-join + pair distinct")
+    val best = Array.fill(stages.size)(Double.MaxValue)
+    val rows = Array.fill(stages.size)(0L)
+
+    for (rep <- 1 to profileReps) {
+      val scaled = ScaleEvidence.saltedCorpus(spark, sfDir, reps)
+      val key = s"prof$reps-$rep" // fresh memo key => fresh persists
+      def time(i: Int)(a: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = a
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[minhash-profile] rep$rep ${stages(i)}%-38s $secs%8.1f s  (rows=$n)")
+        if (secs < best(i)) best(i) = secs
+        rows(i) = n
+      }
+      time(0)(TextDedup.shinglesOf(scaled).count())
+      time(1)(TextDedup.filteredShinglesOf(spark, scaled, key).count())
+      time(2)(TextDedup.minhashBandsOf(spark, scaled, key).count())
+      time(3)(TextDedup.minhashPairsOf(spark, scaled, key).count())
+      CacheRegistry.clear(spark)
     }
-    val tA = time("A shingles explode+distinct")(
-      TextDedup.shinglesOf(scaled).count())
-    val tB = time("B filtered shingles (A + df window)")(
-      TextDedup.filteredShinglesOf(spark, scaled, key).count())
-    val tC = time("C signature agg + band explode")(
-      TextDedup.minhashBandsOf(spark, scaled, key).count())
-    val tD = time("D band self-join + pair distinct")(
-      TextDedup.minhashPairsOf(spark, scaled, key).count())
-    println(f"[minhash-profile] stage shares: A=$tA%.1f  window=${tB - tA}%.1f " +
-      f"sig+bands=$tC%.1f  join=$tD%.1f  (sum=${tA + tB + tC + tD}%.1f)")
+
+    println(f"[minhash-profile] MIN of $profileReps reps at ×$reps:")
+    stages.indices.foreach { i =>
+      println(f"[minhash-profile]   ${stages(i)}%-38s ${best(i)}%8.1f s  (rows=${rows(i)})")
+    }
+    println(f"[minhash-profile] stage shares (min): A=${best(0)}%.1f " +
+      f"window=${best(1) - best(0)}%.1f sig+bands=${best(2)}%.1f " +
+      f"join=${best(3)}%.1f  chain(B+C+D)=${best(1) + best(2) + best(3)}%.1f")
     spark.stop()
   }
 }

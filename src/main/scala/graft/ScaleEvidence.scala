@@ -4,12 +4,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, S
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, ScalableRank, TextDedup}
+import graft.operators.{Components, ScalableRank, Similarity, TextDedup}
 
-/** Measured (not argued) scale evidence for the five scale-critical
-  * primitives (r7 verdict #5): feed each one 50–2000× the sf0.1 input
-  * volume it normally sees and record, from real task metrics, whether
-  * any task absorbs a super-linear share of the work.
+/** Measured (not argued) scale evidence for the scale-critical
+  * primitives (r7 verdict #5; five batch paths, plus the q223 banded
+  * embedding near-dup added in r9): feed each one 50–2000× the sf0.1
+  * input volume it normally sees and record, from real task metrics,
+  * whether any task absorbs a super-linear share of the work.
   *
   * `runMain graft.ScaleEvidence` prints one markdown row per path:
   * input rows, wall time, and for the heaviest shuffle stage of the
@@ -34,6 +35,8 @@ import graft.operators.{Components, ScalableRank, TextDedup}
   *   SCALE_DOC_REPS     (default 100)          — MinHash corpus ×reps
   *   SCALE_GRAPH_NODES  (default  10 000 000)  — components
   *   SCALE_JOIN_ROWS    (default 100 000 000)  — salted join fact side
+  *   SCALE_EMB_REPS     (default 100)          — q223 embedding corpus ×reps
+  *   SCALE_HOT_VECS     (default 2000)         — q223 degenerate-orthant size
   */
 object ScaleEvidence {
 
@@ -87,6 +90,36 @@ object ScaleEvidence {
       .select((col("doc_id") * reps + col("rep")).as("doc_id"),
         expr("replace(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ', " +
           "'$1 zsaltz '), 'zsaltz', concat('z', rep, 'q'))").as("text"))
+
+  /** ×reps embedding corpus for the q223 path. Replica r applies a
+    * deterministic per-(rep, dim) sign flip (parity of xxhash64):
+    * flips are isometries, so WITHIN a replica the base corpus's pair
+    * structure (cosines, band collisions) is preserved exactly, while
+    * ACROSS replicas vectors decorrelate (each dim keeps/flips
+    * independently w.p. ½ → cross-replica cosine ≈ 0, band bits
+    * scrambled) — the true pair count stays O(reps), the same
+    * no-degenerate-clique discipline as [[saltedCorpus]]. On top:
+    *   - `clones` bit-identical copies of replica-0 vectors under a
+    *     disjoint id space (+1e9) — the recall invariant: each MUST
+    *     surface as a cos_sim=1.0 pair (collides in all 4 bands);
+    *   - `hotVecs` all-positive vectors under NEGATIVE ids — one
+    *     degenerate orthant sharing a single bucket per band; the
+    *     occupancy-cap invariant requires zero hot-hot pairs. */
+  private[graft] def scaledEmbeddings(spark: SparkSession, sfDir: String,
+      reps: Long, clones: Long, hotVecs: Long): DataFrame = {
+    val base = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val rep = base.withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN pmod(xxhash64(rep, i), 2) = 0" +
+          " THEN x ELSE CAST(-x AS FLOAT) END)").as("embedding"))
+    val cl = rep.filter(col("vec_id") % reps === 0 && col("vec_id") / reps < clones)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+    val hot = spark.range(hotVecs).select((-col("id") - 1).as("vec_id"),
+      expr("transform(sequence(0, 63), k -> " +
+        "CAST(1.0 + pmod(id * (k + 3), 97) / 46.0 AS FLOAT))").as("embedding"))
+    rep.union(cl).union(hot)
+  }
 
   private def human(n: Long): String =
     if (n >= 1000000000L) f"${n / 1e9}%.2fG"
@@ -223,9 +256,10 @@ object ScaleEvidence {
     // the rescue off is the only way to prove it (r8 verdict #3).
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     measure("Components.minLabel (q148 shape, AQE skew-join OFF)", nNodes) {
-      // chains of `block` nodes (diameter stress) + a star joining the
-      // first 10k chain heads into one giant component (skew stress:
-      // one label value fans out to 640k nodes)
+      // chains of `block` nodes (diameter stress) + a star joining
+      // `starHeads` chain heads into one giant component (skew stress:
+      // at the default, one label value carries HALF the graph — ~10×
+      // the flat per-task share, far beyond what task-count luck hides)
       require(nNodes % block == 0, "node count must be a block multiple")
       val heads = math.min(starHeads, nNodes / block) // clamp for tiny runs
       val chain = spark.range(nNodes).filter((col("id") + 1) % block =!= 0)
@@ -262,6 +296,37 @@ object ScaleEvidence {
       // iff id < 1e6 and id%10 in {7,8,9}
       require(total == hotRows + 300000L,
         s"salted join cardinality $total != ${hotRows + 300000L}")
+    }
+
+    // ---- 6. Banded embedding near-dup (q223) over ×reps vectors ----
+    val embReps = env("SCALE_EMB_REPS", 100L)
+    val baseEmb = Tables(spark, sfDir, "embeddings").count()
+    val clones = 500L
+    val hotVecs = env("SCALE_HOT_VECS", 2000L)
+    measure(s"Similarity.bandNeardupOf (q223 shape, ×$embReps vectors)",
+        baseEmb * embReps + clones + hotVecs) {
+      val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
+      val pairs = Similarity.bandNeardupOf(scaled)
+      val r = pairs.agg(count(lit(1)).as("n"),
+        sum(when(col("cos_sim") >= lit(1.0), 1L).otherwise(0L)).as("exact"),
+        sum(when(col("vec_a") < 0 && col("vec_b") < 0, 1L).otherwise(0L))
+          .as("hotPairs")).collect()(0)
+      val (nPairs, exact, hotPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // recall invariant: every planted clone is bit-identical to its
+      // source, so it collides in ALL four bands and must surface with
+      // cos_sim exactly 1.0 — any band-hash/cap/verify bug drops it
+      require(exact >= clones, s"planted-clone recall broken: $exact < $clones")
+      // cap invariant: the degenerate all-positive orthant (hotVecs
+      // vectors in ONE bucket per band) must be excluded from pair
+      // generation by the occupancy cap — without it the join would
+      // evaluate hotVecs²/2 ≈ 2M extra cosine pairs here and N²/2 at
+      // any real scale. Hot ids are negative, so hot-hot pairs count
+      // directly.
+      require(hotPairs == 0, s"occupancy cap failed: $hotPairs hot-orthant pairs")
+      // linearity: flips decorrelate replicas, so output stays O(reps)
+      require(nPairs < (baseEmb * embReps + clones) * 20,
+        s"pair explosion: $nPairs pairs for ${baseEmb * embReps} vectors")
+      println(s"[scale] band near-dup pairs at ×$embReps: $nPairs ($exact exact)")
     }
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")

@@ -130,9 +130,13 @@ object Analytics2 {
     "q125_inverted_index" -> ((s, d) => {
       val td = t(s, d, "documents")
         .select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          // in-row dedup (key = (doc_id, term), doc_id fixed per row):
+          // array_distinct before the explode replaces a full-corpus
+          // post-explode .distinct() exchange; the groupBy(term) below
+          // is then the relation's ONLY shuffle
+          explode(array_distinct(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))))
             .as("term"))
-        .distinct()
       td.groupBy(col("term"))
         .agg(count(lit(1)).as("df"),
           expr("array_join(transform(slice(array_sort(collect_list(doc_id))," +

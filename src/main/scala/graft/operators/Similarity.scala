@@ -54,6 +54,69 @@ object Similarity {
       s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)")
 
+  /** q223's 16-bit sign band `b` (0..3) over dims 16b..16b+15 —
+    * 0-based Spark indexing; the oracle twin adds 1. */
+  private def bandBitsSpark(b: Int): Column =
+    expr((0 until 16).map { j =>
+      s"(CASE WHEN embedding[${b * 16 + j}] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)"))
+
+  private def bandBitsDuck(b: Int): String =
+    (0 until 16).map { j =>
+      s"(CASE WHEN embedding[${b * 16 + j + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)")
+
+  /** Max members of a (band, bits) bucket that still participate in
+    * pair generation — the embedding twin of the MinHash chain's
+    * [[graft.operators.TextDedup]] df cap. A bucket of n vectors
+    * yields n²/2 candidate pairs, so ONE sign-degenerate region (all
+    * vectors pointing into the same orthant — common for normalized
+    * embeddings of a dominant topic) would make the band join
+    * quadratic at scale. Members of over-dense buckets are
+    * near-constant-DIRECTION clusters; pair-level dedup inside them
+    * belongs to the IVF/centroid path (q62), not an LSH bucket join.
+    * At gate SFs occupancy is 0–3 (5k vectors over 2^16 buckets/band)
+    * so the cap never binds; at ×100 volume ScaleEvidence plants a
+    * degenerate hot orthant and asserts the cap bounds the join.
+    */
+  private val MaxBandOccupancy = 200
+
+  /** Banded (4 × 16-bit sign-LSH) embedding near-dup pairs with the
+    * exact verified cosine — q223, parameterized over the embedding
+    * relation so [[graft.ScaleEvidence]] drives the SHIPPED chain at
+    * ×100 volume. Plan: one scan → 4 band rows/vector → occupancy cap
+    * (one window count over (band, bits) — same single-exchange shape
+    * as the MinHash df cap, and it leaves the relation partitioned
+    * exactly as the self-join consumes it) → hash equi-join on
+    * (band, bits) with 2^16 buckets per band, per-bucket fan-out
+    * bounded by [[MaxBandOccupancy]]² → distinct pairs → two
+    * vec_id-keyed hash joins for the exact-cosine verify. No stage is
+    * driver-resident (measured: ScaleEvidence path 6).
+    */
+  private[graft] def bandNeardupOf(emb: DataFrame): DataFrame = {
+    val bands = emb.select(col("vec_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"), bandBitsSpark(b).as("bits"))
+    }: _*)).as("p"))
+      .select(col("vec_id"), col("p.band").as("band"), col("p.bits").as("bits"))
+    val w = Window.partitionBy(col("band"), col("bits"))
+    val kept = bands.withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") <= MaxBandOccupancy)
+      .select(col("vec_id"), col("band"), col("bits"))
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.withColumn("nrm", vec_norm(col("embedding")))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+        col("nrm").as("qn")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
+        col("nrm").as("cn")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine("qv", "cv", "qn", "cn"), 4).as("cos_sim"))
+  }
+
   /** Lloyd's k-means over the embedding column — the IVF
     * coarse-quantizer build. Deterministic: init from the first k
     * vec_ids, fixed iteration count, ties broken by centroid id.
@@ -192,6 +255,24 @@ object Similarity {
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos_sim"))
     }),
+
+    // q223: banded embedding near-dup — the SCALE-CORRECT variant of
+    // q37's blocking. q37 hashes into a FIXED 16 buckets (4 sign
+    // bits), so its candidate join grows as N²/32 — fine at gate SFs,
+    // dead at 100 TB. Here the full 64-dim sign signature is split
+    // MinHash-style into 4 bands × 16 bits: candidates must agree on
+    // all 16 bits of SOME band, giving 2^16 buckets per band table —
+    // expected in-bucket occupancy N/65536 per band, so the join
+    // output stays near-linear four orders of magnitude longer, while
+    // exact duplicates still collide in EVERY band by construction
+    // (recall 1.0 for cos=1 pairs; ~0.93 at cos 0.99, the LSH
+    // s-curve). Emits every band-colliding pair with its exact
+    // verified cosine (no threshold — the verify stage IS the
+    // output; callers cut at their own similarity bar). Measured at
+    // ×100 corpus volume with a planted-duplicate recall invariant in
+    // [[graft.ScaleEvidence]].
+    "q223_emb_band_neardup" -> ((s, d) =>
+      bandNeardupOf(t(s, d, "embeddings"))),
 
     // q62: the IVF search path end-to-end, fully oracled — with the
     // `label` column standing in as the coarse partition (cells).
@@ -528,6 +609,24 @@ object Similarity {
            | JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) b(vec_id, cv, bucket)
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |WHERE cos_sim >= 0.4""".stripMargin
+      },
+
+      "q223_emb_band_neardup" -> {
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT vec_id, $b AS band, ${bandBitsDuck(b)} AS bits FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH bands AS ($bandSelects),
+           |keep AS (SELECT band, bits FROM bands GROUP BY band, bits
+           |  HAVING count(*) <= 200),
+           |kb AS (SELECT b.vec_id, b.band, b.bits FROM bands b
+           |  JOIN keep USING (band, bits)),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM kb x JOIN kb y
+           |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id)
+           |SELECT vec_a, vec_b, $cosSql AS cos_sim
+           |FROM cand
+           |JOIN (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings) a USING (vec_a)
+           |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin
       },
 
       "q62_ivf_search" ->

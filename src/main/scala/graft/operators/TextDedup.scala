@@ -46,9 +46,19 @@ object TextDedup {
     * round 2 (ShingleProbe, sf0.1): the window form costs ~3.1 s
     * (explode to 270 k rows + shuffle + per-doc sort) vs ~0.6 s for
     * the transform form, because the lambda runs over a few hundred
-    * in-memory tokens per row and never shuffles. At 100 TB the
-    * transform also wins: shingling becomes a pure map stage with no
-    * exchange at all before the distinct.
+    * in-memory tokens per row and never shuffles.
+    *
+    * Dedup is in-row too (round 9): the dedup key is (doc_id,
+    * shingle) and doc_id is constant within a row, so
+    * `array_distinct` BEFORE the explode produces the identical
+    * relation to the old post-explode `.distinct()` — without the
+    * full hash exchange of the pipeline's largest relation.
+    * MinhashProfile at ×100 corpus (32M shingle rows) measured the
+    * post-explode distinct at 112.9 s, the single most expensive
+    * stage of the whole near-dup chain; in-row dedup makes shingling
+    * a pure map stage with ZERO exchange, fusing it into whichever
+    * shuffle the consumer needs next (the df-cap window's by-shingle
+    * exchange, SCALE.md §10).
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(t(s, d, "documents"))
@@ -64,9 +74,9 @@ object TextDedup {
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
       .filter(size(col("ws")) >= 3) // sequence(1,0) would count DOWN
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))"))
         .as("shingle"))
-      .distinct()
 
   /** Same relation in DuckDB SQL (1-based list indexing). Shared with
     * the streaming incremental-dedup oracle (StreamingParity q82). */
@@ -653,10 +663,12 @@ object TextDedup {
           regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
         .filter(size(col("ws")) >= 8)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws)-7), i -> concat_ws(' ', " +
-            "ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6]))"))
+          // in-row dedup: the key is (doc_id, gram) and doc_id is
+          // fixed per row, so array_distinct == post-explode distinct
+          // minus the exchange (same reasoning as shinglesOf)
+          "array_distinct(transform(sequence(1, size(ws)-7), i -> concat_ws(' ', " +
+            "ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6])))"))
           .as("gram"))
-        .distinct()
       val bench = grams.filter(col("doc_id") % 10 === 7)
         .select(col("gram")).distinct()
       grams.filter(col("doc_id") % 10 =!= 7)

@@ -573,6 +573,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"read $filesRead of $allFiles fact files — DPP did not prune")
   }
 
+  test("shingle relation costs exactly one exchange (in-row dedup, no distinct shuffle)") {
+    // r9: the post-explode .distinct() was replaced by an in-row
+    // array_distinct (the dedup key (doc_id, shingle) has doc_id
+    // constant per row), deleting a full hash exchange of the
+    // pipeline's largest relation. This pins the plan shape: the only
+    // shuffle left is the df-cap window's by-shingle exchange.
+    val df = operators.TextDedup.filteredShinglesOf(
+      spark, graft.Tables(spark, sf, "documents"), s"planquality-${System.nanoTime()}")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the plan dump repeats the one exchange (AQE initial+final plans,
+    // nested again under InMemoryRelation) — assert on the KEY SET:
+    // the old distinct shuffle was keyed (doc_id, shingle), so any
+    // regression surfaces as a "doc_id" entry
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges == Set("shingle"),
+      s"expected only the window's shingle exchange, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString

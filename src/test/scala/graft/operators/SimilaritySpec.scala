@@ -169,4 +169,49 @@ class SimilaritySpec extends AnyFunSuite {
       assert(satVecs <= n && satDims >= satVecs)
     }
   }
+
+  // ---- q223: banded embedding near-dup ----
+
+  private def embDf(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("q223 finds an exact clone with cos_sim 1.0 and skips band-disjoint vectors") {
+    // a: alternating signs; b: bit-identical clone; c: one sign flip
+    // inside EVERY 16-dim band, so it shares no band bucket with a/b
+    val a = Array.tabulate(64)(k => if (k % 2 == 0) 1.0f + k else -1.0f - k)
+    val c = a.clone()
+    Seq(0, 16, 32, 48).foreach(k => c(k) = -c(k))
+    val out = Similarity.bandNeardupOf(
+      embDf(Seq(1L -> a, 2L -> a.clone(), 3L -> c))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vec_a") == 1L &&
+      out.head.getAs[Long]("vec_b") == 2L)
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("q223 occupancy cap drops a degenerate orthant but keeps normal pairs") {
+    // 250 all-positive vectors (> MaxBandOccupancy=200) share every
+    // band bucket — the cap must exclude ALL of them from pair
+    // generation, while a clone pair in a mixed-sign orthant survives
+    val hot = (0 until 250).map { i =>
+      (100L + i) -> Array.tabulate(64)(k => 1.0f + ((i * 7 + k) % 13))
+    }
+    val base = Array.tabulate(64)(k => if (k % 3 == 0) -2.0f - k else 1.5f + k)
+    val out = Similarity.bandNeardupOf(
+      embDf(hot ++ Seq(1L -> base, 2L -> base.clone()))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vec_a") == 1L &&
+      out.head.getAs[Long]("vec_b") == 2L)
+  }
+
+  test("q223 on the gate table emits ordered pairs with verified cosine in range") {
+    val rows = q("q223_emb_band_neardup").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val cs = r.getAs[Double]("cos_sim")
+      assert(cs >= -1.0001 && cs <= 1.0001)
+    }
+  }
 }
