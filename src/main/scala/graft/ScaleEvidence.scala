@@ -37,6 +37,8 @@ import graft.operators.{Components, ScalableRank, Similarity, TextDedup}
   *   SCALE_JOIN_ROWS    (default 100 000 000)  — salted join fact side
   *   SCALE_EMB_REPS     (default 100)          — q223 embedding corpus ×reps
   *   SCALE_HOT_VECS     (default 2000)         — q223 degenerate-orthant size
+  *   SCALE_MEDIA_REPS   (default 100)          — q147 media corpus ×reps
+  *   SCALE_TEXTURE_VECS (default 5000)         — q147 identical-texture family size
   */
 object ScaleEvidence {
 
@@ -119,6 +121,45 @@ object ScaleEvidence {
       expr("transform(sequence(0, 63), k -> " +
         "CAST(1.0 + pmod(id * (k + 3), 97) / 46.0 AS FLOAT))").as("embedding"))
     rep.union(cl).union(hot)
+  }
+
+  /** ×reps media corpus for the q147 path. Replica payloads are
+    * REGENERATED from md5 chains keyed by (text, rep) — appending a
+    * salt would not do: the bigram-histogram sketch is
+    * alignment-robust by design, so a suffix-salted replica keeps its
+    * source's signature and every family becomes a hamming-0 clique.
+    * md5 regeneration decorrelates sketches across replicas while
+    * keeping everything deterministic. On top:
+    *   - `clones` bit-identical copies of replica-0 payloads under a
+    *     disjoint id space (+1e9) — recall invariant (hamming 0,
+    *     found via all four equal bands);
+    *   - `texture` media under NEGATIVE ids sharing ONE constant
+    *     payload — a degenerate identical-texture family whose bucket
+    *     the occupancy cap must exclude (zero texture-texture pairs;
+    *     such families belong to exact checksum dedup (q27 shape),
+    *     not LSH candidate generation). */
+  private[graft] def scaledMedia(spark: SparkSession, sfDir: String,
+      reps: Long, clones: Long, texture: Long)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val rep = base.withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .select((col("doc_id") * reps + col("rep")).as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        expr("CAST(concat(md5(concat(text, '|', rep)), md5(concat(text, '#', rep)), " +
+          "md5(concat(rep, '~', text)), md5(concat('x', text, rep))) AS BINARY)")
+          .as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("source", lit("scale"))
+    val cl = rep.filter(col("media_id") % reps === 0 &&
+        col("media_id") / reps < clones)
+      .withColumn("media_id", col("media_id") + 1000000000L)
+    val tex = spark.range(texture).select((-col("id") - 1).as("media_id"),
+      lit("image").as("media_type"),
+      expr("CAST(repeat('texturetexture12', 8) AS BINARY)").as("payload"),
+      lit(128L).as("n_bytes"), lit("texture").as("source"))
+    rep.union(cl).union(tex).as[graft.multimodal.Multimodal.MediaRecord]
   }
 
   private def human(n: Long): String =
@@ -327,6 +368,34 @@ object ScaleEvidence {
       require(nPairs < (baseEmb * embReps + clones) * 20,
         s"pair explosion: $nPairs pairs for ${baseEmb * embReps} vectors")
       println(s"[scale] band near-dup pairs at ×$embReps: $nPairs ($exact exact)")
+    }
+
+    // ---- 7. Media fingerprint near-dup (q147) over ×reps media ----
+    val mediaReps = env("SCALE_MEDIA_REPS", 100L)
+    val mediaClones = 500L
+    val textureN = env("SCALE_TEXTURE_VECS", 5000L)
+    val baseMedia = Tables(spark, sfDir, "documents").count()
+    measure(s"Multimodal.fingerprintPairsOf (q147 shape, ×$mediaReps media)",
+        baseMedia * mediaReps + mediaClones + textureN) {
+      val scaled = scaledMedia(spark, sfDir, mediaReps, mediaClones, textureN)
+      val pairs = graft.multimodal.Multimodal.fingerprintPairsOf(scaled)
+      val r = pairs.agg(count(lit(1)).as("n"),
+        sum(when(col("id_b") - col("id_a") === 1000000000L &&
+          col("hamming") === 0L, 1L).otherwise(0L)).as("found"),
+        sum(when(col("id_a") < 0 && col("id_b") < 0, 1L).otherwise(0L))
+          .as("texPairs")).collect()(0)
+      val (nPairs, found, texPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // recall: every planted clone is payload-identical to its source
+      // (hamming 0, all four bands equal) and MUST surface
+      require(found >= mediaClones,
+        s"planted-clone recall broken: $found < $mediaClones")
+      // cap: the identical-texture family shares one bucket per band
+      // (occupancy $textureN >> 1000) — candidate generation must
+      // exclude it, else this one family costs texture²/2 join rows
+      require(texPairs == 0, s"occupancy cap failed: $texPairs texture pairs")
+      require(nPairs < (baseMedia * mediaReps + mediaClones) * 20,
+        s"pair explosion: $nPairs pairs for ${baseMedia * mediaReps} media")
+      println(s"[scale] fingerprint pairs at ×$mediaReps: $nPairs ($found clones)")
     }
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")

@@ -209,15 +209,35 @@ object Multimodal {
     }
   }
 
+  /** Max members of a (band, value) bucket that still participate in
+    * candidate generation. MEASURED need, not hypothetical: at sf0.1
+    * the top band value already holds 696 of 4,876 media (these
+    * bigram-histogram sketch bands are far more biased than a uniform
+    * hash — common background texture shares band values), producing
+    * 1.1M candidate rows for 4,876 inputs; at ×100 corpus that ONE
+    * bucket would contribute ~2.4G join rows. The cap is loss-bounded
+    * by pigeonhole: hamming ≤ 3 over 4 bands means ≥1 band is EXACTLY
+    * equal, and ≥2 differing-band splits leave another equal band to
+    * rediscover the pair, so only pairs whose sole equal band is an
+    * over-dense value are dropped — precisely the low-information
+    * "generic texture" matches. Chosen above the gate-scale maximum
+    * (696) so gate outputs are unchanged; ScaleEvidence path 7
+    * exercises the binding case at ×100 with a planted-clone recall
+    * invariant.
+    */
+  private val MaxFpBandOccupancy = 1000
+
   /** Near-dup pairs from [[fingerprintSignatures]]. Candidates come
     * from a band equi-join (any of the 4 16-bit bands equal), NEVER
     * all-pairs; both full signatures ride along on the exploded band
     * rows, so the Hamming distance is computed inline on the join
     * output and the only other exchange is the final pair distinct.
     * Matching in k bands yields k identical rows → distinct. At
-    * 100 TB: shuffle keyed on (band, value); a near-constant band
-    * value across a corpus (a skew hot key) is AQE-split, and
-    * candidate volume is bounded by band-bucket sizes like q29/q83.
+    * 100 TB: shuffle keyed on (band, value), per-bucket fan-out
+    * bounded by [[MaxFpBandOccupancy]]² (one window count over the
+    * join key — the same single-exchange guard as the MinHash df cap
+    * and the q223 occupancy cap, and it leaves the relation
+    * partitioned exactly as the self-join consumes it).
     */
   /** [[fingerprintPairs]] persisted through [[graft.CacheRegistry]]:
     * q147 (the pair listing) and q148 (the purge manifest, which
@@ -231,14 +251,25 @@ object Multimodal {
       fingerprintPairs(s, d)
     }
 
-  def fingerprintPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = fingerprintSignatures(mediaTable(s, d)).toDF()
+  def fingerprintPairs(s: SparkSession, d: String): DataFrame =
+    fingerprintPairsOf(mediaTable(s, d))
+
+  /** Same pipeline over an arbitrary media relation — the
+    * scale-evidence harness drives the SHIPPED chain at ×100 volume
+    * instead of a reimplementation. */
+  private[graft] def fingerprintPairsOf(media: Dataset[MediaRecord]): DataFrame = {
+    val sigs = fingerprintSignatures(media).toDF()
     val bands = sigs.select(col("media_id"), col("b0"), col("b1"),
       col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "bv")))
-    bands.as("a")
-      .join(bands.as("b"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val kept = bands.withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") <= MaxFpBandOccupancy)
+      .drop("occ")
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
@@ -416,9 +447,16 @@ object Multimodal {
       |         coalesce(max(CASE WHEN band = 2 THEN bv END), 0) AS b2,
       |         coalesce(max(CASE WHEN band = 3 THEN bv END), 0) AS b3
       |  FROM bands GROUP BY 1),
+      |-- occupancy cap (mirror of MaxFpBandOccupancy): over-dense band
+      |-- values are excluded from candidate generation on BOTH sides;
+      |-- never binds at gate scale (max occupancy 696 at sf0.1)
+      |keep AS (SELECT band, bv FROM bands GROUP BY band, bv
+      |  HAVING count(*) <= 1000),
+      |kb AS (SELECT b.media_id, b.band, b.bv FROM bands b
+      |  JOIN keep USING (band, bv)),
       |cand AS (
       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-      |  FROM bands a JOIN bands b
+      |  FROM kb a JOIN kb b
       |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
       |pairs AS MATERIALIZED (
       |  SELECT * FROM (
