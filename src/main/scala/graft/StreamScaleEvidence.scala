@@ -4,29 +4,37 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Measured scale evidence for the STREAMING state path (r8 verdict
-  * #6): [[ScaleEvidence]] covers the five batch primitives; this main
-  * drives the q219 shape — watermarked stream-stream interval join
-  * chained into a windowed aggregation, the engine's heaviest stateful
-  * pipeline — through `graft_synth` at 50–100× the sf0.1 event volume
-  * (SCALE_STREAM_ROWS, default 10M = 100×) in SCALE_STREAM_BATCHES
-  * micro-batches, capturing per-batch state metrics from
-  * StreamingQueryProgress: state rows, state memory, commit latency —
-  * the numbers that decide whether the RocksDB default survives
-  * unbounded runtime (state must stay watermark-bounded while input
-  * grows without limit) and whether commit cost is O(batch) rather
-  * than O(total state).
+  * #6): [[ScaleEvidence]] covers the batch primitives; this main
+  * drives the two heaviest stateful shapes through `graft_synth` at
+  * 50–100× the sf0.1 event volume (SCALE_STREAM_ROWS, default 10M =
+  * 100×) in SCALE_STREAM_BATCHES micro-batches, capturing per-batch
+  * state metrics from StreamingQueryProgress: state rows, state
+  * memory, commit latency — the numbers that decide whether the
+  * RocksDB default survives unbounded runtime (state must stay
+  * watermark-bounded while input grows without limit) and whether
+  * commit cost is O(batch) rather than O(total state).
   *
-  * Exactness invariant: every emitted day window must equal the batch
-  * oracle computed over the SAME DSv2 source in batch mode (the
-  * generator is a pure function of the row index), and the stream
-  * must have emitted all but the watermark-tail windows. A
-  * state-eviction bug (early eviction = lost pairs, no eviction =
-  * unbounded state) fails the run loudly on values, not vibes.
+  *   - q219 shape: watermarked stream-stream INNER interval join
+  *     chained into a windowed aggregation;
+  *   - q103 shape (r9): the LEFT OUTER variant — its extra state
+  *     semantics are the interesting part: an unmatched left row must
+  *     be RETAINED past its own join window and emitted null-padded
+  *     only once the watermark proves no match can arrive, so a bug
+  *     here shows up as either lost unmatched rows (early eviction)
+  *     or unbounded state (rows never released).
+  *
+  * Exactness invariant per shape: every emitted day window must equal
+  * the batch oracle computed over the SAME DSv2 source in batch mode
+  * (the generator is a pure function of the row index) — for q103
+  * including the per-day UNMATCHED count — and the stream must have
+  * emitted all but the watermark-tail windows. A state-eviction bug
+  * fails the run loudly on values, not vibes.
   *
   * `runMain graft.StreamScaleEvidence` — synthetic event time advances
   * 1 s per row, so the watermark advances naturally batch over batch
   * and join/window state is CONSTANTLY evicted behind it: final state
   * rows measure the steady-state watermark footprint, not the corpus.
+  * SCALE_STREAM_SHAPE=q219|q103|both (default both) selects the run.
   */
 object StreamScaleEvidence {
 
@@ -36,9 +44,9 @@ object StreamScaleEvidence {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
-    import spark.implicits._
     val n = sys.env.get("SCALE_STREAM_ROWS").map(_.toLong).getOrElse(10000000L)
     val nBatches = sys.env.get("SCALE_STREAM_BATCHES").map(_.toInt).getOrElse(20)
+    val shape = sys.env.getOrElse("SCALE_STREAM_SHAPE", "both")
     // GraftSession disables RocksDB's numKeys bookkeeping (a
     // read-before-every-write serving only the metric); an EVIDENCE
     // run is exactly the consumer that metric exists for, so flip it
@@ -74,81 +82,106 @@ object StreamScaleEvidence {
       .select((col("ts_ms") / 1000).cast("timestamp").as("ts"),
         pmod(col("id"), lit(997L)).as("user_id"), col("event_type"))
 
-    // ---- streamed q219 chain over the synthetic source ----
-    val ev = evOf(spark.readStream.format("graft.sources.SyntheticEvents")
-        .option("numRows", n.toString)
-        .option("rowsPerBatch", math.max(n / nBatches, 1L).toString).load())
-      .withWatermark("ts", "3 hours")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val out = purchases.join(clicks,
+    /** Build the shape over (purchases, clicks); `outer` = q103.
+      * For the outer shape clicks are restricted to user_id < 900, so
+      * ~10% of purchases are STRUCTURALLY unmatched — the null-padded
+      * watermark-gated emission path carries real volume instead of
+      * being vacuously green.
+      */
+    def chain(p: org.apache.spark.sql.DataFrame, c0: org.apache.spark.sql.DataFrame,
+        outer: Boolean) = {
+      val c = if (outer) c0.filter(col("c_user") < 900) else c0
+      val joined = p.join(c,
         col("user_id") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-      .groupBy(window(col("p_ts"), "1 day"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .select(col("window.start").as("day"), col("n_pairs"))
+          col("c_ts") <= col("p_ts"),
+        if (outer) "leftOuter" else "inner")
+      joined.groupBy(window(col("p_ts"), "1 day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .select(col("window.start").as("day"), col("n_rows"), col("n_unmatched"))
+    }
 
-    val t0 = System.nanoTime()
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName("stream_scale").start()
-    try q.processAllAvailable() finally q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-
-    // ---- exactness: emitted windows vs the batch oracle ----
-    val oracle = {
-      val bev = evOf(spark.read.format("graft.sources.SyntheticEvents")
-        .option("numRows", n.toString).load())
-      val p = bev.filter(col("event_type") === "purchase")
+    def runShape(name: String, outer: Boolean): Unit = {
+      stats.clear()
+      val ev = evOf(spark.readStream.format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString)
+          .option("rowsPerBatch", math.max(n / nBatches, 1L).toString).load())
+        .withWatermark("ts", "3 hours")
+      val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"))
-      val c = bev.filter(col("event_type") === "click")
+      val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      p.join(c, col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .groupBy(window(col("p_ts"), "1 day"))
-        .agg(count(lit(1)).as("o_pairs"))
-        .select(col("window.start").as("day"), col("o_pairs"))
-    }
-    val emitted = spark.table("stream_scale")
-    val nEmitted = emitted.count()
-    val mismatches = emitted.join(oracle, Seq("day"), "left")
-      .filter(col("o_pairs").isNull || col("o_pairs") =!= col("n_pairs"))
-      .count()
-    val expectedDays = n / 86400L // 1 s per row, 86400 s windows
+      val out = chain(purchases, clicks, outer)
 
-    // ---- report FIRST (an evidence harness must never die
-    // metric-less), then assert ----
-    val rows = stats.toArray(Array.empty[BatchStat]).sortBy(_.batchId)
-      .filter(_.inputRows > 0)
-    println("\n| batch | input rows | batch s | state rows | state MB | commit ms |")
-    println("|---|---|---|---|---|---|")
-    rows.foreach { b =>
-      println(f"| ${b.batchId} | ${b.inputRows} | ${b.durMs / 1000.0}%.1f " +
-        f"| ${b.stateRows} | ${b.stateMemBytes / 1e6}%.1f | ${b.commitMs} |")
-    }
-    val maxState = if (rows.nonEmpty) rows.map(_.stateRows).max else 0L
-    val lastState = if (rows.nonEmpty) rows.last.stateRows else 0L
-    val maxCommit = if (rows.nonEmpty) rows.map(_.commitMs).max else 0L
-    println(f"\nSUMMARY rows=$n batches=${rows.size} wall=$secs%.1f s " +
-      f"(${n / secs}%.0f ev/s) emitted=$nEmitted/$expectedDays windows " +
-      f"maxStateRows=$maxState finalStateRows=$lastState maxCommitMs=$maxCommit")
+      val t0 = System.nanoTime()
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(s"stream_scale_$name").start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
 
-    require(mismatches == 0,
-      s"$mismatches emitted windows disagree with the batch oracle")
-    // Tail slack: a window only finalizes once the WATERMARK passes its
-    // end, and the watermark used by batch k is the max event time
-    // through batch k-1 minus the 3 h delay — so the stream's final
-    // emission horizon trails the data end by one batch SPAN plus the
-    // delay (there is no trailing no-data batch: GraftSession disables
-    // noDataMicroBatches for finite runs).
-    val batchSpanDays = n.toDouble / math.max(nBatches, 1) / 86400.0
-    val minDays = expectedDays - (batchSpanDays + 2).ceil.toLong
-    require(nEmitted >= minDays && nEmitted <= expectedDays + 1,
-      s"emitted $nEmitted day windows, expected in [$minDays, " +
-        s"${expectedDays + 1}] (eviction stuck or watermark runaway)")
+      // ---- exactness: emitted windows vs the batch oracle ----
+      val oracle = {
+        val bev = evOf(spark.read.format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString).load())
+        val p = bev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val c = bev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        chain(p, c, outer)
+          .select(col("day"), col("n_rows").as("o_rows"),
+            col("n_unmatched").as("o_unmatched"))
+      }
+      val emitted = spark.table(s"stream_scale_$name")
+      val nEmitted = emitted.count()
+      val mismatches = emitted.join(oracle, Seq("day"), "left")
+        .filter(col("o_rows").isNull || col("o_rows") =!= col("n_rows") ||
+          col("o_unmatched") =!= col("n_unmatched"))
+        .count()
+      val unmatchedTotal = emitted.agg(sum(col("n_unmatched"))).collect()(0) match {
+        case r => if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val expectedDays = n / 86400L // 1 s per row, 86400 s windows
+
+      // ---- report FIRST (an evidence harness must never die
+      // metric-less), then assert ----
+      val rows = stats.toArray(Array.empty[BatchStat]).sortBy(_.batchId)
+        .filter(_.inputRows > 0)
+      println(s"\n### shape $name")
+      println("| batch | input rows | batch s | state rows | state MB | commit ms |")
+      println("|---|---|---|---|---|---|")
+      rows.foreach { b =>
+        println(f"| ${b.batchId} | ${b.inputRows} | ${b.durMs / 1000.0}%.1f " +
+          f"| ${b.stateRows} | ${b.stateMemBytes / 1e6}%.1f | ${b.commitMs} |")
+      }
+      val maxState = if (rows.nonEmpty) rows.map(_.stateRows).max else 0L
+      val lastState = if (rows.nonEmpty) rows.last.stateRows else 0L
+      val maxCommit = if (rows.nonEmpty) rows.map(_.commitMs).max else 0L
+      println(f"\nSUMMARY[$name] rows=$n batches=${rows.size} wall=$secs%.1f s " +
+        f"(${n / secs}%.0f ev/s) emitted=$nEmitted/$expectedDays windows " +
+        f"unmatched=$unmatchedTotal " +
+        f"maxStateRows=$maxState finalStateRows=$lastState maxCommitMs=$maxCommit")
+
+      require(mismatches == 0,
+        s"[$name] $mismatches emitted windows disagree with the batch oracle")
+      if (outer) require(unmatchedTotal > 0,
+        s"[$name] outer shape emitted no unmatched rows — the null-padded " +
+          "path was never exercised, the stress is vacuous")
+      // Tail slack: a window only finalizes once the WATERMARK passes its
+      // end, and the watermark used by batch k is the max event time
+      // through batch k-1 minus the 3 h delay — so the stream's final
+      // emission horizon trails the data end by one batch SPAN plus the
+      // delay (there is no trailing no-data batch: GraftSession disables
+      // noDataMicroBatches for finite runs).
+      val batchSpanDays = n.toDouble / math.max(nBatches, 1) / 86400.0
+      val minDays = expectedDays - (batchSpanDays + 2).ceil.toLong
+      require(nEmitted >= minDays && nEmitted <= expectedDays + 1,
+        s"[$name] emitted $nEmitted day windows, expected in [$minDays, " +
+          s"${expectedDays + 1}] (eviction stuck or watermark runaway)")
+    }
+
+    if (shape == "q219" || shape == "both") runShape("q219", outer = false)
+    if (shape == "q103" || shape == "both") runShape("q103", outer = true)
     spark.stop()
   }
 }
