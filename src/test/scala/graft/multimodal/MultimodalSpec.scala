@@ -143,6 +143,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint occupancy cap drops an over-dense bucket family, keeps normal pairs") {
+    // 1100 identical-payload media (> MaxFpBandOccupancy=1000) share
+    // every band bucket — the cap must exclude ALL of them from pair
+    // generation (an identical-texture family is exact-dedup's job,
+    // q27 shape, not LSH's) — while a payload-identical clone pair in
+    // a different sketch region survives with hamming 0.
+    import spark.implicits._
+    val texture = "texturetexture12" * 8 // 128 bytes, one shared sketch
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).take(100)
+    val rows =
+      (0 until 1100).map(i => Multimodal.MediaRecord(100L + i, "image",
+        texture.getBytes("UTF-8"), 128L, "tex")) ++ Seq(
+        Multimodal.MediaRecord(1L, "image", base.getBytes("UTF-8"), 100L, "s"),
+        Multimodal.MediaRecord(2L, "image", base.getBytes("UTF-8"), 100L, "s"))
+    val out = Multimodal.fingerprintPairsOf(rows.toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L &&
+      out.head.getAs[Long]("id_b") == 2L &&
+      out.head.getAs[Long]("hamming") == 0L)
+  }
+
   test("q38 media stats totals match the documents table") {
     val stats = Multimodal.queries("q38_media_stats")(spark, sf)
     val total = stats.agg(sum(col("n_media"))).collect().head.getLong(0)
