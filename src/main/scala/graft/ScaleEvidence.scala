@@ -344,14 +344,24 @@ object ScaleEvidence {
     val baseEmb = Tables(spark, sfDir, "embeddings").count()
     val clones = 500L
     val hotVecs = env("SCALE_HOT_VECS", 2000L)
+    // precondition guards so a knob/data-shape choice fails as ITSELF,
+    // not as a fake "cap failed"/"recall broken" engine bug (review r9):
+    // the orthant must exceed the q223 cap for the cap invariant to be
+    // meaningful, and clone planting assumes >= `clones` base vectors
+    // with ids in [0, baseEmb)
+    require(hotVecs > 200, s"SCALE_HOT_VECS=$hotVecs must exceed the " +
+      "q223 occupancy cap (200) for the cap invariant to bind")
+    require(baseEmb >= clones,
+      s"base embeddings $baseEmb < $clones planted clones")
     measure(s"Similarity.bandNeardupOf (q223 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
       val pairs = Similarity.bandNeardupOf(scaled)
       val r = pairs.agg(count(lit(1)).as("n"),
-        sum(when(col("cos_sim") >= lit(1.0), 1L).otherwise(0L)).as("exact"),
-        sum(when(col("vec_a") < 0 && col("vec_b") < 0, 1L).otherwise(0L))
-          .as("hotPairs")).collect()(0)
+        coalesce(sum(when(col("cos_sim") >= lit(1.0), 1L).otherwise(0L)), lit(0L))
+          .as("exact"),
+        coalesce(sum(when(col("vec_a") < 0 && col("vec_b") < 0, 1L)
+          .otherwise(0L)), lit(0L)).as("hotPairs")).collect()(0)
       val (nPairs, exact, hotPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
       // recall invariant: every planted clone is bit-identical to its
       // source, so it collides in ALL four bands and must surface with
@@ -375,15 +385,19 @@ object ScaleEvidence {
     val mediaClones = 500L
     val textureN = env("SCALE_TEXTURE_VECS", 5000L)
     val baseMedia = Tables(spark, sfDir, "documents").count()
+    require(textureN > 1000, s"SCALE_TEXTURE_VECS=$textureN must exceed " +
+      "the q147 occupancy cap (1000) for the cap invariant to bind")
+    require(baseMedia >= mediaClones,
+      s"base documents $baseMedia < $mediaClones planted clones")
     measure(s"Multimodal.fingerprintPairsOf (q147 shape, ×$mediaReps media)",
         baseMedia * mediaReps + mediaClones + textureN) {
       val scaled = scaledMedia(spark, sfDir, mediaReps, mediaClones, textureN)
       val pairs = graft.multimodal.Multimodal.fingerprintPairsOf(scaled)
       val r = pairs.agg(count(lit(1)).as("n"),
-        sum(when(col("id_b") - col("id_a") === 1000000000L &&
-          col("hamming") === 0L, 1L).otherwise(0L)).as("found"),
-        sum(when(col("id_a") < 0 && col("id_b") < 0, 1L).otherwise(0L))
-          .as("texPairs")).collect()(0)
+        coalesce(sum(when(col("id_b") - col("id_a") === 1000000000L &&
+          col("hamming") === 0L, 1L).otherwise(0L)), lit(0L)).as("found"),
+        coalesce(sum(when(col("id_a") < 0 && col("id_b") < 0, 1L)
+          .otherwise(0L)), lit(0L)).as("texPairs")).collect()(0)
       val (nPairs, found, texPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
       // recall: every planted clone is payload-identical to its source
       // (hamming 0, all four bands equal) and MUST surface

@@ -38,8 +38,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamScaleEvidence {
 
-  final case class BatchStat(batchId: Long, inputRows: Long, durMs: Long,
-      stateRows: Long, stateMemBytes: Long, commitMs: Long)
+  final case class BatchStat(query: String, batchId: Long, inputRows: Long,
+      durMs: Long, stateRows: Long, stateMemBytes: Long, commitMs: Long)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,8 +62,11 @@ object StreamScaleEvidence {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         val ops = p.stateOperators
-        stats.add(BatchStat(p.batchId, p.numInputRows,
-          Option(p.batchDuration).getOrElse(0L),
+        // tag with the query NAME: progress events are delivered
+        // asynchronously, so without it a late q219 event could bleed
+        // past stats.clear() into the q103 shape's table (review r9)
+        stats.add(BatchStat(Option(p.name).getOrElse("?"), p.batchId,
+          p.numInputRows, Option(p.batchDuration).getOrElse(0L),
           ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum,
           ops.map(_.commitTimeMs).sum))
       }
@@ -145,8 +148,9 @@ object StreamScaleEvidence {
 
       // ---- report FIRST (an evidence harness must never die
       // metric-less), then assert ----
-      val rows = stats.toArray(Array.empty[BatchStat]).sortBy(_.batchId)
-        .filter(_.inputRows > 0)
+      val rows = stats.toArray(Array.empty[BatchStat])
+        .filter(b => b.query == s"stream_scale_$name" && b.inputRows > 0)
+        .sortBy(_.batchId)
       println(s"\n### shape $name")
       println("| batch | input rows | batch s | state rows | state MB | commit ms |")
       println("|---|---|---|---|---|---|")

@@ -412,7 +412,7 @@ object Multimodal {
     * directly; q148 closes it transitively).
     */
   private val fingerprintPairsCte: String =
-    """docs AS MATERIALIZED (
+    s"""docs AS MATERIALIZED (
       |  SELECT doc_id AS media_id, text, length(text) AS len
       |  FROM documents WHERE length(text) >= 64),
       |grams AS (
@@ -451,7 +451,7 @@ object Multimodal {
       |-- values are excluded from candidate generation on BOTH sides;
       |-- never binds at gate scale (max occupancy 696 at sf0.1)
       |keep AS (SELECT band, bv FROM bands GROUP BY band, bv
-      |  HAVING count(*) <= 1000),
+      |  HAVING count(*) <= $MaxFpBandOccupancy),
       |kb AS (SELECT b.media_id, b.band, b.bv FROM bands b
       |  JOIN keep USING (band, bv)),
       |cand AS (

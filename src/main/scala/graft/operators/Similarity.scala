@@ -617,7 +617,7 @@ object Similarity {
         }.mkString(" UNION ALL ")
         s"""WITH bands AS ($bandSelects),
            |keep AS (SELECT band, bits FROM bands GROUP BY band, bits
-           |  HAVING count(*) <= 200),
+           |  HAVING count(*) <= $MaxBandOccupancy),
            |kb AS (SELECT b.vec_id, b.band, b.bits FROM bands b
            |  JOIN keep USING (band, bits)),
            |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
