@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, S
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, ScalableRank, Similarity, TextDedup}
+import graft.operators.{Analytics2, Components, ScalableRank, Similarity, TextDedup}
 
 /** Measured (not argued) scale evidence for the scale-critical
   * primitives (r7 verdict #5; five batch paths, plus the q223 banded
@@ -39,6 +39,9 @@ import graft.operators.{Components, ScalableRank, Similarity, TextDedup}
   *   SCALE_HOT_VECS     (default 2000)         — q223 degenerate-orthant size
   *   SCALE_MEDIA_REPS   (default 100)          — q147 media corpus ×reps
   *   SCALE_TEXTURE_VECS (default 5000)         — q147 identical-texture family size
+  *   SCALE_TRI_EDGES    (default  10 000 000)  — path-8 background edges
+  *   SCALE_TRI_HUB      (default 5000)         — path-8 hub neighbors per side
+  *   SCALE_TRI_PLANTED  (default 100 000)      — path-8 planted triangles
   */
 object ScaleEvidence {
 
@@ -47,6 +50,11 @@ object ScaleEvidence {
   private final class Agg(val name: String) {
     var tasks = 0
     var shufRows, shufRowsMax, shufBytes, shufBytesMax = 0L
+    // shuffle WRITE records: a skewed join key shows up as one task's
+    // OUTPUT (records written to the next exchange), not its read —
+    // the read side of a wedge join is deg(v) rows while the output is
+    // in(v)·out(v) (ScaleEvidence path 8's whole point)
+    var wrRows, wrRowsMax = 0L
     var inRows = 0L
   }
 
@@ -65,6 +73,8 @@ object ScaleEvidence {
           val bytes = sr.localBytesRead + sr.remoteBytesRead
           a.shufRows += rows; a.shufRowsMax = math.max(a.shufRowsMax, rows)
           a.shufBytes += bytes; a.shufBytesMax = math.max(a.shufBytesMax, bytes)
+          val wr = m.shuffleWriteMetrics.recordsWritten
+          a.wrRows += wr; a.wrRowsMax = math.max(a.wrRowsMax, wr)
           a.inRows += m.inputMetrics.recordsRead
         }
       }
@@ -177,6 +187,9 @@ object ScaleEvidence {
     def env(k: String, d: Long): Long = sys.env.get(k).map(_.toLong).getOrElse(d)
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    // stage aggregates of the most recent measure() — paths whose
+    // interesting skew is WRITE-side (path 8) read this after the call
+    var lastAggs: Seq[Agg] = Nil
 
     /** Run `action` under the listener, assert its invariant, report
       * the heaviest (by total shuffle-read rows) stage's balance. */
@@ -195,6 +208,7 @@ object ScaleEvidence {
         val ids = listener.snapshotIds -- before
         ids.toSeq.map(listener.stages.get(_)).filter(_ != null)
       }
+      lastAggs = newAggs
       // SCALE_DEBUG_STAGES=1: per-stage breakdown (name truncated to
       // the callsite), for attributing which exchange dominates a path
       if (sys.env.contains("SCALE_DEBUG_STAGES"))
@@ -351,8 +365,22 @@ object ScaleEvidence {
     // with ids in [0, baseEmb)
     require(hotVecs > 200, s"SCALE_HOT_VECS=$hotVecs must exceed the " +
       "q223 occupancy cap (200) for the cap invariant to bind")
-    require(baseEmb >= clones,
-      s"base embeddings $baseEmb < $clones planted clones")
+    // clone planting selects base ids in [0, clones) and maps replica
+    // ids to id*reps+rep below the +1e9 clone offset — both are DATA
+    // assumptions, not invariants of the operator under test, so they
+    // must fail as themselves, not as a fake recall break (r9 ADVICE):
+    // a sparse/offset id space would silently plant fewer clones, and
+    // a too-large reps would collide replica ids into the clone space
+    val (embLowIds, embMaxId) = {
+      val r = Tables(spark, sfDir, "embeddings")
+        .agg(sum(when(col("vec_id") >= 0 && col("vec_id") < clones, 1L)
+          .otherwise(0L)), max(col("vec_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(embLowIds == clones, s"embedding ids not dense in [0, $clones): " +
+      s"$embLowIds present — clone planting would under-fill")
+    require(embMaxId * embReps + embReps < 1000000000L,
+      s"max vec_id $embMaxId × reps $embReps reaches the 1e9 clone id offset")
     measure(s"Similarity.bandNeardupOf (q223 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
@@ -387,8 +415,17 @@ object ScaleEvidence {
     val baseMedia = Tables(spark, sfDir, "documents").count()
     require(textureN > 1000, s"SCALE_TEXTURE_VECS=$textureN must exceed " +
       "the q147 occupancy cap (1000) for the cap invariant to bind")
-    require(baseMedia >= mediaClones,
-      s"base documents $baseMedia < $mediaClones planted clones")
+    // same planting-assumption guards as the embedding path (r9 ADVICE)
+    val (docLowIds, docMaxId) = {
+      val r = Tables(spark, sfDir, "documents")
+        .agg(sum(when(col("doc_id") >= 0 && col("doc_id") < mediaClones, 1L)
+          .otherwise(0L)), max(col("doc_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(docLowIds == mediaClones, s"document ids not dense in " +
+      s"[0, $mediaClones): $docLowIds present — clone planting would under-fill")
+    require(docMaxId * mediaReps + mediaReps < 1000000000L,
+      s"max doc_id $docMaxId × reps $mediaReps reaches the 1e9 clone id offset")
     measure(s"Multimodal.fingerprintPairsOf (q147 shape, ×$mediaReps media)",
         baseMedia * mediaReps + mediaClones + textureN) {
       val scaled = scaledMedia(spark, sfDir, mediaReps, mediaClones, textureN)
@@ -411,6 +448,77 @@ object ScaleEvidence {
         s"pair explosion: $nPairs pairs for ${baseMedia * mediaReps} media")
       println(s"[scale] fingerprint pairs at ×$mediaReps: $nPairs ($found clones)")
     }
+
+    // ---- 8. Triangle enumeration: degree vs id orientation A/B ----
+    // The q126/q188 wedge join's power-law cliff (r9 verdict #2): under
+    // id orientation a hub whose id SPLITS its neighbor ids keeps
+    // in·out = hubSide² wedge candidates on ONE middle-vertex join key
+    // — the skew is in that task's join OUTPUT (shuffle write to the
+    // closing-edge exchange), its read side is only deg(hub) rows.
+    // Degree orientation makes the hub the (deg,id)-maximum of every
+    // incident edge (out-degree 0 ⇒ zero wedges through it; max
+    // out-degree O(√E) on any graph). Both runs must produce the EXACT
+    // planted triangle count — orientation cannot change the set.
+    val triEdges = env("SCALE_TRI_EDGES", 10000000L)
+    val hubSide = env("SCALE_TRI_HUB", 5000L)
+    val plantedTri = env("SCALE_TRI_PLANTED", 100000L)
+    val hubId = 5000000L
+    require(hubSide < hubId, s"SCALE_TRI_HUB=$hubSide must stay below the hub id")
+    // id spaces: hub-low 0..hubSide, hub 5e6, hub-high 5e6+1.., chain
+    // path from 1e7, planted triples above the chain — all disjoint
+    val chainBase = 10000000L
+    val plantBase = chainBase + triEdges + 1000000L
+    def triGraph: DataFrame = {
+      // background: one long path (one wedge per interior node — linear
+      // wedge volume, zero triangles)
+      val chain = spark.range(triEdges)
+        .select((col("id") + chainBase).as("p1"), (col("id") + chainBase + 1).as("p2"))
+      // the hub: `hubSide` neighbors below its id and `hubSide` above
+      val hubLo = spark.range(hubSide)
+        .select(col("id").as("p1"), lit(hubId).as("p2"))
+      val hubHi = spark.range(hubSide)
+        .select(lit(hubId).as("p1"), (col("id") + hubId + 1).as("p2"))
+      // close 1000 hub triangles (lo_i, hub, hi_i) so the hub's own
+      // triangles are part of the exactness invariant
+      val close = spark.range(1000L)
+        .select(col("id").as("p1"), (col("id") + hubId + 1).as("p2"))
+      // planted disjoint triangles for count volume
+      val tri = spark.range(plantedTri).select((col("id") * 3 + plantBase).as("x"))
+      val triE = tri.select(col("x").as("p1"), (col("x") + 1).as("p2"))
+        .union(tri.select((col("x") + 1).as("p1"), (col("x") + 2).as("p2")))
+        .union(tri.select(col("x").as("p1"), (col("x") + 2).as("p2")))
+      chain.union(hubLo).union(hubHi).union(close).union(triE)
+    }
+    val expectTri = plantedTri + 1000L
+    val triInput = triEdges + 2 * hubSide + 1000L + 3 * plantedTri
+    // AQE's skew splitter can only split a skewed partition's READ —
+    // it cannot split one key's join output — but keep it OFF anyway
+    // so the A/B is pure plan shape, like the Components path
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    def wedgeWriteSkew(): String = {
+      // the wedge-join stage = the stage with the largest single-task
+      // shuffle write; report its max/mean write balance
+      lastAggs.filter(_.wrRows > 0).sortBy(-_.wrRowsMax).headOption match {
+        case Some(a) =>
+          val mean = a.wrRows.toDouble / math.max(a.tasks, 1)
+          f"max write ${human(a.wrRowsMax)} rows/task, mean ${human(mean.toLong)}, " +
+            f"max/mean ${a.wrRowsMax / math.max(mean, 1.0)}%.2f"
+        case None => "no shuffle write"
+      }
+    }
+    measure(s"trianglesOf id-oriented (UNGUARDED A-run, hub ${2 * hubSide})",
+        triInput) {
+      val n = Analytics2.trianglesOf(triGraph, byDegree = false).count()
+      require(n == expectTri, s"id-oriented triangle count $n != $expectTri")
+    }
+    println(s"[scale] A (id-oriented) wedge stage: ${wedgeWriteSkew()}")
+    measure(s"trianglesOf degree-oriented (q126/q188 shape, hub ${2 * hubSide})",
+        triInput) {
+      val n = Analytics2.trianglesOf(triGraph, byDegree = true).count()
+      require(n == expectTri, s"degree-oriented triangle count $n != $expectTri")
+    }
+    println(s"[scale] B (degree-oriented) wedge stage: ${wedgeWriteSkew()}")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")
     println("|---|---|---|---|---|---|---|---|")

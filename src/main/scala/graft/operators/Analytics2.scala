@@ -23,6 +23,63 @@ object Analytics2 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Distributed triangle enumeration over an undirected edge list
+    * (columns `p1 < p2`, one row per edge) → id-sorted corner triples
+    * `(a < b < c)`.
+    *
+    * Orientation is DEGREE-first ((deg, id) lexicographic): every
+    * undirected edge becomes one directed edge from its
+    * (deg, id)-smaller endpoint. Any total order counts each triangle
+    * exactly once (the order makes each triangle a DAG with a unique
+    * 2-out-degree source, and the e1⋈e2⋈e3 pattern matches only the
+    * src→mid→dst path from that source), so the TRIANGLE SET is
+    * invariant to the order chosen — the oracle keeps the plain
+    * id-oriented SQL as proof. What the order changes is the join
+    * fan-out: under id orientation a power-law hub whose id splits its
+    * neighbor ids keeps in·out ≈ (d/2)² wedge candidates on its single
+    * middle-vertex join key (the one-task cliff ScaleEvidence path 8
+    * measures A/B); under degree orientation the hub is the
+    * (deg, id)-maximum of every incident edge, so its out-degree is 0
+    * and wedge generation moves to the low-degree corners — max
+    * out-degree is O(√E) on ANY graph (an orientation-width/arboricity
+    * bound), so no single join key can explode regardless of the
+    * degree distribution. Cost of the guard: two cheap joins against
+    * the |V|-row degree relation (broadcast at gate scale, key-
+    * partitioned at 100 TB). Corners are re-normalized to id order
+    * after enumeration (least/sum/greatest — exact on long ids) so
+    * callers and oracles never see the orientation.
+    */
+  private[graft] def trianglesOf(edges: DataFrame,
+      byDegree: Boolean = true): DataFrame = {
+    val oriented =
+      if (!byDegree) edges.select(col("p1").as("src"), col("p2").as("dst"))
+      else {
+        val deg = edges.select(col("p1").as("v"))
+          .union(edges.select(col("p2").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dv"))
+        // p1 < p2 on every input row, so (d1, p1) < (d2, p2) ⇔ d1 ≤ d2
+        edges
+          .join(deg.select(col("v").as("p1"), col("dv").as("d1")), Seq("p1"))
+          .join(deg.select(col("v").as("p2"), col("dv").as("d2")), Seq("p2"))
+          .select(
+            when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2"))
+              .as("src"),
+            when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1"))
+              .as("dst"))
+      }
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val e3 = oriented.as("e3")
+    e1.join(e2, col("e1.dst") === col("e2.src"))
+      .join(e3, col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+      .select(least(col("x"), col("y"), col("z")).as("a"),
+        (col("x") + col("y") + col("z")
+          - least(col("x"), col("y"), col("z"))
+          - greatest(col("x"), col("y"), col("z"))).as("b"),
+        greatest(col("x"), col("y"), col("z")).as("c"))
+  }
+
   /** Distinct (order, part) pairs and the support-counted co-purchase
     * edge list — q126 (triangles) and q127 (association rules) both
     * start from the same self-join, so the pair relation is persisted
@@ -147,18 +204,16 @@ object Analytics2 {
     // q126: triangle counting on the thresholded co-purchase graph —
     // parts that co-occur in ≥ 2 orders form an edge; triangles are
     // the cohesion signal (product-bundle detection; same machinery as
-    // social-graph clustering coefficients). The plan is the standard
-    // distributed triangle enumeration: orient every edge low→high id
-    // (each triangle counted exactly once, no directed double-count),
-    // join edges on the shared middle vertex, then verify the closing
-    // edge with a second equi-join. Scale posture: the support
-    // threshold is what bounds the graph — pair generation is a
-    // self-join on l_orderkey (per-order fan-out is C(k,2) with k =
-    // lines per order, a small constant), and the ≥ 2 filter prunes
-    // the long tail before any graph join runs. Production systems
-    // orient by degree instead of id to bound the join fan-out on
-    // power-law graphs; id orientation is correct and sufficient at
-    // this threshold.
+    // social-graph clustering coefficients). Enumeration is the
+    // DEGREE-oriented wedge join in [[trianglesOf]] (r10: the id
+    // orientation shipped through r9 was the last operator with an
+    // acknowledged-but-unguarded power-law cliff; ScaleEvidence path 8
+    // measures the A/B). Scale posture: the support threshold bounds
+    // the graph — pair generation is a self-join on l_orderkey
+    // (per-order fan-out is C(k,2) with k = lines per order, a small
+    // constant), the ≥ 2 filter prunes the long tail before any graph
+    // join runs, and degree orientation bounds every wedge-join key's
+    // fan-out by O(√E) whatever the degree distribution.
     // q127: association-rule mining over the co-purchase pairs —
     // support / confidence / lift for part pairs appearing in ≥ 2
     // orders, the recommendation-engine building block. All three
@@ -735,35 +790,23 @@ object Analytics2 {
           expr("n_pieces * 1000000L div n_words").as("fertility_micro"))
     }),
 
-    "q126_copurchase_triangles" -> ((s, d) => {
-      val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
-        .select(col("p1"), col("p2"))
-      val e1 = edges.as("e1")
-      val e2 = edges.as("e2")
-      val e3 = edges.as("e3")
-      e1.join(e2, col("e1.p2") === col("e2.p1"))
-        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-    }),
+    "q126_copurchase_triangles" -> ((s, d) =>
+      trianglesOf(copurchasePairs(s, d).filter(col("n_pair") >= 2)
+        .select(col("p1"), col("p2")))),
 
     // q188: per-node CLUSTERING COEFFICIENT on the same thresholded
     // co-purchase graph — 2·T(v) / (deg(v)·(deg(v)−1)) in exact
     // integer micro-units. q126's global triangle listing becomes a
     // per-node metric by unioning the three corners before one
     // count-by-node; degree is the same union trick on the edge
-    // endpoints. No new join shapes beyond q126's (persisted) pair
-    // relation, so the scale posture is inherited: the id-oriented
-    // triangle join (p1<p2 orientation) bounds each edge's probe
-    // fan-out to its higher-degree endpoint's forward neighbors.
+    // endpoints. No new join shapes beyond q126's: the shared
+    // [[trianglesOf]] degree-oriented enumeration over the (persisted)
+    // pair relation, so the power-law guard is inherited too (corner
+    // naming is irrelevant here — the union folds all three).
     "q188_clustering_coeff" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
-      val e1 = edges.as("e1")
-      val e2 = edges.as("e2")
-      val e3 = edges.as("e3")
-      val tri = e1.join(e2, col("e1.p2") === col("e2.p1"))
-        .join(e3, col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      val tri = trianglesOf(edges)
       val tcnt = tri.select(col("a").as("v"))
         .union(tri.select(col("b")))
         .union(tri.select(col("c")))

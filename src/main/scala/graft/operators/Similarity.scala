@@ -117,6 +117,93 @@ object Similarity {
         round(cosine("qv", "cv", "qn", "cn"), 4).as("cos_sim"))
   }
 
+  /** q224's 8-bit sign band `b` (0..7) over dims 8b..8b+7 — coarser
+    * than q223's 16-bit bands (256 vs 65536 buckets/band) so dense
+    * buckets genuinely exist at gate scale and the routing below is
+    * oracle-exercised on real data, not only at ScaleEvidence volume. */
+  private def band8Spark(b: Int): Column =
+    expr((0 until 8).map { j =>
+      s"(CASE WHEN embedding[${b * 8 + j}] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)"))
+
+  private def band8Duck(b: Int): String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN embedding[${b * 8 + j + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)")
+
+  /** q224 routing threshold / IVF shape: buckets with more than
+    * [[RoutedCap]] members leave LSH pair generation and their members
+    * are routed through a [[RoutedK]]-cell Lloyd quantizer instead.
+    * At the gate SFs the 8-bit occupancy histogram spans 1–20, so cap
+    * 6 puts real vectors on BOTH sides of the route. */
+  private val RoutedCap = 6
+  private val RoutedK = 4
+  private val RoutedIters = 2
+
+  /** The cap→IVF composition the r9 occupancy caps only DOCUMENTED
+    * (q223/q147 under-report over-dense regions and point at the IVF
+    * path as the fallback; r9 verdict #3 asks for the route to be
+    * code): banded sign-LSH pairs for buckets within the occupancy
+    * cap, and for members of over-dense buckets an IVF star — each
+    * member paired with its Lloyd cell's canonical (min vec_id)
+    * member. The star is LINEAR in the dense region's size where the
+    * uncapped bucket join would be quadratic, and it preserves what
+    * dedup downstream (q68-shape components → canonical → purge)
+    * actually needs: every dense-cluster member stays connected to
+    * one canonical representative, so connected components over the
+    * pair output group the cluster exactly as the full clique would.
+    * Pairs the LSH half already emits are anti-joined out of the star
+    * so the two `via` channels are disjoint. All of it is
+    * oracle-mirrored (band occupancy, subset Lloyd unroll, canonical
+    * star, NOT EXISTS dedup) — no half is gate-exempt.
+    */
+  private[graft] def bandNeardupRoutedOf(emb: DataFrame): DataFrame = {
+    val bands = emb.select(col("vec_id"), explode(array((0 until 8).map { b =>
+      struct(lit(b).as("band"), band8Spark(b).as("bits"))
+    }: _*)).as("p"))
+      .select(col("vec_id"), col("p.band").as("band"), col("p.bits").as("bits"))
+    val w = Window.partitionBy(col("band"), col("bits"))
+    val withOcc = bands.withColumn("occ", count(lit(1)).over(w))
+    val kept = withOcc.filter(col("occ") <= RoutedCap)
+      .select(col("vec_id"), col("band"), col("bits"))
+    val e = emb.withColumn("nrm", vec_norm(col("embedding")))
+    def withCos(p: DataFrame): DataFrame = p
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+        col("nrm").as("qn")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
+        col("nrm").as("cn")), Seq("vec_b"))
+      // + 0.0 : the IVF star pairs near-orthogonal vectors, so a small
+      // negative cosine rounding to zero is REACHABLE here — without
+      // the normalization DuckDB keeps -0.0 while Spark emits 0.0 and
+      // the stringified driver hash diverges (driver-gate.md rule 10)
+      .select(col("vec_a"), col("vec_b"),
+        (round(cosine("qv", "cv", "qn", "cn"), 4) + lit(0.0)).as("cos_sim"))
+    val lsh = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val ovIds = withOcc.filter(col("occ") > RoutedCap)
+      .select(col("vec_id")).distinct()
+    val ovEmb = emb.join(ovIds, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    // deterministic init: the subset's RoutedK smallest vec_ids.
+    // orderBy+limit is a distributed TakeOrderedAndProject; the
+    // unpartitioned window after it runs over ≤ RoutedK rows only.
+    val init = ovEmb.orderBy(col("vec_id")).limit(RoutedK)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("embedding").as("cv"))
+    val assigned = assignTo(ovEmb, lloydLoop(ovEmb, init, RoutedIters))
+    val canon = assigned.groupBy(col("cid")).agg(min(col("vec_id")).as("vec_a"))
+    val star = assigned.join(canon, Seq("cid"))
+      .filter(col("vec_id") =!= col("vec_a"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
+      .join(lsh, Seq("vec_a", "vec_b"), "left_anti")
+    withCos(lsh).withColumn("via", lit("lsh"))
+      .unionByName(withCos(star).withColumn("via", lit("ivf")))
+  }
+
   /** Lloyd's k-means over the embedding column — the IVF
     * coarse-quantizer build. Deterministic: init from the first k
     * vec_ids, fixed iteration count, ties broken by centroid id.
@@ -143,11 +230,17 @@ object Similarity {
 
   /** The Lloyd loop alone: returns the final k-row (cid, cv) centroid
     * table (persisted; released via CacheRegistry). */
-  def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame =
+    lloydLoop(e, e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv")), iters)
+
+  /** Lloyd iterations from an explicit (cid, cv) init — factored out
+    * so the routed fallback (q224) can seed from a SUBSET's k smallest
+    * vec_ids, where `vec_id < k` would select nothing. */
+  private def lloydLoop(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.functions.{transform => arr_transform}
     def toFloat(c: Column): Column = arr_transform(c, x => x.cast("float"))
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    var centroids = init
     var prev: Option[DataFrame] = None
     for (_ <- 0 until iters) {
       val assigned = assignTo(e, centroids)
@@ -273,6 +366,12 @@ object Similarity {
     // [[graft.ScaleEvidence]].
     "q223_emb_band_neardup" -> ((s, d) =>
       bandNeardupOf(t(s, d, "embeddings"))),
+
+    // q224: the routed near-dup — LSH pairs inside the occupancy cap,
+    // IVF canonical-star pairs for members of over-dense buckets (the
+    // wired form of the cap→IVF fallback q223/q147 document).
+    "q224_routed_neardup" -> ((s, d) =>
+      bandNeardupRoutedOf(t(s, d, "embeddings"))),
 
     // q62: the IVF search path end-to-end, fully oracled — with the
     // `label` column standing in as the coarse partition (cells).
@@ -625,6 +724,54 @@ object Similarity {
            |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id)
            |SELECT vec_a, vec_b, $cosSql AS cos_sim
            |FROM cand
+           |JOIN (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings) a USING (vec_a)
+           |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin
+      },
+
+      "q224_routed_neardup" -> {
+        val bandSelects = (0 until 8).map { b =>
+          s"SELECT vec_id, $b AS band, ${band8Duck(b)} AS bits FROM embeddings"
+        }.mkString(" UNION ALL ")
+        def dot(a: String, b: String) =
+          s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+        def assign(prev: String, out: String) =
+          s"""$out AS (SELECT vec_id, cid, embedding FROM (
+             | SELECT e.vec_id, c.cid, e.embedding,
+             |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+             | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+        def update(ain: String, cout: String) =
+          s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
+             | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
+             | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
+             |    unnest(embedding) AS x FROM $ain)
+             | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+        val lloyd = (1 to RoutedIters).flatMap(i =>
+          Seq(assign(s"c${i - 1}", s"a$i"), update(s"a$i", s"c$i"))) :+
+          assign(s"c$RoutedIters", "afinal")
+        s"""WITH bands AS ($bandSelects),
+           |occ AS (SELECT band, bits, count(*) AS n FROM bands GROUP BY 1, 2),
+           |kb AS (SELECT b.vec_id, b.band, b.bits FROM bands b
+           |  JOIN occ USING (band, bits) WHERE n <= $RoutedCap),
+           |lsh AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM kb x JOIN kb y
+           |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (
+           |  SELECT DISTINCT b.vec_id FROM bands b
+           |   JOIN occ USING (band, bits) WHERE n > $RoutedCap)),
+           |c0 AS (SELECT cid, cv FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+           |   embedding AS cv FROM e) WHERE cid < $RoutedK),
+           |${lloyd.mkString(",\n")},
+           |canon AS (SELECT cid, min(vec_id) AS vec_a FROM afinal GROUP BY cid),
+           |ivf AS (SELECT c.vec_a, a.vec_id AS vec_b
+           |  FROM afinal a JOIN canon c USING (cid)
+           |  WHERE a.vec_id <> c.vec_a AND NOT EXISTS (
+           |   SELECT 1 FROM lsh l WHERE l.vec_a = c.vec_a AND l.vec_b = a.vec_id)),
+           |pairs AS (SELECT vec_a, vec_b, 'lsh' AS via FROM lsh
+           |  UNION ALL SELECT vec_a, vec_b, 'ivf' FROM ivf)
+           |SELECT vec_a, vec_b, $cosSql + 0.0 AS cos_sim, via
+           |FROM pairs
            |JOIN (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings) a USING (vec_a)
            |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin
       },

@@ -52,6 +52,27 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("trianglesOf: degree and id orientation enumerate the identical triangle set") {
+    import spark.implicits._
+    // deterministic 60-node graph with a mid-id hub (node 30 joined to
+    // everything) — a shape where the two orientations pick genuinely
+    // different wedge paths — plus a pseudo-random edge sprinkle
+    val sprinkle = for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+      if (i * 31 + j * 17) % 7 < 2
+    } yield (i, j)
+    val hub = (0L until 60L).filter(_ != 30L)
+      .map(v => (math.min(v, 30L), math.max(v, 30L)))
+    val edges = (sprinkle ++ hub).distinct.toDF("p1", "p2")
+    def setOf(byDegree: Boolean) =
+      Analytics2.trianglesOf(edges, byDegree).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (byDeg, byId) = (setOf(true), setOf(false))
+    assert(byDeg == byId, "orientation changed the triangle set")
+    assert(byDeg.nonEmpty)
+    byDeg.foreach { case (a, b, c) => assert(a < b && b < c) }
+  }
+
   test("q123 Markov transitions: counts conserve rows and shares sum to ~1e6") {
     val rows = q("q123_markov_transitions").collect()
     val nEvents = graft.Tables(spark, sf, "events").count()

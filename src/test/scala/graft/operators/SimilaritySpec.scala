@@ -214,4 +214,38 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cs >= -1.0001 && cs <= 1.0001)
     }
   }
+
+  test("q224 routes an over-dense cluster through the IVF star the cap alone drops") {
+    // 20 bit-identical all-positive vectors: every 8-bit band bucket
+    // they occupy holds 20 > RoutedCap=6 members, so the LSH half
+    // contributes NONE of their pairs — exactly the under-reporting
+    // the r9 caps documented. The routed fallback must still connect
+    // every member to the cluster's canonical (min id) via the IVF
+    // star. A mixed-sign clone pair rides along in sparse buckets to
+    // prove the LSH half still works beside the route.
+    val hotBase = Array.tabulate(64)(k => 1.0f + (k % 5))
+    val hot = (0 until 20).map(i => (100L + i) -> hotBase.clone())
+    val base = Array.tabulate(64)(k => if (k % 3 == 0) -2.0f - k else 1.5f + k)
+    val out = Similarity.bandNeardupRoutedOf(
+      embDf(hot ++ Seq(1L -> base, 2L -> base.clone()))).collect()
+    val lsh = out.filter(_.getAs[String]("via") == "lsh")
+    val ivf = out.filter(_.getAs[String]("via") == "ivf")
+    assert(lsh.length == 1 && lsh.head.getAs[Long]("vec_a") == 1L &&
+      lsh.head.getAs[Long]("vec_b") == 2L)
+    // every non-canonical member pairs with the canonical, cosine 1.0
+    assert(ivf.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      == (101L to 119L).map(b => (100L, b)).toSet)
+    assert(ivf.forall(_.getAs[Double]("cos_sim") == 1.0))
+  }
+
+  test("q224 gate table populates BOTH via channels with disjoint ordered pairs") {
+    val rows = q("q224_routed_neardup").collect()
+    val vias = rows.map(_.getAs[String]("via")).toSet
+    assert(vias == Set("lsh", "ivf"),
+      s"routing threshold no longer splits the gate corpus: $vias")
+    rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    // channel disjointness: the anti-join keeps one row per pair
+    val pairs = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.length == pairs.distinct.length)
+  }
 }
