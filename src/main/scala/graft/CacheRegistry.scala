@@ -79,6 +79,21 @@ object CacheRegistry {
     ()
   }
 
+  /** Release ONE keyed relation: unpersist it and drop the memo entry
+    * so a later [[getOrPersist]] with the same key rebuilds a fresh
+    * persisted instance (calling unpersist directly on the returned
+    * DataFrame would leave the memo serving an unpersisted relation —
+    * r9 ADVICE).
+    */
+  def release(spark: SparkSession, key: String): Unit = {
+    val k = sid(spark)
+    memo.remove((k, key)).foreach { df =>
+      df.unpersist(blocking = false)
+      owned.updateWith(k)(_.map(_.filterNot(_ eq df)))
+    }
+    ()
+  }
+
   /** Unpersist every relation this session registered. */
   def clear(spark: SparkSession): Unit = {
     val k = sid(spark)

@@ -478,9 +478,10 @@ object ScaleEvidence {
         .select(col("id").as("p1"), lit(hubId).as("p2"))
       val hubHi = spark.range(hubSide)
         .select(lit(hubId).as("p1"), (col("id") + hubId + 1).as("p2"))
-      // close 1000 hub triangles (lo_i, hub, hi_i) so the hub's own
-      // triangles are part of the exactness invariant
-      val close = spark.range(1000L)
+      // close hub triangles (lo_i, hub, hi_i) so the hub's own
+      // triangles are part of the exactness invariant (clamped to the
+      // hub's actual neighbor span for small smoke runs)
+      val close = spark.range(math.min(1000L, hubSide))
         .select(col("id").as("p1"), (col("id") + hubId + 1).as("p2"))
       // planted disjoint triangles for count volume
       val tri = spark.range(plantedTri).select((col("id") * 3 + plantBase).as("x"))
@@ -489,8 +490,9 @@ object ScaleEvidence {
         .union(tri.select(col("x").as("p1"), (col("x") + 2).as("p2")))
       chain.union(hubLo).union(hubHi).union(close).union(triE)
     }
-    val expectTri = plantedTri + 1000L
-    val triInput = triEdges + 2 * hubSide + 1000L + 3 * plantedTri
+    val hubClosed = math.min(1000L, hubSide)
+    val expectTri = plantedTri + hubClosed
+    val triInput = triEdges + 2 * hubSide + hubClosed + 3 * plantedTri
     // AQE's skew splitter can only split a skewed partition's READ —
     // it cannot split one key's join output — but keep it OFF anyway
     // so the A/B is pure plan shape, like the Components path
@@ -519,6 +521,44 @@ object ScaleEvidence {
     }
     println(s"[scale] B (degree-oriented) wedge stage: ${wedgeWriteSkew()}")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    // ---- 9. Routed cap→IVF near-dup (q224) over ×reps vectors ----
+    // The IVF side of the similarity surface was the one path still
+    // unmeasured at ×100 (r9 verdict #3). At this volume the 8-bit
+    // bands average ~800 members/bucket, far over the routing cap, so
+    // essentially the WHOLE corpus flows through the Lloyd-cell star —
+    // this is the fallback regime the caps point at. Invariants:
+    //   - linearity: the star is O(members), never members²;
+    //   - clone connectivity: a bit-identical clone lands in the same
+    //     Lloyd cell as its source (deterministic tie-break), so both
+    //     connect to ONE canonical — the exact property the routed
+    //     composition claims to preserve for downstream components.
+    measure(s"Similarity.bandNeardupRoutedOf (q224 shape, ×$embReps vectors)",
+        baseEmb * embReps + clones + hotVecs) {
+      val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
+      val pairs = Similarity.bandNeardupRoutedOf(scaled)
+      val ivf = pairs.filter(col("via") === "ivf")
+        .select(col("vec_a"), col("vec_b")).persist()
+      val nPairs = pairs.count()
+      require(nPairs < (baseEmb * embReps + clones + hotVecs) * 20,
+        s"routed pair explosion: $nPairs pairs for ${baseEmb * embReps} vectors")
+      // every planted clone is non-canonical (ids +1e9 are the largest)
+      // so it must surface exactly once as a star member
+      val cl = ivf.filter(col("vec_b") >= 1000000000L)
+        .select((col("vec_b") - 1000000000L).as("src"), col("vec_a").as("ca"))
+      val nClone = cl.count()
+      require(nClone == clones,
+        s"clone star membership $nClone != $clones")
+      // ...and its canonical must be its source's canonical (or the
+      // source itself, when the source is the cell minimum)
+      val srcCanon = ivf.select(col("vec_b").as("src"), col("vec_a").as("cs"))
+      val bad = cl.join(srcCanon, Seq("src"), "left")
+        .filter(!(col("ca") === col("cs") || col("ca") === col("src")))
+        .count()
+      require(bad == 0, s"$bad clones disconnected from their source's cell")
+      ivf.unpersist()
+      println(s"[scale] routed pairs at ×$embReps: $nPairs ($nClone clone stars)")
+    }
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")
     println("|---|---|---|---|---|---|---|---|")

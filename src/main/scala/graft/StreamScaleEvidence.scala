@@ -21,7 +21,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     be RETAINED past its own join window and emitted null-padded
   *     only once the watermark proves no match can arrive, so a bug
   *     here shows up as either lost unmatched rows (early eviction)
-  *     or unbounded state (rows never released).
+  *     or unbounded state (rows never released);
+  *   - q113 shape (r10): FULL OUTER — BOTH sides carry the
+  *     retain-past-window obligation. Mirroring the gate query, the
+  *     join itself streams (append; unmatched rows watermark-gated on
+  *     each side) and the per-day aggregation runs batch-side over
+  *     the sink, so the oracle compare is restricted to days the
+  *     emission horizon has provably finalized.
   *
   * Exactness invariant per shape: every emitted day window must equal
   * the batch oracle computed over the SAME DSv2 source in batch mode
@@ -34,7 +40,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * 1 s per row, so the watermark advances naturally batch over batch
   * and join/window state is CONSTANTLY evicted behind it: final state
   * rows measure the steady-state watermark footprint, not the corpus.
-  * SCALE_STREAM_SHAPE=q219|q103|both (default both) selects the run.
+  * SCALE_STREAM_SHAPE=q219|q103|q113|all (default all) selects the run
+  * (`both` keeps its r9 meaning: q219+q103).
   */
 object StreamScaleEvidence {
 
@@ -46,7 +53,7 @@ object StreamScaleEvidence {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     val n = sys.env.get("SCALE_STREAM_ROWS").map(_.toLong).getOrElse(10000000L)
     val nBatches = sys.env.get("SCALE_STREAM_BATCHES").map(_.toInt).getOrElse(20)
-    val shape = sys.env.getOrElse("SCALE_STREAM_SHAPE", "both")
+    val shape = sys.env.getOrElse("SCALE_STREAM_SHAPE", "all")
     // GraftSession disables RocksDB's numKeys bookkeeping (a
     // read-before-every-write serving only the metric); an EVIDENCE
     // run is exactly the consumer that metric exists for, so flip it
@@ -184,8 +191,110 @@ object StreamScaleEvidence {
           s"${expectedDays + 1}] (eviction stuck or watermark runaway)")
     }
 
-    if (shape == "q219" || shape == "both") runShape("q219", outer = false)
-    if (shape == "q103" || shape == "both") runShape("q103", outer = true)
+    /** q113 shape: FULL OUTER interval join, both-side null emission.
+      * Structural unmatched volume on BOTH sides: clicks restricted to
+      * user < 900 (users 900+ ⇒ lonely purchases, as in q103) and
+      * purchases to user ≥ 100 (users 0–99 ⇒ lonely clicks). The gate
+      * query aggregates on the SINK, so this harness does too: the
+      * joined rows stream (matched rows emit when both sides arrive;
+      * unmatched rows emit watermark-gated per side), the per-day
+      * rollup runs batch-side over the sink table, and the oracle
+      * compare covers only days the emission horizon has provably
+      * finalized (tail days are legitimately incomplete on their
+      * LONELY counts — that is watermark semantics, not a bug).
+      */
+    def runFullOuter(): Unit = {
+      stats.clear()
+      def dayAgg(j: org.apache.spark.sql.DataFrame) = j
+        .select(coalesce(col("p_ts"), col("c_ts")).as("ts"),
+          col("p_ts"), col("c_ts"))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_lonely_p"),
+          sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_lonely_c"))
+        .select(col("window.start").as("day"), col("n_rows"),
+          col("n_lonely_p"), col("n_lonely_c"))
+      def foj(ev: org.apache.spark.sql.DataFrame) = {
+        val p = ev.filter(col("event_type") === "purchase" && col("user_id") >= 100)
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click" && col("user_id") < 900)
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+          .select(col("p_ts"), col("c_ts"))
+      }
+      val ev = evOf(spark.readStream.format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString)
+          .option("rowsPerBatch", math.max(n / nBatches, 1L).toString).load())
+        .withWatermark("ts", "3 hours")
+      val t0 = System.nanoTime()
+      val q = foj(ev).writeStream.outputMode("append")
+        .format("memory").queryName("stream_scale_q113").start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+
+      val emitted = dayAgg(spark.table("stream_scale_q113"))
+      val oracle = dayAgg(foj(evOf(spark.read
+          .format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString).load())))
+        .select(col("day"), col("n_rows").as("o_rows"),
+          col("n_lonely_p").as("o_lp"), col("n_lonely_c").as("o_lc"))
+      val expectedDays = n / 86400L
+      val batchSpanDays = n.toDouble / math.max(nBatches, 1) / 86400.0
+      val safeDays = expectedDays - (batchSpanDays + 2).ceil.toLong
+      // the generator's epoch is a real date, not 0 — anchor the safe
+      // horizon to the data's own first day (from the batch oracle)
+      val day0 = oracle.agg(min(col("day").cast("long"))).collect()(0).getLong(0)
+      val safe = emitted.filter(col("day").cast("long") < day0 + safeDays * 86400L)
+      // inner join: a safe day missing from the oracle is impossible
+      // (emitted days ⊆ data days), a safe day missing from EMITTED is
+      // caught by the nSafe == safeDays requirement below
+      val joined = safe.join(oracle, Seq("day"))
+      val mismatches = joined
+        .filter(col("o_rows") =!= col("n_rows") ||
+          col("o_lp") =!= col("n_lonely_p") || col("o_lc") =!= col("n_lonely_c"))
+        .count()
+      val nSafe = safe.count()
+      val Seq(lp, lc) = {
+        val r = safe.agg(coalesce(sum(col("n_lonely_p")), lit(0L)),
+          coalesce(sum(col("n_lonely_c")), lit(0L))).collect()(0)
+        Seq(r.getLong(0), r.getLong(1))
+      }
+      val rows = stats.toArray(Array.empty[BatchStat])
+        .filter(b => b.query == "stream_scale_q113" && b.inputRows > 0)
+        .sortBy(_.batchId)
+      println(s"\n### shape q113")
+      println("| batch | input rows | batch s | state rows | state MB | commit ms |")
+      println("|---|---|---|---|---|---|")
+      rows.foreach { b =>
+        println(f"| ${b.batchId} | ${b.inputRows} | ${b.durMs / 1000.0}%.1f " +
+          f"| ${b.stateRows} | ${b.stateMemBytes / 1e6}%.1f | ${b.commitMs} |")
+      }
+      val maxState = if (rows.nonEmpty) rows.map(_.stateRows).max else 0L
+      val lastState = if (rows.nonEmpty) rows.last.stateRows else 0L
+      val maxCommit = if (rows.nonEmpty) rows.map(_.commitMs).max else 0L
+      println(f"\nSUMMARY[q113] rows=$n batches=${rows.size} wall=$secs%.1f s " +
+        f"(${n / secs}%.0f ev/s) safeDays=$nSafe/$safeDays " +
+        f"lonelyPurchases=$lp lonelyClicks=$lc " +
+        f"maxStateRows=$maxState finalStateRows=$lastState maxCommitMs=$maxCommit")
+
+      require(nSafe == safeDays,
+        s"[q113] $nSafe finalized day windows, expected $safeDays " +
+          "(lost days = dropped rows somewhere before the horizon)")
+      require(mismatches == 0,
+        s"[q113] $mismatches finalized days disagree with the batch oracle")
+      require(lp > 0 && lc > 0,
+        s"[q113] both-side null emission not exercised: lonelyP=$lp lonelyC=$lc")
+    }
+
+    if (shape == "q219" || shape == "both" || shape == "all")
+      runShape("q219", outer = false)
+    if (shape == "q103" || shape == "both" || shape == "all")
+      runShape("q103", outer = true)
+    if (shape == "q113" || shape == "all") runFullOuter()
     spark.stop()
   }
 }

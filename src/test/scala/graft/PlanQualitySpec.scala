@@ -579,14 +579,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // constant per row), deleting a full hash exchange of the
     // pipeline's largest relation. This pins the plan shape: the only
     // shuffle left is the df-cap window's by-shingle exchange.
-    // fixed key (repeat runs reuse one registry entry) + explicit
-    // unpersist after the assertion so the 270k-row relation doesn't
+    // fixed key (repeat runs reuse one registry entry) + registry
+    // release after the assertion so the 270k-row relation doesn't
     // occupy storage memory for the rest of the shared-session suite
+    // (release, not a bare unpersist: the registry memo must not keep
+    // serving an unpersisted relation under this key — r9 ADVICE)
     val df = operators.TextDedup.filteredShinglesOf(
       spark, graft.Tables(spark, sf, "documents"), "planquality-shingle-guard")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    df.unpersist(blocking = false)
+    graft.CacheRegistry.release(spark, "textdedup.shingles:planquality-shingle-guard")
     // the plan dump repeats the one exchange (AQE initial+final plans,
     // nested again under InMemoryRelation) — assert on the KEY SET:
     // the old distinct shuffle was keyed (doc_id, shingle), so any
