@@ -49,6 +49,23 @@ object Analytics2 {
     * after enumeration (least/sum/greatest — exact on long ids) so
     * callers and oracles never see the orientation.
     */
+  /** Auto-oriented form the gate queries use: degree orientation only
+    * ENGAGES above `spark.graft.triangles.degreeOrientMinEdges`
+    * (default 1M — the [[Components]] hotSplitMinNodes pattern). Below
+    * that the whole graph is a handful of tasks, no key can dominate
+    * one, and the two degree joins are pure overhead — measured at
+    * sf0.1 they cost 0.45 → 2.5 s isolated on a 3k-edge graph, bought
+    * nothing. Orientation cannot change the triangle set (see
+    * [[trianglesOf]]), so the switch is invisible to the oracles; the
+    * edge count is one aggregate over the already-persisted pair
+    * relation. */
+  private[graft] def trianglesAuto(edges: DataFrame): DataFrame = {
+    val minEdges = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.degreeOrientMinEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    trianglesOf(edges, byDegree = edges.count() >= minEdges)
+  }
+
   private[graft] def trianglesOf(edges: DataFrame,
       byDegree: Boolean = true): DataFrame = {
     val oriented =
@@ -791,7 +808,7 @@ object Analytics2 {
     }),
 
     "q126_copurchase_triangles" -> ((s, d) =>
-      trianglesOf(copurchasePairs(s, d).filter(col("n_pair") >= 2)
+      trianglesAuto(copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2")))),
 
     // q188: per-node CLUSTERING COEFFICIENT on the same thresholded
@@ -806,7 +823,7 @@ object Analytics2 {
     "q188_clustering_coeff" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
-      val tri = trianglesOf(edges)
+      val tri = trianglesAuto(edges)
       val tcnt = tri.select(col("a").as("v"))
         .union(tri.select(col("b")))
         .union(tri.select(col("c")))
