@@ -133,11 +133,24 @@ object Similarity {
 
   /** q224 routing threshold / IVF shape: buckets with more than
     * [[RoutedCap]] members leave LSH pair generation and their members
-    * are routed through a [[RoutedK]]-cell Lloyd quantizer instead.
-    * At the gate SFs the 8-bit occupancy histogram spans 1–20, so cap
-    * 6 puts real vectors on BOTH sides of the route. */
+    * are routed through a Lloyd quantizer instead. At the gate SFs the
+    * 8-bit occupancy histogram spans 1–20, so cap 6 puts real vectors
+    * on BOTH sides of the route.
+    *
+    * The cell count SIZES ITSELF to the overflow volume (r10, closing
+    * BASELINE §K's soft spot (b)): k = clamp(⌈members/500⌉, 4, 64) via
+    * exact integer arithmetic, mirrored in the oracle as a scalar
+    * subquery over the same overflow CTE — at the gate SFs the rule
+    * lands on k = 4 (outputs unchanged), at ScaleEvidence's ×100
+    * volume on k = 64, keeping cells ~target-sized instead of letting
+    * one fixed quantizer absorb any corpus. The count that feeds the
+    * rule is one aggregate over the overflow relation — the same
+    * data-dependent-plan pattern as Components' hot split and
+    * trianglesAuto. */
   private val RoutedCap = 6
-  private val RoutedK = 4
+  private val RoutedKMin = 4
+  private val RoutedKMax = 64
+  private val RoutedTargetCell = 500
   private val RoutedIters = 2
 
   /** The cap→IVF composition the r9 occupancy caps only DOCUMENTED
@@ -187,10 +200,14 @@ object Similarity {
       .select(col("vec_id")).distinct()
     val ovEmb = emb.join(ovIds, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    // deterministic init: the subset's RoutedK smallest vec_ids.
+    // size the quantizer to the overflow volume (see constants above);
+    // the count is the operator's one data-dependent plan decision
+    val k = math.max(RoutedKMin.toLong, math.min(RoutedKMax.toLong,
+      (ovEmb.count() + RoutedTargetCell - 1) / RoutedTargetCell)).toInt
+    // deterministic init: the subset's k smallest vec_ids.
     // orderBy+limit is a distributed TakeOrderedAndProject; the
-    // unpartitioned window after it runs over ≤ RoutedK rows only.
-    val init = ovEmb.orderBy(col("vec_id")).limit(RoutedK)
+    // unpartitioned window after it runs over ≤ k rows only.
+    val init = ovEmb.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), col("embedding").as("cv"))
@@ -761,7 +778,9 @@ object Similarity {
            |   JOIN occ USING (band, bits) WHERE n > $RoutedCap)),
            |c0 AS (SELECT cid, cv FROM (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
-           |   embedding AS cv FROM e) WHERE cid < $RoutedK),
+           |   embedding AS cv FROM e) WHERE cid < (
+           |  SELECT GREATEST($RoutedKMin, LEAST($RoutedKMax,
+           |   (count(*) + ${RoutedTargetCell - 1}) // $RoutedTargetCell)) FROM e)),
            |${lloyd.mkString(",\n")},
            |canon AS (SELECT cid, min(vec_id) AS vec_a FROM afinal GROUP BY cid),
            |ivf AS (SELECT c.vec_a, a.vec_id AS vec_b
