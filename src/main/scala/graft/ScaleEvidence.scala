@@ -98,6 +98,15 @@ object ScaleEvidence {
       reps: Long): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text")).as("text"))
+      // the base table is ONE parquet file = one input split; without
+      // this spread the ×reps explode fans out INSIDE that single
+      // partition and the whole map front of every consumer runs on
+      // one core (discovered r10: "stage A ≈ 48 s tokenization CPU"
+      // was ~44 s of single-task serialization — the same chain runs
+      // in ~2 s spread over 32). A real 100 TB input arrives as many
+      // splits; the repartition of the TINY base is what makes the
+      // harness corpus resemble one.
+      .repartition(32, col("doc_id"))
       .withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
       .select((col("doc_id") * reps + col("rep")).as("doc_id"),
         expr("replace(regexp_replace(text, '(\\\\S+ \\\\S+ \\\\S+ \\\\S+) ', " +
@@ -121,6 +130,7 @@ object ScaleEvidence {
       reps: Long, clones: Long, hotVecs: Long): DataFrame = {
     val base = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+      .repartition(32, col("vec_id")) // single-file base: see saltedCorpus
     val rep = base.withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
       .select((col("vec_id") * reps + col("rep")).as("vec_id"),
         expr("transform(embedding, (x, i) -> CASE WHEN pmod(xxhash64(rep, i), 2) = 0" +
@@ -153,6 +163,7 @@ object ScaleEvidence {
       : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
     import spark.implicits._
     val base = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      .repartition(32, col("doc_id")) // single-file base: see saltedCorpus
     val rep = base.withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
       .select((col("doc_id") * reps + col("rep")).as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
