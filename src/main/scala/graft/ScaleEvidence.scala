@@ -547,7 +547,7 @@ object ScaleEvidence {
     measure(s"Similarity.bandNeardupRoutedOf (q224 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
-      val pairs = Similarity.bandNeardupRoutedOf(scaled)
+      val pairs = Similarity.bandNeardupRoutedOf(scaled, s"scale$embReps")
       val ivf = pairs.filter(col("via") === "ivf")
         .select(col("vec_a"), col("vec_b")).persist()
       val nPairs = pairs.count()

@@ -170,13 +170,20 @@ object Similarity {
     * oracle-mirrored (band occupancy, subset Lloyd unroll, canonical
     * star, NOT EXISTS dedup) — no half is gate-exempt.
     */
-  private[graft] def bandNeardupRoutedOf(emb: DataFrame): DataFrame = {
+  private[graft] def bandNeardupRoutedOf(emb: DataFrame,
+      key: String = "gate"): DataFrame = {
     val bands = emb.select(col("vec_id"), explode(array((0 until 8).map { b =>
       struct(lit(b).as("band"), band8Spark(b).as("bits"))
     }: _*)).as("p"))
       .select(col("vec_id"), col("p.band").as("band"), col("p.bits").as("bits"))
     val w = Window.partitionBy(col("band"), col("bits"))
-    val withOcc = bands.withColumn("occ", count(lit(1)).over(w))
+    // persisted: THREE consumers read it (the kept-bucket pair path,
+    // the overflow-id path, and the k-sizing count) — without the
+    // persist each one re-runs the scan + occupancy window
+    val withOcc = graft.CacheRegistry.getOrPersist(emb.sparkSession,
+      s"similarity.routedbands:$key") {
+      bands.withColumn("occ", count(lit(1)).over(w))
+    }
     val kept = withOcc.filter(col("occ") <= RoutedCap)
       .select(col("vec_id"), col("band"), col("bits"))
     val e = emb.withColumn("nrm", vec_norm(col("embedding")))
@@ -388,7 +395,7 @@ object Similarity {
     // IVF canonical-star pairs for members of over-dense buckets (the
     // wired form of the cap→IVF fallback q223/q147 document).
     "q224_routed_neardup" -> ((s, d) =>
-      bandNeardupRoutedOf(t(s, d, "embeddings"))),
+      bandNeardupRoutedOf(t(s, d, "embeddings"), d)),
 
     // q62: the IVF search path end-to-end, fully oracled — with the
     // `label` column standing in as the coarse partition (cells).

@@ -227,7 +227,7 @@ class SimilaritySpec extends AnyFunSuite {
     val hot = (0 until 20).map(i => (100L + i) -> hotBase.clone())
     val base = Array.tabulate(64)(k => if (k % 3 == 0) -2.0f - k else 1.5f + k)
     val out = Similarity.bandNeardupRoutedOf(
-      embDf(hot ++ Seq(1L -> base, 2L -> base.clone()))).collect()
+      embDf(hot ++ Seq(1L -> base, 2L -> base.clone())), "spec-routed").collect()
     val lsh = out.filter(_.getAs[String]("via") == "lsh")
     val ivf = out.filter(_.getAs[String]("via") == "ivf")
     assert(lsh.length == 1 && lsh.head.getAs[Long]("vec_a") == 1L &&
