@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Analytics2, Components, ScalableRank, Similarity, TextDedup}
 
 /** Measured (not argued) scale evidence for the scale-critical
-  * primitives (r7 verdict #5; five batch paths, plus the q223 banded
-  * embedding near-dup added in r9): feed each one 50–2000× the sf0.1
-  * input volume it normally sees and record, from real task metrics,
-  * whether any task absorbs a super-linear share of the work.
+  * primitives (r7 verdict #5; grown to NINE batch paths — r9 added
+  * the q223 banded embedding near-dup and the q147 fingerprint path,
+  * r10 the triangle-orientation A/B and the q224 routed cap→IVF
+  * near-dup): feed each one 50–2000× the sf0.1 input volume it
+  * normally sees and record, from real task metrics, whether any
+  * task absorbs a super-linear share of the work.
   *
   * `runMain graft.ScaleEvidence` prints one markdown row per path:
   * input rows, wall time, and for the heaviest shuffle stage of the
