@@ -315,6 +315,27 @@ class PlanQualitySpec extends AnyFunSuite {
       t2.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("q126 keeps the legacy id-oriented plan below the orientation threshold") {
+    // trianglesAuto engages the degree-oriented wedge join only above
+    // 1M edges (r10): at gate scale the two degree joins are pure
+    // overhead (measured 0.45 → ~2.5 s isolated), so the gate plan
+    // must NOT contain the degree relation. Probe: the degree
+    // columns (aliased d1/d2 at the orientation join) appear in the
+    // plan iff the degree-oriented branch was taken.
+    val df = SparkEntry.queries("q126_copurchase_triangles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("d1#"),
+      s"gate-scale q126 took the degree-oriented branch:\n${plan.take(1200)}")
+    // sanity of the probe: the degree-oriented form DOES carry d1
+    import spark.implicits._
+    val tiny = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("p1", "p2")
+    val deg = operators.Analytics2.trianglesOf(tiny, byDegree = true)
+    assert(deg.queryExecution.executedPlan.toString.contains("d1#"))
+    assert(deg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("q147/q148 share one persisted media-fingerprint pair relation") {
     // identical memoized instance: the signature scan + band join runs
     // once per session+dir however many queries consume the pairs
