@@ -549,28 +549,48 @@ object ScaleEvidence {
     measure(s"Similarity.bandNeardupRoutedOf (q224 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
-      val pairs = Similarity.bandNeardupRoutedOf(scaled, s"scale$embReps")
-      val ivf = pairs.filter(col("via") === "ivf")
-        .select(col("vec_a"), col("vec_b")).persist()
-      val nPairs = pairs.count()
+      val allPairs = Similarity.bandNeardupRoutedOf(scaled, s"scale$embReps")
+        .select(col("vec_a"), col("vec_b"), col("via")).persist()
+      val nPairs = allPairs.count()
       require(nPairs < (baseEmb * embReps + clones + hotVecs) * 20,
         s"routed pair explosion: $nPairs pairs for ${baseEmb * embReps} vectors")
-      // every planted clone is non-canonical (ids +1e9 are the largest)
-      // so it must surface exactly once as a star member
-      val cl = ivf.filter(col("vec_b") >= 1000000000L)
-        .select((col("vec_b") - 1000000000L).as("src"), col("vec_a").as("ca"))
-      val nClone = cl.count()
-      require(nClone == clones,
-        s"clone star membership $nClone != $clones")
-      // ...and its canonical must be its source's canonical (or the
-      // source itself, when the source is the cell minimum)
-      val srcCanon = ivf.select(col("vec_b").as("src"), col("vec_a").as("cs"))
-      val bad = cl.join(srcCanon, Seq("src"), "left")
-        .filter(!(col("ca") === col("cs") || col("ca") === col("src")))
-        .count()
-      require(bad == 0, s"$bad clones disconnected from their source's cell")
-      ivf.unpersist()
-      println(s"[scale] routed pairs at ×$embReps: $nPairs ($nClone clone stars)")
+      // Connectivity invariant, CHANNEL-AGNOSTIC (review r10: the
+      // earlier ivf-only form both over-asserted — a clone whose
+      // buckets all sit under the cap legitimately surfaces via lsh,
+      // so small-reps smoke runs would fail spuriously — and UNDER-
+      // asserted: its disconnection filter compared a possibly-null
+      // canonical with `===`, so the NULL row it existed to catch was
+      // silently dropped). Every planted clone (src = base·reps,
+      // clone = src + 1e9 — ids known a priori, so an entirely ABSENT
+      // clone is caught too) must be connected to its source: a direct
+      // (src, clone) pair in either channel, or both routed to the
+      // same canonical star (clone's canonical == source, or == the
+      // source's own canonical).
+      val ivf = allPairs.filter(col("via") === "ivf")
+      val expect = spark.range(clones)
+        .select((col("id") * embReps).as("src"),
+          (col("id") * embReps + 1000000000L).as("clone"))
+      val direct = allPairs
+        .select(col("vec_a").as("src"), col("vec_b").as("clone"), lit(1).as("d"))
+      val canonOf = ivf.select(col("vec_b").as("m"), col("vec_a").as("c"))
+      val checked = expect
+        .join(direct, Seq("src", "clone"), "left")
+        .join(canonOf.select(col("m").as("clone"), col("c").as("cc")),
+          Seq("clone"), "left")
+        .join(canonOf.select(col("m").as("src"), col("c").as("cs")),
+          Seq("src"), "left")
+        .select(col("src"), col("clone"),
+          // cc.isNotNull guards the <=>: both-absent-from-ivf would
+          // otherwise read as null<=>null = connected
+          (col("d").isNotNull || (col("cc").isNotNull &&
+            (col("cc") === col("src") || col("cc") <=> col("cs")))).as("ok"))
+      val disconnected = checked.filter(!coalesce(col("ok"), lit(false))).count()
+      require(disconnected == 0,
+        s"$disconnected planted clones not connected to their source")
+      val nCloneStars = ivf.filter(col("vec_b") >= 1000000000L).count()
+      allPairs.unpersist()
+      println(s"[scale] routed pairs at ×$embReps: $nPairs " +
+        s"($nCloneStars clone star members, $clones clones all connected)")
     }
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")

@@ -230,13 +230,25 @@ object StreamScaleEvidence {
           .option("numRows", n.toString)
           .option("rowsPerBatch", math.max(n / nBatches, 1L).toString).load())
         .withWatermark("ts", "3 hours")
+      // sink to DISK, not the memory sink: this shape emits every
+      // joined row (~n of them), and a driver-resident sink would make
+      // the harness's ceiling its own heap rather than the join state
+      // under test (review r10); q219/q103 aggregate in-stream so
+      // their ~115-row sinks stay in memory
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft-streamscale-q113").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-streamscale-q113-ckpt").toString
       val t0 = System.nanoTime()
       val q = foj(ev).writeStream.outputMode("append")
-        .format("memory").queryName("stream_scale_q113").start()
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .queryName("stream_scale_q113").start()
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
 
-      val emitted = dayAgg(spark.table("stream_scale_q113"))
+      val emitted = dayAgg(spark.read
+        .schema("p_ts timestamp, c_ts timestamp").parquet(sinkDir))
       val oracle = dayAgg(foj(evOf(spark.read
           .format("graft.sources.SyntheticEvents")
           .option("numRows", n.toString).load())))
@@ -244,7 +256,12 @@ object StreamScaleEvidence {
           col("n_lonely_p").as("o_lp"), col("n_lonely_c").as("o_lc"))
       val expectedDays = n / 86400L
       val batchSpanDays = n.toDouble / math.max(nBatches, 1) / 86400.0
-      val safeDays = expectedDays - (batchSpanDays + 2).ceil.toLong
+      // clamped at 0: a smoke run shorter than the tail slack has no
+      // provably-finalized day, and the assertions below degrade to
+      // vacuous rather than failing a healthy stream (review r10 — the
+      // q219/q103 shape's range check already degrades this way)
+      val safeDays =
+        math.max(0L, expectedDays - (batchSpanDays + 2).ceil.toLong)
       // the generator's epoch is a real date, not 0 — anchor the safe
       // horizon to the data's own first day (from the batch oracle)
       val day0 = oracle.agg(min(col("day").cast("long"))).collect()(0).getLong(0)
@@ -286,8 +303,11 @@ object StreamScaleEvidence {
           "(lost days = dropped rows somewhere before the horizon)")
       require(mismatches == 0,
         s"[q113] $mismatches finalized days disagree with the batch oracle")
-      require(lp > 0 && lc > 0,
-        s"[q113] both-side null emission not exercised: lonelyP=$lp lonelyC=$lc")
+      if (safeDays > 0)
+        require(lp > 0 && lc > 0,
+          s"[q113] both-side null emission not exercised: lonelyP=$lp lonelyC=$lc")
+      else
+        println("[q113] run shorter than the emission tail — assertions vacuous")
     }
 
     if (shape == "q219" || shape == "both" || shape == "all")

@@ -23,6 +23,23 @@ object Analytics2 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Auto-oriented form the gate queries use: degree orientation only
+    * ENGAGES above `spark.graft.triangles.degreeOrientMinEdges`
+    * (default 1M — the [[Components]] hotSplitMinNodes pattern). Below
+    * that the whole graph is a handful of tasks, no key can dominate
+    * one, and the two degree joins are pure overhead — measured at
+    * sf0.1 they cost 0.45 → 2.5 s isolated on a 3k-edge graph, bought
+    * nothing. Orientation cannot change the triangle set (see
+    * [[trianglesOf]]), so the switch is invisible to the oracles; the
+    * edge count is one aggregate over the already-persisted pair
+    * relation. */
+  private[graft] def trianglesAuto(edges: DataFrame): DataFrame = {
+    val minEdges = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.degreeOrientMinEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    trianglesOf(edges, byDegree = edges.count() >= minEdges)
+  }
+
   /** Distributed triangle enumeration over an undirected edge list
     * (columns `p1 < p2`, one row per edge) → id-sorted corner triples
     * `(a < b < c)`.
@@ -49,23 +66,6 @@ object Analytics2 {
     * after enumeration (least/sum/greatest — exact on long ids) so
     * callers and oracles never see the orientation.
     */
-  /** Auto-oriented form the gate queries use: degree orientation only
-    * ENGAGES above `spark.graft.triangles.degreeOrientMinEdges`
-    * (default 1M — the [[Components]] hotSplitMinNodes pattern). Below
-    * that the whole graph is a handful of tasks, no key can dominate
-    * one, and the two degree joins are pure overhead — measured at
-    * sf0.1 they cost 0.45 → 2.5 s isolated on a 3k-edge graph, bought
-    * nothing. Orientation cannot change the triangle set (see
-    * [[trianglesOf]]), so the switch is invisible to the oracles; the
-    * edge count is one aggregate over the already-persisted pair
-    * relation. */
-  private[graft] def trianglesAuto(edges: DataFrame): DataFrame = {
-    val minEdges = edges.sparkSession.conf
-      .getOption("spark.graft.triangles.degreeOrientMinEdges")
-      .map(_.toLong).getOrElse(1000000L)
-    trianglesOf(edges, byDegree = edges.count() >= minEdges)
-  }
-
   private[graft] def trianglesOf(edges: DataFrame,
       byDegree: Boolean = true): DataFrame = {
     val oriented =

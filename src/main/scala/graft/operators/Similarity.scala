@@ -604,9 +604,24 @@ object Similarity {
     * means are order-free DECIMAL sums cast through DOUBLE→FLOAT
     * (IEEE nearest on both sides).
     */
+  /** DuckDB oracle fragments shared by every unrolled-Lloyd twin
+    * (q48 / q95 / q224): the distance dot product and the
+    * decimal-mean centroid update. ONE definition — a precision or
+    * ordering change here reaches all three oracles at once instead
+    * of silently diverging one of them (review r10).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def duckLloydUpdate(ain: String, cout: String): String =
+    s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
+       | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
+       | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
+       |    unnest(embedding) AS x FROM $ain)
+       | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+
   private def kmeansOracleSql(k: Int, iters: Int): String = {
-    def dot(a: String, b: String) =
-      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def dot(a: String, b: String) = duckDot(a, b)
     def assign(prev: String, out: String, finalStep: Boolean) = {
       val extraSel = if (finalStep) ", d2, vv" else ""
       val extraCol =
@@ -618,12 +633,7 @@ object Similarity {
          |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
          | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
     }
-    def update(ain: String, cout: String) =
-      s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
-         | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
-         | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
-         |    unnest(embedding) AS x FROM $ain)
-         | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    def update(ain: String, cout: String) = duckLloydUpdate(ain, cout)
     val ctes = Seq(
       "e AS (SELECT vec_id, embedding FROM embeddings)",
       s"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < $k)") ++
@@ -638,20 +648,14 @@ object Similarity {
     * construction over array slices), PQ encoding, LUT build, and the
     * decimal-summed ADC ranking. */
   private def pqOracleSql(m: Int, sub: Int, k: Int, iters: Int, nq: Int, topk: Int): String = {
-    def dot(a: String, b: String) =
-      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def dot(a: String, b: String) = duckDot(a, b)
     def assign(src: String, prev: String, out: String) =
       s"""$out AS (SELECT vec_id, cid, embedding FROM (
          | SELECT e.vec_id, c.cid, e.embedding,
          |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
          | FROM $src e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-    def update(ain: String, cout: String) =
-      s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
-         | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
-         | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
-         |    unnest(embedding) AS x FROM $ain)
-         | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    def update(ain: String, cout: String) = duckLloydUpdate(ain, cout)
     val perSub = (0 until m).flatMap { j =>
       val (lo, hi) = (j * sub + 1, (j + 1) * sub)
       Seq(
@@ -756,20 +760,14 @@ object Similarity {
         val bandSelects = (0 until 8).map { b =>
           s"SELECT vec_id, $b AS band, ${band8Duck(b)} AS bits FROM embeddings"
         }.mkString(" UNION ALL ")
-        def dot(a: String, b: String) =
-          s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+        def dot(a: String, b: String) = duckDot(a, b)
         def assign(prev: String, out: String) =
           s"""$out AS (SELECT vec_id, cid, embedding FROM (
              | SELECT e.vec_id, c.cid, e.embedding,
              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
              |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
              | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-        def update(ain: String, cout: String) =
-          s"""$cout AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM (
-             | SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)/count(*) AS m
-             | FROM (SELECT cid, generate_subscripts(embedding,1) AS pos,
-             |    unnest(embedding) AS x FROM $ain)
-             | GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+        def update(ain: String, cout: String) = duckLloydUpdate(ain, cout)
         val lloyd = (1 to RoutedIters).flatMap(i =>
           Seq(assign(s"c${i - 1}", s"a$i"), update(s"a$i", s"c$i"))) :+
           assign(s"c$RoutedIters", "afinal")
