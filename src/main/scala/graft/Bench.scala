@@ -167,21 +167,32 @@ object Bench {
     // with sbt's trailing "[success] Total time ..." line inside it
     // and "parsed": null because the 2.6 KB JSON line lost its head).
     // Budget: 2048 − ~90 (sbt suffix) ⇒ the line must stay under
-    // ~1.9 KB for 206 queries. That fits only as integer CENTISECONDS
-    // ("q_unit":"cs") with the "q" key prefix stripped — measured
-    // 1.86 KB vs 2.45 KB for 2-decimal seconds. Full-precision
-    // seconds with full names are always in the file artifact above.
+    // ~1.9 KB. Integer CENTISECONDS ("q_unit":"cs") with the "q"
+    // prefix and leading zeros stripped was enough at 206 queries but
+    // outgrew the tail at 224 (BENCH_r10 lost q01–q04), so (r11) the
+    // line carries individually only entries ≥ 15 cs — the ones a
+    // perf verdict can act on — and folds the sub-0.15 s tail into
+    // "rest" {n, cs}, reconcilable against "value". Measured 1.59 KB
+    // for 224 queries (vs 2.03 full) with ~370 B of headroom.
+    // Full-precision seconds with full names for EVERY query are
+    // always in the committed file artifact above.
     spark.stop() // stop FIRST: nothing may print after the JSON line
-    val compact = fmt(sorted.map { case (k, v) =>
-      k.takeWhile(_ != '_').stripPrefix("q") ->
-        math.round(v * 100).toString })
+    val restThresholdCs = 15L
+    def key(k: String) = {
+      val id = k.takeWhile(_ != '_').stripPrefix("q").dropWhile(_ == '0')
+      if (id.isEmpty) "0" else id
+    }
+    val cs = sorted.map { case (k, v) => key(k) -> math.round(v * 100) }
+    val (shown, rest) = cs.partition(_._2 >= restThresholdCs)
+    val compact = fmt(shown.map { case (k, v) => k -> v.toString })
     // "failed" is ALWAYS present (12 bytes when empty): the file
     // artifact carries it unconditionally and a consumer indexing
     // parsed["failed"] must not break precisely on clean runs
     val failedCompact = fmt(failures.sortBy(_._1)
-      .map { case (k, _) => k.takeWhile(_ != '_').stripPrefix("q") -> "\"error\"" })
+      .map { case (k, _) => key(k) -> "\"error\"" })
     println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0
-      },"unit":"sec","q_unit":"cs","queries":$compact,"failed":$failedCompact,"sf":"${
+      },"unit":"sec","q_unit":"cs","queries":$compact,"rest":{"n":${rest.size
+      },"cs":${rest.map(_._2).sum}},"failed":$failedCompact,"sf":"${
         new java.io.File(sfDir).getName}"}""")
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries FAILED: " +

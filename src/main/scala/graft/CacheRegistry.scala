@@ -25,6 +25,7 @@ object CacheRegistry {
 
   private val memo = TrieMap.empty[(String, String), DataFrame]
   private val owned = TrieMap.empty[String, List[DataFrame]]
+  private val scalars = TrieMap.empty[(String, String), Long]
   // weak liveness handle per session id, so entries for sessions that
   // were stopped or GC'd without calling clear() can be purged —
   // strong refs here would pin the session (every DataFrame value
@@ -52,8 +53,25 @@ object CacheRegistry {
         live.remove(k)
         owned.remove(k)
         memo.keys.filter(_._1 == k).foreach(memo.remove)
+        scalars.keys.filter(_._1 == k).foreach(scalars.remove)
       }
     }
+
+  /** Memoize a deterministic per-(session, key) Long — e.g. the edge
+    * count that sizes [[graft.operators.Analytics2.trianglesAuto]]'s
+    * orientation decision — so repeated query CONSTRUCTION doesn't
+    * re-run the counting job (r10 ADVICE: building the q126 and q188
+    * plans each triggered the count). Entries die with the session
+    * (purgeDead) but are NOT dropped by [[clear]]: a keyed scalar is a
+    * pure function of the session's input data, so within a session it
+    * cannot go stale the way an unpersisted DataFrame can.
+    */
+  def getOrComputeLong(spark: SparkSession, key: String)(compute: => Long): Long = {
+    purgeDead()
+    val k = sid(spark)
+    live.getOrElseUpdate(k, new java.lang.ref.WeakReference(spark))
+    scalars.getOrElseUpdate((k, key), compute)
+  }
 
   /** Build-or-reuse a persisted relation under `key` (scoped to the
     * session). The relation is persisted lazily; the first action
@@ -84,6 +102,15 @@ object CacheRegistry {
     * persisted instance (calling unpersist directly on the returned
     * DataFrame would leave the memo serving an unpersisted relation —
     * r9 ADVICE).
+    *
+    * CONTRACT — keys must map to DISTINCT logical plans: Spark's
+    * CacheManager dedupes cached blocks by canonicalized plan, so if
+    * two keys were registered for plan-identical relations, releasing
+    * one would also drop the blocks backing the other, whose memo
+    * entry would then serve an unpersisted frame (the exact failure
+    * this method exists to prevent). Spec-pinned in CacheRegistrySpec
+    * ("release contract"); every shipped key embeds the data dir plus
+    * an operator-unique prefix, which keeps plans distinct per key.
     */
   def release(spark: SparkSession, key: String): Unit = {
     val k = sid(spark)

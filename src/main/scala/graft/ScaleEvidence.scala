@@ -421,6 +421,48 @@ object ScaleEvidence {
       println(s"[scale] band near-dup pairs at ×$embReps: $nPairs ($exact exact)")
     }
 
+    // ---- 6b. Legacy 16-bucket embedding near-dup (q37) with the cap
+    // binding ONLY on the planted orthant. Small reps on purpose: at
+    // ×2 every organic 4-bit bucket stays under the 512 cap (measured
+    // gate max 146 at sf0.1), so the output equals the uncapped join
+    // EXCEPT the planted all-positive orthant (hotVecs vectors all in
+    // bucket 15), which must drop whole — zero hot-hot pairs instead
+    // of hotVecs²/2 cosine evals. Clones whose bucket stays under the
+    // cap must still surface at cos 1.0; clones in over-dense buckets
+    // legitimately drop (ONE blocking key — no second band rediscovers
+    // them; q223/q224 are the higher-recall surface). The expected
+    // recall set is computed from the SHIPPED bucketing
+    // (Similarity.q37Bucket), not a reimplementation.
+    val q37Reps = env("SCALE_Q37_REPS", 2L)
+    require(hotVecs > Similarity.MaxQ37BucketOccupancy,
+      s"SCALE_HOT_VECS=$hotVecs must exceed the q37 occupancy cap " +
+        s"(${Similarity.MaxQ37BucketOccupancy}) for the cap invariant to bind")
+    measure(s"Similarity.embeddingNeardupOf (q37 shape, ×$q37Reps vectors)",
+        baseEmb * q37Reps + clones + hotVecs) {
+      val scaled = scaledEmbeddings(spark, sfDir, q37Reps, clones, hotVecs)
+      val wb = scaled.select(col("vec_id"),
+        Similarity.q37Bucket("embedding").as("bucket"))
+      val occ = wb.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      val keptClones = wb.filter(col("vec_id") >= 1000000000L)
+        .join(occ, "bucket")
+        .filter(col("bn") <= Similarity.MaxQ37BucketOccupancy).count()
+      require(keptClones > 0, "harness assumption broken: no planted clone " +
+        "lands in a kept bucket — the recall invariant would be vacuous")
+      val pairs = Similarity.embeddingNeardupOf(scaled)
+      val r = pairs.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("vec_b") - col("vec_a") === 1000000000L &&
+          col("cos_sim") >= lit(1.0), 1L).otherwise(0L)), lit(0L)).as("cl"),
+        coalesce(sum(when(col("vec_a") < 0 && col("vec_b") < 0, 1L)
+          .otherwise(0L)), lit(0L)).as("hotPairs")).collect()(0)
+      val (nPairs, clFound, hotPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(hotPairs == 0,
+        s"q37 occupancy cap failed: $hotPairs hot-orthant pairs")
+      require(clFound >= keptClones,
+        s"kept-bucket clone recall broken: $clFound < $keptClones")
+      println(s"[scale] q37 capped pairs at ×$q37Reps: $nPairs " +
+        s"($clFound/$keptClones kept-bucket clones, 0 hot-orthant pairs)")
+    }
+
     // ---- 7. Media fingerprint near-dup (q147) over ×reps media ----
     val mediaReps = env("SCALE_MEDIA_REPS", 100L)
     val mediaClones = 500L
@@ -510,12 +552,33 @@ object ScaleEvidence {
     // it cannot split one key's join output — but keep it OFF anyway
     // so the A/B is pure plan shape, like the Components path
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    def wedgeWriteSkew(): String = {
-      // the wedge-join stage = the stage with the largest single-task
-      // shuffle write; report its max/mean write balance
+    // The A/B claim is about the wedge join's write skew, but stage
+    // metadata never names "the wedge join", so a max-pick label alone
+    // could mislabel a different exchange (r10 ADVICE). Each report
+    // therefore carries a magnitude assertion that ties it to the
+    // wedge analytically: the A-run's hottest task must carry ≥90% of
+    // the hub's wedge volume hubSide² (25M at defaults — no other
+    // stage of that plan writes within 20× of one task's share of it),
+    // and the B-run's claim quantifies over ALL stages — no task
+    // ANYWHERE writes ≥ hubSide²/10 — which needs no attribution to be
+    // true.
+    def wedgeWriteSkew(expectHub: Boolean): String = {
+      val hubWedges = hubSide * hubSide
+      // the magnitude assertions presume the hub dominates every other
+      // per-task write (true at defaults: 25M hub wedges vs ~300k/task
+      // chain share); a smoke config with a small hub can't support
+      // the claim either way, so it reports without asserting
+      val hubDominates = hubWedges >= triEdges
       lastAggs.filter(_.wrRows > 0).sortBy(-_.wrRowsMax).headOption match {
         case Some(a) =>
           val mean = a.wrRows.toDouble / math.max(a.tasks, 1)
+          if (expectHub && hubDominates) require(a.wrRowsMax >= hubWedges / 10 * 9,
+            s"hottest write task (${a.wrRowsMax} rows) is below the analytic " +
+              s"hub wedge volume $hubWedges — the max-write stage is not the " +
+              "wedge join; attribution invalid")
+          else if (!expectHub && hubDominates) require(a.wrRowsMax < hubWedges / 10,
+            s"a task wrote ${a.wrRowsMax} rows (hub wedge volume $hubWedges) — " +
+              "degree orientation failed to disperse the hub")
           f"max write ${human(a.wrRowsMax)} rows/task, mean ${human(mean.toLong)}, " +
             f"max/mean ${a.wrRowsMax / math.max(mean, 1.0)}%.2f"
         case None => "no shuffle write"
@@ -526,13 +589,13 @@ object ScaleEvidence {
       val n = Analytics2.trianglesOf(triGraph, byDegree = false).count()
       require(n == expectTri, s"id-oriented triangle count $n != $expectTri")
     }
-    println(s"[scale] A (id-oriented) wedge stage: ${wedgeWriteSkew()}")
+    println(s"[scale] A (id-oriented) wedge stage: ${wedgeWriteSkew(expectHub = true)}")
     measure(s"trianglesOf degree-oriented (q126/q188 shape, hub ${2 * hubSide})",
         triInput) {
       val n = Analytics2.trianglesOf(triGraph, byDegree = true).count()
       require(n == expectTri, s"degree-oriented triangle count $n != $expectTri")
     }
-    println(s"[scale] B (degree-oriented) wedge stage: ${wedgeWriteSkew()}")
+    println(s"[scale] B (degree-oriented) wedge stage: ${wedgeWriteSkew(expectHub = false)}")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     // ---- 9. Routed cap→IVF near-dup (q224) over ×reps vectors ----

@@ -33,11 +33,21 @@ object Analytics2 {
     * [[trianglesOf]]), so the switch is invisible to the oracles; the
     * edge count is one aggregate over the already-persisted pair
     * relation. */
-  private[graft] def trianglesAuto(edges: DataFrame): DataFrame = {
+  private[graft] def trianglesAuto(edges: DataFrame,
+      countMemoKey: Option[String] = None): DataFrame = {
     val minEdges = edges.sparkSession.conf
       .getOption("spark.graft.triangles.degreeOrientMinEdges")
       .map(_.toLong).getOrElse(1000000L)
-    trianglesOf(edges, byDegree = edges.count() >= minEdges)
+    // the sizing count is a data-dependent plan decision that runs at
+    // DataFrame-CONSTRUCTION time; keyed callers (q126/q188 share one
+    // edge relation) memoize it so building both plans — or inspecting
+    // one repeatedly — runs the job once per (session, key) (r10 ADVICE)
+    val n = countMemoKey match {
+      case Some(k) =>
+        graft.CacheRegistry.getOrComputeLong(edges.sparkSession, k)(edges.count())
+      case None => edges.count()
+    }
+    trianglesOf(edges, byDegree = n >= minEdges)
   }
 
   /** Distributed triangle enumeration over an undirected edge list
@@ -63,8 +73,8 @@ object Analytics2 {
     * degree distribution. Cost of the guard: two cheap joins against
     * the |V|-row degree relation (broadcast at gate scale, key-
     * partitioned at 100 TB). Corners are re-normalized to id order
-    * after enumeration (least/sum/greatest — exact on long ids) so
-    * callers and oracles never see the orientation.
+    * after enumeration (an in-row sort_array — overflow-free for any
+    * long ids) so callers and oracles never see the orientation.
     */
   private[graft] def trianglesOf(edges: DataFrame,
       byDegree: Boolean = true): DataFrame = {
@@ -90,11 +100,12 @@ object Analytics2 {
     e1.join(e2, col("e1.dst") === col("e2.src"))
       .join(e3, col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
-      .select(least(col("x"), col("y"), col("z")).as("a"),
-        (col("x") + col("y") + col("z")
-          - least(col("x"), col("y"), col("z"))
-          - greatest(col("x"), col("y"), col("z"))).as("b"),
-        greatest(col("x"), col("y"), col("z")).as("c"))
+      // in-row 3-element sort: overflow-free for ANY long ids (the
+      // old x+y−least−greatest middle could overflow near
+      // Long.MaxValue/3 — r10 ADVICE), still no shuffle
+      .select(sort_array(array(col("x"), col("y"), col("z"))).as("s"))
+      .select(col("s").getItem(0).as("a"), col("s").getItem(1).as("b"),
+        col("s").getItem(2).as("c"))
   }
 
   /** Distinct (order, part) pairs and the support-counted co-purchase
@@ -809,7 +820,8 @@ object Analytics2 {
 
     "q126_copurchase_triangles" -> ((s, d) =>
       trianglesAuto(copurchasePairs(s, d).filter(col("n_pair") >= 2)
-        .select(col("p1"), col("p2")))),
+        .select(col("p1"), col("p2")),
+        countMemoKey = Some(s"analytics2.triedgecount:$d"))),
 
     // q188: per-node CLUSTERING COEFFICIENT on the same thresholded
     // co-purchase graph — 2·T(v) / (deg(v)·(deg(v)−1)) in exact
@@ -823,7 +835,10 @@ object Analytics2 {
     "q188_clustering_coeff" -> ((s, d) => {
       val edges = copurchasePairs(s, d).filter(col("n_pair") >= 2)
         .select(col("p1"), col("p2"))
-      val tri = trianglesAuto(edges)
+      // same relation as q126 → same memo key: ONE sizing job per
+      // (session, dir) across both queries
+      val tri = trianglesAuto(edges,
+        countMemoKey = Some(s"analytics2.triedgecount:$d"))
       val tcnt = tri.select(col("a").as("v"))
         .union(tri.select(col("b")))
         .union(tri.select(col("c")))

@@ -300,6 +300,57 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cluster"),
         round(sqrt(col("dist2")), 4).as("dist"))
 
+  /** q37's 4-bit sign bucket over dims 0/16/32/48 (16 buckets total).
+    * Exposed `private[graft]` so [[graft.ScaleEvidence]] computes its
+    * planted-corpus expectations from the SHIPPED bucketing, not a
+    * reimplementation. */
+  private[graft] val q37BucketDims = Seq(0, 16, 32, 48)
+
+  private[graft] def q37Bucket(embCol: String): Column =
+    expr(q37BucketDims.zipWithIndex.map { case (dim, j) =>
+      s"(CASE WHEN $embCol[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString("CAST(", " + ", " AS INT)"))
+
+  /** Max members of a q37 bucket that still participate in pair
+    * generation. q37 blocks on only 16 buckets, so without a guard
+    * ONE dense bucket costs occupancy²/2 join rows — the same failure
+    * mode the q147/q223 caps close, and the last shipped pair join
+    * that lacked one (r10 verdict #1). MEASURED gate occupancy: max
+    * 146 at sf0.1 (43 at sf0.01, 38 at sf0.001), so 512 never binds
+    * at gate SFs and outputs are byte-identical to the uncapped form;
+    * beyond it, over-dense buckets degrade to under-reporting (their
+    * members leave candidate generation entirely — with a single
+    * blocking key there is no second band to rediscover the pair, so
+    * the loss is the whole bucket; that is WHY q223's 4-band scheme
+    * and q224's routed star are the recommended surface, and this cap
+    * only keeps the legacy operator from turning quadratic).
+    * ScaleEvidence drives the binding case with a planted hot orthant
+    * and asserts zero hot-hot pairs. */
+  private[graft] val MaxQ37BucketOccupancy = 512
+
+  /** q37 body over an arbitrary embedding relation: 4-bit sign-LSH
+    * blocking → occupancy cap (one window count over `bucket`, the
+    * same single-exchange guard as the q147/q223 caps — it leaves the
+    * relation partitioned exactly as the self-join consumes it) →
+    * bucket equi-join (at 100 TB: hash-partitioned by bucket, never a
+    * cross join) → exact-cosine verify, threshold 0.4. */
+  private[graft] def embeddingNeardupOf(emb: DataFrame): DataFrame = {
+    val wOcc = Window.partitionBy(col("bucket"))
+    val e = emb.withColumn("bucket", q37Bucket("embedding"))
+      .withColumn("occ", count(lit(1)).over(wOcc))
+      .filter(col("occ") <= MaxQ37BucketOccupancy)
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+      col("bucket"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
+      col("bucket"), col("nrm").as("cn"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -352,31 +403,16 @@ object Similarity {
     }),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
-    // modality. Blocked on a 4-bit sign-LSH bucket so the pair join
-    // is an equi-join (at 100 TB: hash-partitioned by bucket, never
-    // a cross join); threshold 0.4 fits this corpus's tail.
-    "q37_embedding_neardup" -> ((s, d) => {
-      val dims4 = Seq(0, 16, 32, 48)
-      val b4 = expr(dims4.zipWithIndex.map { case (dim, j) =>
-        s"(CASE WHEN embedding[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
-      }.mkString("CAST(", " + ", " AS INT)"))
-      val e = t(s, d, "embeddings").withColumn("bucket", b4)
-        .withColumn("nrm", vec_norm(col("embedding")))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
-        col("bucket"), col("nrm").as("qn"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
-        col("bucket"), col("nrm").as("cn"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
-        .filter(col("cos_sim") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), col("cos_sim"))
-    }),
+    // modality (legacy coarse blocking; q223/q224 are the recommended
+    // scale surface). See [[embeddingNeardupOf]].
+    "q37_embedding_neardup" -> ((s, d) =>
+      embeddingNeardupOf(t(s, d, "embeddings"))),
 
-    // q223: banded embedding near-dup — the SCALE-CORRECT variant of
-    // q37's blocking. q37 hashes into a FIXED 16 buckets (4 sign
-    // bits), so its candidate join grows as N²/32 — fine at gate SFs,
-    // dead at 100 TB. Here the full 64-dim sign signature is split
+    // q223: banded embedding near-dup — the higher-recall scale
+    // variant of q37's blocking. q37 hashes into a FIXED 16 buckets
+    // (4 sign bits): its occupancy cap keeps the pair join bounded at
+    // any scale, but over-dense buckets drop whole (single blocking
+    // key — no second chance). Here the full 64-dim sign signature is split
     // MinHash-style into 4 bands × 16 bits: candidates must agree on
     // all 16 bits of SOME band, giving 2^16 buckets per band table —
     // expected in-bucket occupancy N/65536 per band, so the join
@@ -725,15 +761,19 @@ object Similarity {
            |WHERE rn <= 5""".stripMargin,
 
       "q37_embedding_neardup" -> {
-        val bucket4 = Seq(0, 16, 32, 48).zipWithIndex.map { case (dim, j) =>
+        val bucket4 = q37BucketDims.zipWithIndex.map { case (dim, j) =>
           s"(CASE WHEN embedding[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
         }.mkString("CAST(", " + ", " AS INT)")
-        s"""WITH wb AS (SELECT vec_id, embedding, $bucket4 AS bucket FROM embeddings)
+        s"""WITH wb AS (SELECT vec_id, embedding, $bucket4 AS bucket FROM embeddings),
+           |keep AS (SELECT bucket FROM wb GROUP BY bucket
+           |  HAVING count(*) <= $MaxQ37BucketOccupancy),
+           |kw AS (SELECT w.vec_id, w.embedding, w.bucket FROM wb w
+           |  JOIN keep USING (bucket))
            |SELECT vec_a, vec_b, cos_sim FROM (
            | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  $cosSql AS cos_sim
-           | FROM (SELECT vec_id, embedding AS qv, bucket FROM wb) a(vec_id, qv, bucket)
-           | JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) b(vec_id, cv, bucket)
+           | FROM (SELECT vec_id, embedding AS qv, bucket FROM kw) a(vec_id, qv, bucket)
+           | JOIN (SELECT vec_id, embedding AS cv, bucket FROM kw) b(vec_id, cv, bucket)
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |WHERE cos_sim >= 0.4""".stripMargin
       },

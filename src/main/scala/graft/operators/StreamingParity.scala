@@ -490,7 +490,12 @@ object StreamingParity {
     // stateless, which is what lets this run forever on an unbounded
     // ingest stream while the corpus index is refreshed out-of-band.
     "q82_stream_incremental_neardup" -> ((s, d) => {
-      val corpus = graft.CacheRegistry.getOrPersist(s, s"streamdedup.corpusbands:$d") {
+      // version-stamped key (TextDedup.SignatureSchemeVersion): band
+      // hashes from different signature schemes are incompatible, and
+      // a checkpoint resumed across a scheme change must be discarded
+      // — see the constant's scaladoc (r10 ADVICE)
+      val corpus = graft.CacheRegistry.getOrPersist(s,
+        s"streamdedup.corpusbands:v${TextDedup.SignatureSchemeVersion}:$d") {
         inRowBands(Tables(s, d, "documents").filter(col("doc_id") % 4 =!= 0))
           .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
       }

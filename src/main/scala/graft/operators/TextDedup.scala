@@ -193,6 +193,20 @@ object TextDedup {
   /** MinHash+LSH candidate near-duplicate pairs (doc_a < doc_b) —
     * shared by q29 and the q49 corpus-clean pipeline.
     */
+  /** MinHash signature scheme version — v2 = r10's 16 lanes from the
+    * two 64-bit hex halves of 8 seeded md5s (v1 ran 16 full md5s).
+    * Band hashes from different versions are INCOMPATIBLE: mixing them
+    * silently misses duplicates rather than erroring, so the version
+    * is stamped into every band-relation registry key here and in the
+    * q82 streaming corpus index ([[graft.operators.StreamingParity]]).
+    * Anything that OUTLIVES a session and embeds band hashes — an
+    * externalized band table, or a streaming checkpoint whose state
+    * aggregates band hits (the q82 shape) — must be discarded and
+    * rebuilt when this constant moves (r10 ADVICE: a stream resumed
+    * from a v1 checkpoint against v2 bands would drop matches without
+    * any error). */
+  private[graft] val SignatureSchemeVersion = 2
+
   /** The 4-rows-per-doc MinHash band relation, persisted: both
     * [[minhashPairs]] join sides read it (q49 again, and q206's
     * cross-set probe a third time); without the persist each reader
@@ -202,7 +216,8 @@ object TextDedup {
 
   private[graft] def minhashBandsOf(s: SparkSession, docs: DataFrame,
       key: String): DataFrame =
-    graft.CacheRegistry.getOrPersist(s, s"textdedup.bands:$key") {
+    graft.CacheRegistry.getOrPersist(s,
+      s"textdedup.bands:v$SignatureSchemeVersion:$key") {
       val sh = filteredShinglesOf(s, docs, key)
       // lanes 2i / 2i+1 = the two 64-bit hex halves of seeded md5 i —
       // 16 MinHash permutations for 8 md5 evaluations (see scaladoc)

@@ -33,6 +33,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), "pure scan+project must not shuffle")
   }
 
+  test("q37 occupancy cap is in the plan ahead of the bucket equi-join") {
+    val plan = executedPlan("q37_embedding_neardup")
+    assert(plan.contains("Window"),
+      "occupancy count must be a window over bucket, not a driver-side count")
+    assert(plan.contains(
+      s"<= ${graft.operators.Similarity.MaxQ37BucketOccupancy}"),
+      s"cap filter missing from the plan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay a bucket equi-join")
+  }
+
   test("q11 top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan("q11_topk_price")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))

@@ -238,6 +238,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall(_.getAs[Double]("cos_sim") == 1.0))
   }
 
+  test("q37 occupancy cap drops a degenerate orthant but keeps normal pairs") {
+    // 600 all-positive vectors (> MaxQ37BucketOccupancy=512) all land
+    // in bucket 15 — the cap must drop the WHOLE bucket from pair
+    // generation (single blocking key: nothing rediscovers them),
+    // while a clone pair whose dim-0 sign puts it in another bucket
+    // survives with cos 1.0
+    val hot = (0 until 600).map { i =>
+      (100L + i) -> Array.tabulate(64)(k => 1.0f + ((i * 7 + k) % 13))
+    }
+    val base = Array.tabulate(64)(k => if (k == 0) -2.0f else 1.5f + k)
+    val out = Similarity.embeddingNeardupOf(
+      embDf(hot ++ Seq(1L -> base, 2L -> base.clone()))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vec_a") == 1L &&
+      out.head.getAs[Long]("vec_b") == 2L)
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("q37 cap never binds at gate scale (max bucket occupancy under the cap)") {
+    // the cap exists for 100 TB densities; at the gate SFs it must be
+    // invisible — measured max occupancy 146 at sf0.1. If the data or
+    // the cap ever drift to where this fails, gate outputs would no
+    // longer equal the uncapped join and the constant needs re-siting.
+    val maxOcc = graft.Tables(spark, sf, "embeddings")
+      .groupBy(Similarity.q37Bucket("embedding")).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxOcc <= Similarity.MaxQ37BucketOccupancy,
+      s"gate occupancy $maxOcc exceeds the cap — no longer output-neutral")
+    assert(q("q37_embedding_neardup").count() > 0)
+  }
+
   test("q224 gate table populates BOTH via channels with disjoint ordered pairs") {
     val rows = q("q224_routed_neardup").collect()
     val vias = rows.map(_.getAs[String]("via")).toSet
