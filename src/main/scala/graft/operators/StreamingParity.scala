@@ -68,11 +68,12 @@ object StreamingParity {
     * array transforms over the document's own token list): a pure map
     * stage with no exchange and no per-key state, so the same Column
     * expressions band a bounded table and an unbounded stream. Uses
-    * the identical md5 construction as [[TextDedup]] q29 (lanes 2i and
-    * 2i+1 are the per-shingle lexicographic mins of the two 64-bit hex
-    * halves of `md5(i || '|' || shingle)` — 16 permutations from 8 md5
-    * evaluations, r10), so the DuckDB oracle reproduces signatures
-    * with the same SQL.
+    * the identical md5 construction as [[TextDedup]] q29 (lanes
+    * 4i..4i+3 are the per-shingle lexicographic mins of the four
+    * 32-bit hex quarters of `md5(i || '|' || shingle)` — 16
+    * permutations from 4 md5 evaluations, r11; scheme versioning in
+    * [[TextDedup.SignatureSchemeVersion]]), so the DuckDB oracle
+    * reproduces signatures with the same SQL.
     */
   private[operators] def inRowBands(docs: DataFrame): DataFrame = {
     val withSh = docs
@@ -82,13 +83,13 @@ object StreamingParity {
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, size(ws)-2), " +
           "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))").as("sh"))
-    val withSig = (0 until 8).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"hh$i",
-          expr(s"transform(sh, x -> md5(cast(concat('$i|', x) AS binary)))"))
-        .withColumn(s"h${2 * i}",
-          expr(s"array_min(transform(hh$i, x -> substr(x, 1, 16)))"))
-        .withColumn(s"h${2 * i + 1}",
-          expr(s"array_min(transform(hh$i, x -> substr(x, 17, 16)))"))
+    val withSig = (0 until 4).foldLeft(withSh) { (df, i) =>
+      val withH = df.withColumn(s"hh$i",
+        expr(s"transform(sh, x -> md5(cast(concat('$i|', x) AS binary)))"))
+      (0 until 4).foldLeft(withH) { (d2, q) =>
+        d2.withColumn(s"h${4 * i + q}",
+          expr(s"array_min(transform(hh$i, x -> substr(x, ${8 * q + 1}, 8)))"))
+      }
     }
     withSig.select(col("doc_id"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -758,9 +759,8 @@ object StreamingParity {
         |GROUP BY 1""".stripMargin,
 
     "q82_stream_incremental_neardup" -> {
-      val sigCols = (0 until 8).flatMap(i => Seq(
-        s"min(substr(md5('$i|' || shingle), 1, 16)) AS h${2 * i}",
-        s"min(substr(md5('$i|' || shingle), 17, 16)) AS h${2 * i + 1}"))
+      val sigCols = (0 until 4).flatMap(i => (0 until 4).map(q =>
+        s"min(substr(md5('$i|' || shingle), ${8 * q + 1}, 8)) AS h${4 * i + q}"))
         .mkString(", ")
       val bandSelects = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"

@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
   *   tokens → 3-word shingles → 16 MinHash lanes → 4 bands × 4 rows →
   *   band-hash bucket join → candidate pairs.
   *
-  * Hash functions are engine-portable on purpose: each of 8 seeded
-  * md5 evaluations `md5(i || '|' || shingle)` is split into its two
-  * 64-bit hex halves (`substr(.., 1, 16)` / `substr(.., 17, 16)`) and
-  * the signature is the per-lane lexicographic min — 16 independent
-  * permutations for 8 md5 computations. (r10: the chain previously
-  * ran 16 full md5s per shingle; the two halves of one md5 are
-  * independently uniform, the estimator is unchanged, and the measured
-  * signature-stage floor halved — 22.2 → 12.2 s at a 20M-shingle
-  * stress. md5+substr keeps the DuckDB oracle computing the identical
-  * signature with the identical SQL functions, which xxhash64 could
-  * not.) At scale the shingle
+  * Hash functions are engine-portable on purpose: each of 4 seeded
+  * md5 evaluations `md5(i || '|' || shingle)` is split into its four
+  * 32-bit hex quarters (`substr(.., 8q+1, 8)`) and the signature is
+  * the per-lane lexicographic min — 16 independent permutations for
+  * 4 md5 computations. (History: 16 full md5s → r10 halved to 8 via
+  * 64-bit halves (signature stress 22.2 → 12.2 s at 20M shingles) →
+  * r11 halved again to 4 via 32-bit quarters, measured 8.9 → 6.8 s
+  * at a 32M-shingle ×100 stress with HALF the lane bytes through the
+  * agg+shuffle. 32-bit lanes keep the estimator sound: a spurious
+  * lane-min collision needs two distinct shingles sharing a 32-bit
+  * value AND winning the same lane min, and candidates are verified
+  * downstream by exact Jaccard anyway — the standard production
+  * MinHash width. md5+substr keeps the DuckDB oracle computing the
+  * identical signature with the identical SQL functions, which
+  * xxhash64 could not.) At scale the shingle
   * self-join is bounded by document frequency (a df cap drops
   * boilerplate shingles before the join, the standard guard against
   * quadratic hot-key blowup).
@@ -193,8 +197,9 @@ object TextDedup {
   /** MinHash+LSH candidate near-duplicate pairs (doc_a < doc_b) —
     * shared by q29 and the q49 corpus-clean pipeline.
     */
-  /** MinHash signature scheme version — v2 = r10's 16 lanes from the
-    * two 64-bit hex halves of 8 seeded md5s (v1 ran 16 full md5s).
+  /** MinHash signature scheme version — v3 = r11's 16 lanes from the
+    * four 32-bit hex quarters of 4 seeded md5s (v2 = r10's two 64-bit
+    * halves of 8 md5s; v1 ran 16 full md5s).
     * Band hashes from different versions are INCOMPATIBLE: mixing them
     * silently misses duplicates rather than erroring, so the version
     * is stamped into every band-relation registry key here and in the
@@ -205,7 +210,7 @@ object TextDedup {
     * rebuilt when this constant moves (r10 ADVICE: a stream resumed
     * from a v1 checkpoint against v2 bands would drop matches without
     * any error). */
-  private[graft] val SignatureSchemeVersion = 2
+  private[graft] val SignatureSchemeVersion = 3
 
   /** The 4-rows-per-doc MinHash band relation, persisted: both
     * [[minhashPairs]] join sides read it (q49 again, and q206's
@@ -219,12 +224,11 @@ object TextDedup {
     graft.CacheRegistry.getOrPersist(s,
       s"textdedup.bands:v$SignatureSchemeVersion:$key") {
       val sh = filteredShinglesOf(s, docs, key)
-      // lanes 2i / 2i+1 = the two 64-bit hex halves of seeded md5 i —
-      // 16 MinHash permutations for 8 md5 evaluations (see scaladoc)
-      val laneAggs = (0 until 8).flatMap { i =>
+      // lanes 4i..4i+3 = the four 32-bit hex quarters of seeded md5 i
+      // — 16 MinHash permutations for 4 md5 evaluations (see scaladoc)
+      val laneAggs = (0 until 4).flatMap { i =>
         val h = md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))
-        Seq(min(substring(h, 1, 16)).as(s"h${2 * i}"),
-          min(substring(h, 17, 16)).as(s"h${2 * i + 1}"))
+        (0 until 4).map(q => min(substring(h, 8 * q + 1, 8)).as(s"h${4 * i + q}"))
       }
       val sig = sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
       sig.select(col("doc_id"), explode(array(
@@ -253,9 +257,8 @@ object TextDedup {
   /** SQL CTEs ending in `bands(doc_id, band, bh)` — the oracle twin
     * of [[minhashBands]]. Prefix with [[filteredShinglesCte]]. */
   private val minhashBandsCte: String = {
-    val sigCols = (0 until 8).flatMap(i => Seq(
-      s"min(substr(md5('$i|' || shingle), 1, 16)) AS h${2 * i}",
-      s"min(substr(md5('$i|' || shingle), 17, 16)) AS h${2 * i + 1}"))
+    val sigCols = (0 until 4).flatMap(i => (0 until 4).map(q =>
+      s"min(substr(md5('$i|' || shingle), ${8 * q + 1}, 8)) AS h${4 * i + q}"))
       .mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3}) AS bh FROM sig"
