@@ -208,9 +208,15 @@ object Similarity {
     val ovEmb = emb.join(ovIds, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
     // size the quantizer to the overflow volume (see constants above);
-    // the count is the operator's one data-dependent plan decision
-    val k = math.max(RoutedKMin.toLong, math.min(RoutedKMax.toLong,
-      (ovEmb.count() + RoutedTargetCell - 1) / RoutedTargetCell)).toInt
+    // the count is the operator's one data-dependent plan decision —
+    // memoized per (session, key) like trianglesAuto's orientation
+    // count, so repeated construction (bench reps, plan inspection)
+    // runs the sizing job once per corpus
+    val k = graft.CacheRegistry.getOrComputeLong(emb.sparkSession,
+      s"similarity.routedk:$key") {
+      math.max(RoutedKMin.toLong, math.min(RoutedKMax.toLong,
+        (ovEmb.count() + RoutedTargetCell - 1) / RoutedTargetCell))
+    }.toInt
     // deterministic init: the subset's k smallest vec_ids.
     // orderBy+limit is a distributed TakeOrderedAndProject; the
     // unpartitioned window after it runs over ≤ k rows only.

@@ -41,4 +41,20 @@ class CacheRegistrySpec extends AnyFunSuite {
     CacheRegistry.release(spark, "spec.reg.a")
     CacheRegistry.release(spark, "spec.reg.b")
   }
+
+  test("getOrComputeLong memoizes per (session, key) and survives clear") {
+    var computes = 0
+    def compute(v: Long) = { computes += 1; v }
+    assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.a")(compute(7L)) == 7L)
+    assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.a")(compute(99L)) == 7L,
+      "same key must serve the memoized value, not recompute")
+    assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.b")(compute(8L)) == 8L)
+    assert(computes == 2, "one compute per distinct key")
+    // clear() releases persisted RELATIONS; a keyed scalar is a pure
+    // function of the session's input data and stays valid (contract
+    // in the scaladoc) — the sizing job must not re-run per clear
+    CacheRegistry.clear(spark)
+    assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.a")(compute(99L)) == 7L)
+    assert(computes == 2)
+  }
 }
