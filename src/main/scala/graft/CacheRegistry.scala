@@ -121,12 +121,16 @@ object CacheRegistry {
     ()
   }
 
-  /** Unpersist every relation this session registered. */
+  /** Unpersist every relation this session registered. The weak
+    * liveness handle is KEPT (it pins nothing): scalar memos survive
+    * clear() by contract, and purgeDead can only ever reach them
+    * through `live` — dropping the handle here would orphan a
+    * cleared-then-stopped session's scalars for the JVM lifetime
+    * (review r11). */
   def clear(spark: SparkSession): Unit = {
     val k = sid(spark)
     owned.remove(k).getOrElse(Nil).foreach(_.unpersist(blocking = false))
     memo.keys.filter(_._1 == k).foreach(memo.remove)
-    live.remove(k)
     ()
   }
 }

@@ -437,6 +437,12 @@ object ScaleEvidence {
     require(hotVecs > Similarity.MaxQ37BucketOccupancy,
       s"SCALE_HOT_VECS=$hotVecs must exceed the q37 occupancy cap " +
         s"(${Similarity.MaxQ37BucketOccupancy}) for the cap invariant to bind")
+    // same id-space guard as path 6: this path's INDEPENDENT reps knob
+    // must also stay clear of the +1e9 clone offset, else replica ids
+    // collide into the clone space and the recall invariant fails as a
+    // fake engine bug (review r11 — the guard above only checked embReps)
+    require(embMaxId * q37Reps + q37Reps < 1000000000L,
+      s"max vec_id $embMaxId × SCALE_Q37_REPS $q37Reps reaches the 1e9 clone id offset")
     measure(s"Similarity.embeddingNeardupOf (q37 shape, ×$q37Reps vectors)",
         baseEmb * q37Reps + clones + hotVecs) {
       val scaled = scaledEmbeddings(spark, sfDir, q37Reps, clones, hotVecs)
@@ -579,8 +585,10 @@ object ScaleEvidence {
           else if (!expectHub && hubDominates) require(a.wrRowsMax < hubWedges / 10,
             s"a task wrote ${a.wrRowsMax} rows (hub wedge volume $hubWedges) — " +
               "degree orientation failed to disperse the hub")
+          val tag = if (hubDominates) ""
+          else " [UNVALIDATED attribution: hub below assertion threshold]"
           f"max write ${human(a.wrRowsMax)} rows/task, mean ${human(mean.toLong)}, " +
-            f"max/mean ${a.wrRowsMax / math.max(mean, 1.0)}%.2f"
+            f"max/mean ${a.wrRowsMax / math.max(mean, 1.0)}%.2f$tag"
         case None => "no shuffle write"
       }
     }
