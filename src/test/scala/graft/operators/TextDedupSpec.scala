@@ -176,6 +176,37 @@ class TextDedupSpec extends AnyFunSuite {
         r.getAs[String]("text").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
       .toMap
 
+  test("q225 repetition stats equal an independent plain-Scala recomputation") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
+      .filter(_._3.size >= 2)
+    val per = docs.map { case (_, src, ws) =>
+      val n = ws.size.toLong
+      val dupf = (n - ws.distinct.size) * 1000000L / n
+      val top2 = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+      (src, n, dupf, top2 * 2 * 1000000L / n)
+    }
+    val expected = per.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.size.toLong, xs.map(_._2).sum,
+        xs.map(_._4).sum / xs.size, xs.count(_._4 > 200000L).toLong,
+        xs.map(_._3).sum / xs.size))
+    }
+    val got = q("q225_repetition_stats").collect().map { r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"),
+          r.getAs[Long]("avg_top2_frac_micro"), r.getAs[Long]("n_flagged_top2"),
+          r.getAs[Long]("avg_dup_word_frac_micro")))
+    }.toMap
+    assert(got == expected)
+    // the word-soup corpus repeats bigrams heavily — the metric must
+    // not be degenerate (all zero or all flagged)
+    assert(got.values.exists(_._3 > 0) && got.values.map(_._4).sum <
+      got.values.map(_._1).sum)
+  }
+
   test("q104 decontamination equals an independent all-pairs gram recomputation") {
     val grams = localToks.map { case (id, ws) =>
       id -> ws.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
