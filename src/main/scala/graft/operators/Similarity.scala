@@ -439,6 +439,32 @@ object Similarity {
     "q224_routed_neardup" -> ((s, d) =>
       bandNeardupRoutedOf(t(s, d, "embeddings"), d)),
 
+    // q226: embedding PURGE MANIFEST — the end-to-end dedup chain for
+    // the embedding modality, closing the per-modality symmetry (text:
+    // q29→q68→q186; media: q147→q148): q224's routed pairs →
+    // connected components (Components.minLabel — hot-label-split,
+    // skew-proof) → canonical = the component's min vec_id (which IS
+    // the label) → keep/purge flag per member. The routed pair
+    // relation is persisted once per (session, dir) and shared with
+    // any other consumer; at 100 TB this manifest is what the vector
+    // store's compaction job executes. Components-equivalence of the
+    // routed pairs (every dense-cluster member connected to one
+    // canonical — ScaleEvidence path 9's invariant) is exactly the
+    // property that makes this composition correct.
+    "q226_embedding_purge" -> ((s, d) => {
+      val pairs = graft.CacheRegistry.getOrPersist(s,
+        s"similarity.routedpairs:$d") {
+        bandNeardupRoutedOf(t(s, d, "embeddings"), d)
+          .select(col("vec_a"), col("vec_b"))
+      }
+      val labels = Components.minLabel(pairs, "vec_a", "vec_b")
+      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lab")
+        .select(col("node").as("vec_id"), col("lab").as("cluster"),
+          col("cluster_size"),
+          (col("node") =!= col("lab")).cast("long").as("purge"))
+    }),
+
     // q62: the IVF search path end-to-end, fully oracled — with the
     // `label` column standing in as the coarse partition (cells).
     // Cell centroids are per-dimension means over ORDER-FREE decimal
@@ -729,6 +755,50 @@ object Similarity {
        |WHERE rank <= $topk""".stripMargin
   }
 
+  /** The q224 routed-pair construction as a CTE chain ending in
+    * `pairs(vec_a, vec_b, via)` — shared by the q224 gate and q226's
+    * components/purge oracle (one definition: a cap/quantizer change
+    * reaches both gates at once). The string is a WITH-body; callers
+    * prepend `WITH ` or `WITH RECURSIVE `. */
+  private lazy val routedOracleCtes: String = {
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT vec_id, $b AS band, ${band8Duck(b)} AS bits FROM embeddings"
+    }.mkString(" UNION ALL ")
+    def dot(a: String, b: String) = duckDot(a, b)
+    def assign(prev: String, out: String) =
+      s"""$out AS (SELECT vec_id, cid, embedding FROM (
+         | SELECT e.vec_id, c.cid, e.embedding,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+         | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    val lloyd = (1 to RoutedIters).flatMap(i =>
+      Seq(assign(s"c${i - 1}", s"a$i"), duckLloydUpdate(s"a$i", s"c$i"))) :+
+      assign(s"c$RoutedIters", "afinal")
+    s"""bands AS ($bandSelects),
+       |occ AS (SELECT band, bits, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kb AS (SELECT b.vec_id, b.band, b.bits FROM bands b
+       |  JOIN occ USING (band, bits) WHERE n <= $RoutedCap),
+       |lsh AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM kb x JOIN kb y
+       |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
+       |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |   JOIN occ USING (band, bits) WHERE n > $RoutedCap)),
+       |c0 AS (SELECT cid, cv FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+       |   embedding AS cv FROM e) WHERE cid < (
+       |  SELECT GREATEST($RoutedKMin, LEAST($RoutedKMax,
+       |   (count(*) + ${RoutedTargetCell - 1}) // $RoutedTargetCell)) FROM e)),
+       |${lloyd.mkString(",\n")},
+       |canon AS (SELECT cid, min(vec_id) AS vec_a FROM afinal GROUP BY cid),
+       |ivf AS (SELECT c.vec_a, a.vec_id AS vec_b
+       |  FROM afinal a JOIN canon c USING (cid)
+       |  WHERE a.vec_id <> c.vec_a AND NOT EXISTS (
+       |   SELECT 1 FROM lsh l WHERE l.vec_a = c.vec_a AND l.vec_b = a.vec_id)),
+       |pairs AS (SELECT vec_a, vec_b, 'lsh' AS via FROM lsh
+       |  UNION ALL SELECT vec_a, vec_b, 'ivf' FROM ivf)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
@@ -802,49 +872,28 @@ object Similarity {
            |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin
       },
 
-      "q224_routed_neardup" -> {
-        val bandSelects = (0 until 8).map { b =>
-          s"SELECT vec_id, $b AS band, ${band8Duck(b)} AS bits FROM embeddings"
-        }.mkString(" UNION ALL ")
-        def dot(a: String, b: String) = duckDot(a, b)
-        def assign(prev: String, out: String) =
-          s"""$out AS (SELECT vec_id, cid, embedding FROM (
-             | SELECT e.vec_id, c.cid, e.embedding,
-             |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |    ${dot("c.cv", "c.cv")} - 2 * ${dot("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
-             | FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-        def update(ain: String, cout: String) = duckLloydUpdate(ain, cout)
-        val lloyd = (1 to RoutedIters).flatMap(i =>
-          Seq(assign(s"c${i - 1}", s"a$i"), update(s"a$i", s"c$i"))) :+
-          assign(s"c$RoutedIters", "afinal")
-        s"""WITH bands AS ($bandSelects),
-           |occ AS (SELECT band, bits, count(*) AS n FROM bands GROUP BY 1, 2),
-           |kb AS (SELECT b.vec_id, b.band, b.bits FROM bands b
-           |  JOIN occ USING (band, bits) WHERE n <= $RoutedCap),
-           |lsh AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-           |  FROM kb x JOIN kb y
-           |   ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id),
-           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (
-           |  SELECT DISTINCT b.vec_id FROM bands b
-           |   JOIN occ USING (band, bits) WHERE n > $RoutedCap)),
-           |c0 AS (SELECT cid, cv FROM (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
-           |   embedding AS cv FROM e) WHERE cid < (
-           |  SELECT GREATEST($RoutedKMin, LEAST($RoutedKMax,
-           |   (count(*) + ${RoutedTargetCell - 1}) // $RoutedTargetCell)) FROM e)),
-           |${lloyd.mkString(",\n")},
-           |canon AS (SELECT cid, min(vec_id) AS vec_a FROM afinal GROUP BY cid),
-           |ivf AS (SELECT c.vec_a, a.vec_id AS vec_b
-           |  FROM afinal a JOIN canon c USING (cid)
-           |  WHERE a.vec_id <> c.vec_a AND NOT EXISTS (
-           |   SELECT 1 FROM lsh l WHERE l.vec_a = c.vec_a AND l.vec_b = a.vec_id)),
-           |pairs AS (SELECT vec_a, vec_b, 'lsh' AS via FROM lsh
-           |  UNION ALL SELECT vec_a, vec_b, 'ivf' FROM ivf)
+      "q224_routed_neardup" ->
+        s"""WITH $routedOracleCtes
            |SELECT vec_a, vec_b, $cosSql + 0.0 AS cos_sim, via
            |FROM pairs
            |JOIN (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings) a USING (vec_a)
-           |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin
-      },
+           |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin,
+
+      // recursive min-label components over the shared routed-pair
+      // CTEs — the q68 oracle pattern on the embedding modality
+      "q226_embedding_purge" ->
+        s"""WITH RECURSIVE $routedOracleCtes,
+           |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+           |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+           |reach AS (
+           | SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM edges)
+           | UNION
+           | SELECT ed.dst AS node, r.lab FROM reach r JOIN edges ed ON ed.src = r.node),
+           |labt AS (SELECT node AS vec_id, min(lab) AS cluster FROM reach GROUP BY node),
+           |csize AS (SELECT cluster, count(*) AS cluster_size FROM labt GROUP BY cluster)
+           |SELECT l.vec_id, l.cluster, csize.cluster_size,
+           | CAST(CASE WHEN l.vec_id <> l.cluster THEN 1 ELSE 0 END AS BIGINT) AS purge
+           |FROM labt l JOIN csize USING (cluster)""".stripMargin,
 
       "q62_ivf_search" ->
         s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

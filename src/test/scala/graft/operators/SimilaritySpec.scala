@@ -238,6 +238,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall(_.getAs[Double]("cos_sim") == 1.0))
   }
 
+  test("q226 purge manifest: one kept canonical per cluster, canonical = min id") {
+    val rows = q("q226_embedding_purge").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length.toLong),
+        s"cluster_size inconsistent for cluster $c")
+      val kept = rs.filter(_.getAs[Long]("purge") == 0L)
+      assert(kept.length == 1 && kept.head.getAs[Long]("vec_id") == c,
+        s"cluster $c must keep exactly its canonical (min-id) member")
+      assert(rs.map(_.getAs[Long]("vec_id")).min == c,
+        s"cluster label $c must be the component's min vec_id")
+    }
+    // each member appears exactly once in the manifest
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("q37 occupancy cap drops a degenerate orthant but keeps normal pairs") {
     // 600 all-positive vectors (> MaxQ37BucketOccupancy=512) all land
     // in bucket 15 — the cap must drop the WHOLE bucket from pair
