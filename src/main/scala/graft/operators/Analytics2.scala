@@ -115,6 +115,75 @@ object Analytics2 {
     * The ≥ 2 support threshold is applied by the callers that need
     * it; the persisted relation carries the raw pair counts.
     */
+  /** Per-document repetition metrics (the Gopher-rule family, Rae et
+    * al. 2021 §A1.1): distinct-token ratio, top-unigram share (of n
+    * token slots) and top-bigram share (of n−1 bigram SLOTS — a true
+    * fraction ≤ 1e6 micro; an overlapping-occurrence × 2/n form can
+    * exceed 100%, review r11), all exact integer micro-units. ONE
+    * definition feeds both the per-doc gate (q131) and the per-source
+    * rollup (TextDedup q225) — persisted per (session, dir) so the
+    * documents scan + tokenization run once, not once per consumer
+    * (review r11). Shape: in-row array work plus two doc-keyed
+    * partial-aggregated shuffles; no cross-doc state. */
+  private[operators] def repetitionPerDoc(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"analytics2.repdoc:$d") {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("l"))
+        .filter(size(col("l")) >= 2)
+      val base = toks.select(col("doc_id"), size(col("l")).as("n"),
+        size(array_distinct(col("l"))).as("nd"))
+      val topUni = toks
+        .select(col("doc_id"), explode(col("l")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_uni"))
+      val topBi = toks
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
+      base.join(topUni, Seq("doc_id")).join(topBi, Seq("doc_id"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          expr("nd * 1000000 div n").cast("long").as("distinct_micro"),
+          expr("max_uni * 1000000 div n").as("top_unigram_micro"),
+          expr("max_bi * 1000000 div (n - 1)").as("top_bigram_micro"))
+    }
+
+  /** DuckDB twin of [[repetitionPerDoc]] as a WITH-body ending in
+    * `repdoc(doc_id, n_tok, distinct_micro, top_unigram_micro,
+    * top_bigram_micro)` — shared by the q131 and q225 oracles. */
+  private[operators] val repetitionPerDocCte: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l
+      |  FROM documents),
+      | rbase AS (
+      |  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd
+      |  FROM toks WHERE len(l) >= 2),
+      | uni AS (
+      |  SELECT doc_id, max(c) AS max_uni FROM (
+      |   SELECT doc_id, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(l) AS tok FROM toks WHERE len(l) >= 2)
+      |   GROUP BY doc_id, tok)
+      |  GROUP BY 1),
+      | bi AS (
+      |  SELECT doc_id, max(c) AS max_bi FROM (
+      |   SELECT doc_id, count(*) AS c FROM (
+      |    SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM (
+      |     SELECT doc_id, l, unnest(range(1, len(l))) AS i
+      |     FROM toks WHERE len(l) >= 2))
+      |   GROUP BY doc_id, bg)
+      |  GROUP BY 1),
+      | repdoc AS (
+      |  SELECT rbase.doc_id, CAST(n AS BIGINT) AS n_tok,
+      |   CAST(divide(nd * 1000000, n) AS BIGINT) AS distinct_micro,
+      |   divide(max_uni * 1000000, n) AS top_unigram_micro,
+      |   divide(max_bi * 1000000, (n - 1)) AS top_bigram_micro
+      |  FROM rbase
+      |  JOIN uni ON rbase.doc_id = uni.doc_id
+      |  JOIN bi ON rbase.doc_id = bi.doc_id)""".stripMargin
+
   private def copurchasePairs(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.getOrPersist(s, s"analytics2.copairs:$d") {
       val op = t(s, d, "lineitem")
@@ -372,30 +441,7 @@ object Analytics2 {
     // cheap screens before a corpus reaches training. Everything is
     // in-row array work (token array, bigram transform) plus two
     // doc-keyed aggs — one shuffle each, no cross-doc state.
-    "q131_repetition_quality" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("l"))
-        .filter(size(col("l")) >= 2)
-      val base = toks.select(col("doc_id"), size(col("l")).as("n"),
-        size(array_distinct(col("l"))).as("nd"))
-      val topUni = toks
-        .select(col("doc_id"), explode(col("l")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("max_uni"))
-      val topBi = toks
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(l) - 1)," +
-            " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
-          .as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
-      base.join(topUni, Seq("doc_id")).join(topBi, Seq("doc_id"))
-        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
-          expr("nd * 1000000 div n").cast("long").as("distinct_micro"),
-          expr("max_uni * 1000000 div n").as("top_unigram_micro"),
-          expr("max_bi * 1000000 div (n - 1)").as("top_bigram_micro"))
-    }),
+    "q131_repetition_quality" -> ((s, d) => repetitionPerDoc(s, d)),
 
     // q132: multi-touch attribution (linear model) — every purchase
     // distributes 1e6 micro-credits equally over the user's touches
@@ -1073,33 +1119,10 @@ object Analytics2 {
         |GROUP BY 1, 2""".stripMargin,
 
     "q131_repetition_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l
-        |  FROM documents),
-        | base AS (
-        |  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd
-        |  FROM toks WHERE len(l) >= 2),
-        | uni AS (
-        |  SELECT doc_id, max(c) AS max_uni FROM (
-        |   SELECT doc_id, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(l) AS tok FROM toks WHERE len(l) >= 2)
-        |   GROUP BY doc_id, tok)
-        |  GROUP BY 1),
-        | bi AS (
-        |  SELECT doc_id, max(c) AS max_bi FROM (
-        |   SELECT doc_id, count(*) AS c FROM (
-        |    SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM (
-        |     SELECT doc_id, l, unnest(range(1, len(l))) AS i
-        |     FROM toks WHERE len(l) >= 2))
-        |   GROUP BY doc_id, bg)
-        |  GROUP BY 1)
-        |SELECT base.doc_id, CAST(n AS BIGINT) AS n_tok,
-        | CAST(divide(nd * 1000000, n) AS BIGINT) AS distinct_micro,
-        | divide(max_uni * 1000000, n) AS top_unigram_micro,
-        | divide(max_bi * 1000000, (n - 1)) AS top_bigram_micro
-        |FROM base
-        |JOIN uni ON uni.doc_id = base.doc_id
-        |JOIN bi ON bi.doc_id = base.doc_id""".stripMargin,
+      s"""WITH $repetitionPerDocCte
+         |SELECT doc_id, n_tok, distinct_micro, top_unigram_micro,
+         | top_bigram_micro
+         |FROM repdoc""".stripMargin,
 
     "q132_attribution" ->
       """WITH p AS (

@@ -170,7 +170,11 @@ object Similarity {
     * oracle-mirrored (band occupancy, subset Lloyd unroll, canonical
     * star, NOT EXISTS dedup) — no half is gate-exempt.
     */
-  private[graft] def bandNeardupRoutedOf(emb: DataFrame,
+  /** The routed pair set WITHOUT the cosine verify — `(vec_a, vec_b,
+    * via)`. Factored out (review r11) so q226's components/purge
+    * chain, which only needs connectivity, doesn't pay the two
+    * pair↔embeddings verify joins that q224's gate output adds. */
+  private[graft] def routedPairsOf(emb: DataFrame,
       key: String = "gate"): DataFrame = {
     val bands = emb.select(col("vec_id"), explode(array((0 until 8).map { b =>
       struct(lit(b).as("band"), band8Spark(b).as("bits"))
@@ -186,18 +190,6 @@ object Similarity {
     }
     val kept = withOcc.filter(col("occ") <= RoutedCap)
       .select(col("vec_id"), col("band"), col("bits"))
-    val e = emb.withColumn("nrm", vec_norm(col("embedding")))
-    def withCos(p: DataFrame): DataFrame = p
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
-        col("nrm").as("qn")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
-        col("nrm").as("cn")), Seq("vec_b"))
-      // + 0.0 : the IVF star pairs near-orthogonal vectors, so a small
-      // negative cosine rounding to zero is REACHABLE here — without
-      // the normalization DuckDB keeps -0.0 while Spark emits 0.0 and
-      // the stringified driver hash diverges (driver-gate.md rule 10)
-      .select(col("vec_a"), col("vec_b"),
-        (round(cosine("qv", "cv", "qn", "cn"), 4) + lit(0.0)).as("cos_sim"))
     val lsh = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -230,8 +222,25 @@ object Similarity {
       .filter(col("vec_id") =!= col("vec_a"))
       .select(col("vec_a"), col("vec_id").as("vec_b"))
       .join(lsh, Seq("vec_a", "vec_b"), "left_anti")
-    withCos(lsh).withColumn("via", lit("lsh"))
-      .unionByName(withCos(star).withColumn("via", lit("ivf")))
+    lsh.withColumn("via", lit("lsh"))
+      .unionByName(star.withColumn("via", lit("ivf")))
+  }
+
+  private[graft] def bandNeardupRoutedOf(emb: DataFrame,
+      key: String = "gate"): DataFrame = {
+    val e = emb.withColumn("nrm", vec_norm(col("embedding")))
+    routedPairsOf(emb, key)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+        col("nrm").as("qn")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("cv"),
+        col("nrm").as("cn")), Seq("vec_b"))
+      // + 0.0 : the IVF star pairs near-orthogonal vectors, so a small
+      // negative cosine rounding to zero is REACHABLE here — without
+      // the normalization DuckDB keeps -0.0 while Spark emits 0.0 and
+      // the stringified driver hash diverges (driver-gate.md rule 10)
+      .select(col("vec_a"), col("vec_b"),
+        (round(cosine("qv", "cv", "qn", "cn"), 4) + lit(0.0)).as("cos_sim"),
+        col("via"))
   }
 
   /** Lloyd's k-means over the embedding column — the IVF
@@ -441,20 +450,20 @@ object Similarity {
 
     // q226: embedding PURGE MANIFEST — the end-to-end dedup chain for
     // the embedding modality, closing the per-modality symmetry (text:
-    // q29→q68→q186; media: q147→q148): q224's routed pairs →
-    // connected components (Components.minLabel — hot-label-split,
-    // skew-proof) → canonical = the component's min vec_id (which IS
-    // the label) → keep/purge flag per member. The routed pair
-    // relation is persisted once per (session, dir) and shared with
-    // any other consumer; at 100 TB this manifest is what the vector
-    // store's compaction job executes. Components-equivalence of the
-    // routed pairs (every dense-cluster member connected to one
-    // canonical — ScaleEvidence path 9's invariant) is exactly the
-    // property that makes this composition correct.
+    // q29→q68→q186; media: q147→q148): q224's routed pair SET (the
+    // pre-cosine [[routedPairsOf]] — connectivity needs no verify
+    // stage, review r11) → connected components (Components.minLabel
+    // — hot-label-split, skew-proof) → canonical = the component's
+    // min vec_id (which IS the label) → keep/purge flag per member.
+    // At 100 TB this manifest is what the vector store's compaction
+    // job executes. Components-equivalence of the routed pairs (every
+    // dense-cluster member connected to one canonical — ScaleEvidence
+    // path 9's invariant) is exactly the property that makes this
+    // composition correct.
     "q226_embedding_purge" -> ((s, d) => {
       val pairs = graft.CacheRegistry.getOrPersist(s,
         s"similarity.routedpairs:$d") {
-        bandNeardupRoutedOf(t(s, d, "embeddings"), d)
+        routedPairsOf(t(s, d, "embeddings"), d)
           .select(col("vec_a"), col("vec_b"))
       }
       val labels = Components.minLabel(pairs, "vec_a", "vec_b")

@@ -320,43 +320,30 @@ object TextDedup {
           expr("n_dup * 1000000L div n_grams").as("dup_micro"))
     }),
 
-    // q225: Gopher-style REPETITION filter stats (Rae et al. 2021,
-    // §A1.1 "repetition" quality rules adapted to word n-grams) — the
-    // quality-filter family's missing member beside length/stopword
-    // scoring (q44 shape) and dedup (q27/q29): documents dominated by
-    // a repeated phrase are boilerplate/spam and get dropped before
-    // training. Per doc: the share of word slots covered by the most
-    // frequent word BIGRAM (top2_frac = 2·count(top bigram)/n_words)
-    // and the duplicate-unigram share ((n_words − n_distinct)/n_words,
-    // computed IN-ROW — zero exchange), both in exact integer
-    // micro-units; rolled up per source with a Gopher-ish 20% flag
-    // threshold. Plan at 100 TB: the bigram mode needs two keyed
-    // exchanges ((doc, bigram) count → per-doc max, both
-    // partial-aggregated and linear); everything else is in-row or a
-    // ~1-row-per-source rollup. All outputs BIGINT — exact compare.
+    // q225: per-SOURCE repetition-filter rollup (Gopher rules, Rae et
+    // al. 2021 §A1.1) — the corpus-curation view over q131's per-doc
+    // scores: a source whose documents concentrate mass in one bigram
+    // is a boilerplate/spam feed and gets down-weighted or dropped
+    // before training. Reads the SHARED per-doc relation
+    // ([[Analytics2.repetitionPerDoc]] — one definition + one persist
+    // for both gates, review r11); top-bigram share is of the n−1
+    // bigram SLOTS, a true fraction ≤ 1e6 micro (the earlier
+    // overlapping-count × 2/n form could exceed 100%, review r11).
+    // Flag threshold 50000 micro (5% of bigram slots — calibrated to
+    // this corpus: flags ~20% of sf0.1 docs; a natural-text deployment
+    // re-tunes it). Plan at 100 TB: per-doc metrics are two keyed
+    // partial-aggregated exchanges (inside the shared build), the
+    // rollup is ~1 row per source. All outputs BIGINT — exact compare.
     "q225_repetition_stats" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("dup_word_frac_micro",
-          expr("(n_words - size(array_distinct(ws))) * 1000000L div n_words"))
-      val top2 = toks.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat_ws(' ', ws[i-1], ws[i]))")).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-      toks.join(top2, Seq("doc_id"))
-        .withColumn("top2_frac_micro",
-          expr("top2 * 2 * 1000000L div n_words"))
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      Analytics2.repetitionPerDoc(s, d).join(src, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("sum_words"),
-          expr("sum(top2_frac_micro) div count(1)").as("avg_top2_frac_micro"),
-          sum(when(col("top2_frac_micro") > 200000L, 1L).otherwise(0L))
+          sum(col("n_tok")).as("sum_words"),
+          expr("sum(top_bigram_micro) div count(1)").as("avg_top2_frac_micro"),
+          sum(when(col("top_bigram_micro") > 50000L, 1L).otherwise(0L))
             .as("n_flagged_top2"),
-          expr("sum(dup_word_frac_micro) div count(1)")
+          expr("sum(1000000 - distinct_micro) div count(1)")
             .as("avg_dup_word_frac_micro"))
     }),
 
@@ -874,34 +861,17 @@ object TextDedup {
         |GROUP BY doc_id""".stripMargin,
 
     "q225_repetition_stats" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS ws
-        |  FROM documents),
-        | base AS (
-        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_words,
-        |   CAST(divide((CAST(len(ws) AS BIGINT) - len(list_distinct(ws))) * 1000000,
-        |     CAST(len(ws) AS BIGINT)) AS BIGINT) AS dup_word_frac_micro
-        |  FROM toks WHERE len(ws) >= 2),
-        | top2 AS (
-        |  SELECT doc_id, max(c) AS top2 FROM (
-        |   SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, count(*) AS c
-        |   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-        |     FROM toks WHERE len(ws) >= 2)
-        |   GROUP BY 1, 2)
-        |  GROUP BY 1),
-        | scored AS (
-        |  SELECT source, n_words, dup_word_frac_micro,
-        |   CAST(divide(top2 * 2 * 1000000, n_words) AS BIGINT) AS top2_frac_micro
-        |  FROM base JOIN top2 USING (doc_id))
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(n_words) AS BIGINT) AS sum_words,
-        | CAST(divide(CAST(sum(top2_frac_micro) AS BIGINT), count(*)) AS BIGINT)
-        |   AS avg_top2_frac_micro,
-        | CAST(sum(CASE WHEN top2_frac_micro > 200000 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_flagged_top2,
-        | CAST(divide(CAST(sum(dup_word_frac_micro) AS BIGINT), count(*)) AS BIGINT)
-        |   AS avg_dup_word_frac_micro
-        |FROM scored GROUP BY source""".stripMargin,
+      s"""WITH ${Analytics2.repetitionPerDocCte}
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS sum_words,
+         | CAST(divide(CAST(sum(top_bigram_micro) AS BIGINT), count(*)) AS BIGINT)
+         |   AS avg_top2_frac_micro,
+         | CAST(sum(CASE WHEN top_bigram_micro > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_flagged_top2,
+         | CAST(divide(CAST(sum(1000000 - distinct_micro) AS BIGINT), count(*))
+         |   AS BIGINT) AS avg_dup_word_frac_micro
+         |FROM repdoc JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+         |GROUP BY source""".stripMargin,
 
     "q27_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,

@@ -184,16 +184,19 @@ class TextDedupSpec extends AnyFunSuite {
       .filter(_._3.size >= 2)
     val per = docs.map { case (_, src, ws) =>
       val n = ws.size.toLong
-      val dupf = (n - ws.distinct.size) * 1000000L / n
+      // engine form: dup = 1e6 − distinct_micro (both integer divs)
+      val dupf = 1000000L - ws.distinct.size.toLong * 1000000L / n
       val top2 = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
         .groupBy(identity).values.map(_.size).max.toLong
-      (src, n, dupf, top2 * 2 * 1000000L / n)
+      // share of the n−1 bigram SLOTS — a true fraction ≤ 1e6
+      (src, n, dupf, top2 * 1000000L / (n - 1))
     }
     val expected = per.groupBy(_._1).map { case (src, xs) =>
       src -> ((xs.size.toLong, xs.map(_._2).sum,
-        xs.map(_._4).sum / xs.size, xs.count(_._4 > 200000L).toLong,
+        xs.map(_._4).sum / xs.size, xs.count(_._4 > 50000L).toLong,
         xs.map(_._3).sum / xs.size))
     }
+    assert(per.forall(_._4 <= 1000000L), "slot share must be a true fraction")
     val got = q("q225_repetition_stats").collect().map { r =>
       r.getAs[String]("source") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"),
