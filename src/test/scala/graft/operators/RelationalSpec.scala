@@ -99,4 +99,11 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
     assert(!plan.contains("l_shipdate"), "projection should prune unused columns")
   }
+
+  test("driver smoke contract: SparkEntry.entry returns rows at sf0.001") {
+    // the driver calls entry() directly (not through the queries map);
+    // a refactor that breaks only this path would otherwise surface
+    // first in the driver log, not in CI
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
