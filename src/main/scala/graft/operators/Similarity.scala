@@ -170,10 +170,12 @@ object Similarity {
     * oracle-mirrored (band occupancy, subset Lloyd unroll, canonical
     * star, NOT EXISTS dedup) — no half is gate-exempt.
     */
-  /** The routed pair set WITHOUT the cosine verify — `(vec_a, vec_b,
-    * via)`. Factored out (review r11) so q226's components/purge
-    * chain, which only needs connectivity, doesn't pay the two
-    * pair↔embeddings verify joins that q224's gate output adds. */
+  /** The routed CANDIDATE pair set WITHOUT the cosine verify —
+    * `(vec_a, vec_b, via)`. On this modality candidates are not a
+    * similarity signal (the IVF star admits cos ≈ 0 pairs), so every
+    * shipped consumer verifies: q224 adds the cosine via
+    * [[bandNeardupRoutedOf]], and q226 (r12) cuts that verified
+    * relation at [[PurgeCosThreshold]] before clustering. */
   private[graft] def routedPairsOf(emb: DataFrame,
       key: String = "gate"): DataFrame = {
     val bands = emb.select(col("vec_id"), explode(array((0 until 8).map { b =>
@@ -224,6 +226,66 @@ object Similarity {
       .join(lsh, Seq("vec_a", "vec_b"), "left_anti")
     lsh.withColumn("via", lit("lsh"))
       .unionByName(star.withColumn("via", lit("ivf")))
+  }
+
+  /** q226's similarity bar: a routed candidate pair enters the purge
+    * graph only if its VERIFIED cosine clears this (r11 advice: the
+    * IVF star channel pairs members with their Lloyd-cell canonical
+    * regardless of similarity — cos ≈ 0 is reachable — so an
+    * unfiltered manifest would merge genuinely distinct vectors and
+    * flag non-duplicates purge=1; unlike the text analog q68, where a
+    * 16-exact-MinHash-lane band match is itself a similarity signal).
+    * 0.4 matches q37's gate bar and sits above the gate corpus's
+    * all-pairs max-cos tail start, so the gate exercises real
+    * multi-member clusters; production callers set their own bar. */
+  private[graft] val PurgeCosThreshold = 0.4
+
+  /** The verified routed relation, persisted once per (session, dir)
+    * — shared by the q224 gate output and q226's thresholded purge
+    * graph so the two pair↔embeddings verify joins are paid once. */
+  private def verifiedRoutedOf(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.getOrPersist(s, s"similarity.routedverified:$d") {
+      bandNeardupRoutedOf(t(s, d, "embeddings"), d)
+    }
+
+  /** Identical-embedding star pairs `(group-min vec_id, member)` —
+    * the exact-duplicate channel of the q226 purge graph. One linear
+    * groupBy on the vector value + one equi-join back; no similarity
+    * bar needed (cos = 1 by construction) and no density exposure (a
+    * group of n identical vectors emits n−1 star edges, never n²).
+    * This channel is what keeps bit-identical duplicates connected at
+    * 100 TB densities, where every LSH bucket overflows the routing
+    * cap and the IVF star edges (member↔canonical, cos ≈ 0) fall to
+    * the threshold: exact clones always pair here, regardless of how
+    * over-dense their region is. */
+  private[graft] def exactPairsOf(emb: DataFrame): DataFrame = {
+    val canon = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_a"))
+    emb.join(canon, Seq("embedding"))
+      .filter(col("vec_id") =!= col("vec_a"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
+  }
+
+  /** The q226 manifest body over an explicit corpus and its verified
+    * routed relation — factored out so SimilaritySpec (planted
+    * distinct-vs-clone cells) and ScaleEvidence path 12 (×100
+    * composition) exercise the SHIPPED chain, not a re-derivation.
+    * `verified` must carry (vec_a, vec_b, cos_sim) as
+    * [[bandNeardupRoutedOf]] emits them. */
+  private[graft] def purgeManifestOf(emb: DataFrame,
+      verified: DataFrame): DataFrame = {
+    val near = verified.filter(col("cos_sim") >= PurgeCosThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = Components.minLabel(
+      near.unionByName(exactPairsOf(emb)), "vec_a", "vec_b")
+    val full = emb.select(col("vec_id"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lab"), col("vec_id")).as("cluster"))
+    val sizes = full.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"), col("cluster_size"),
+        (col("vec_id") =!= col("cluster")).cast("long").as("purge"))
   }
 
   private[graft] def bandNeardupRoutedOf(emb: DataFrame,
@@ -445,34 +507,29 @@ object Similarity {
     // q224: the routed near-dup — LSH pairs inside the occupancy cap,
     // IVF canonical-star pairs for members of over-dense buckets (the
     // wired form of the cap→IVF fallback q223/q147 document).
-    "q224_routed_neardup" -> ((s, d) =>
-      bandNeardupRoutedOf(t(s, d, "embeddings"), d)),
+    "q224_routed_neardup" -> ((s, d) => verifiedRoutedOf(s, d)),
 
     // q226: embedding PURGE MANIFEST — the end-to-end dedup chain for
     // the embedding modality, closing the per-modality symmetry (text:
-    // q29→q68→q186; media: q147→q148): q224's routed pair SET (the
-    // pre-cosine [[routedPairsOf]] — connectivity needs no verify
-    // stage, review r11) → connected components (Components.minLabel
-    // — hot-label-split, skew-proof) → canonical = the component's
-    // min vec_id (which IS the label) → keep/purge flag per member.
-    // At 100 TB this manifest is what the vector store's compaction
-    // job executes. Components-equivalence of the routed pairs (every
-    // dense-cluster member connected to one canonical — ScaleEvidence
-    // path 9's invariant) is exactly the property that makes this
-    // composition correct.
-    "q226_embedding_purge" -> ((s, d) => {
-      val pairs = graft.CacheRegistry.getOrPersist(s,
-        s"similarity.routedpairs:$d") {
-        routedPairsOf(t(s, d, "embeddings"), d)
-          .select(col("vec_a"), col("vec_b"))
-      }
-      val labels = Components.minLabel(pairs, "vec_a", "vec_b")
-      val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "lab")
-        .select(col("node").as("vec_id"), col("lab").as("cluster"),
-          col("cluster_size"),
-          (col("node") =!= col("lab")).cast("long").as("purge"))
-    }),
+    // q29→q68→q186; media: q147→q148). Two pair channels feed the
+    // graph (r11 advice: candidates alone are NOT a similarity
+    // signal on this modality — the IVF star pairs members with a
+    // canonical at cos ≈ 0, so an unfiltered manifest would delete
+    // non-duplicates):
+    //   1. q224's VERIFIED routed pairs (shared persisted relation)
+    //      cut at [[PurgeCosThreshold]];
+    //   2. [[exactPairsOf]] — identical-embedding star edges, the
+    //      channel that keeps bit-identical duplicates connected even
+    //      when their region is too dense for LSH (cap) and too far
+    //      from their Lloyd canonical for the threshold.
+    // Then Components.minLabel (hot-label-split, skew-proof) →
+    // canonical = the component's min vec_id → FULL-COVERAGE keep/
+    // purge flag: every corpus vector gets a manifest row (singletons
+    // keep themselves), so at 100 TB this IS the list the vector
+    // store's compaction job executes — purge=1 only for verified
+    // near/exact duplicates of their canonical.
+    "q226_embedding_purge" -> ((s, d) =>
+      purgeManifestOf(t(s, d, "embeddings"), verifiedRoutedOf(s, d))),
 
     // q62: the IVF search path end-to-end, fully oracled — with the
     // `label` column standing in as the coarse partition (cells).
@@ -889,20 +946,36 @@ object Similarity {
            |JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)""".stripMargin,
 
       // recursive min-label components over the shared routed-pair
-      // CTEs — the q68 oracle pattern on the embedding modality
+      // CTEs — the q68 oracle pattern on the embedding modality.
+      // Mirrors both engine channels: the cosine-verified cut at
+      // PurgeCosThreshold (same 4-dp rounding as q224's output, so
+      // boundary pairs agree) and the identical-embedding star; then
+      // FULL coverage via the left join back to the corpus.
       "q226_embedding_purge" ->
         s"""WITH RECURSIVE $routedOracleCtes,
-           |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
-           |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+           |vpairs AS (SELECT p.vec_a, p.vec_b FROM pairs p
+           |  JOIN (SELECT vec_id AS vec_a, embedding AS qv FROM embeddings) a USING (vec_a)
+           |  JOIN (SELECT vec_id AS vec_b, embedding AS cv FROM embeddings) b USING (vec_b)
+           |  WHERE $cosSql >= $PurgeCosThreshold),
+           |exact AS (SELECT g.vec_a, e.vec_id AS vec_b
+           |  FROM embeddings e JOIN (SELECT embedding, min(vec_id) AS vec_a
+           |    FROM embeddings GROUP BY embedding) g USING (embedding)
+           |  WHERE e.vec_id <> g.vec_a),
+           |allp AS (SELECT vec_a, vec_b FROM vpairs
+           |  UNION ALL SELECT vec_a, vec_b FROM exact),
+           |edges AS (SELECT vec_a AS src, vec_b AS dst FROM allp
+           |  UNION ALL SELECT vec_b, vec_a FROM allp),
            |reach AS (
            | SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM edges)
            | UNION
            | SELECT ed.dst AS node, r.lab FROM reach r JOIN edges ed ON ed.src = r.node),
            |labt AS (SELECT node AS vec_id, min(lab) AS cluster FROM reach GROUP BY node),
-           |csize AS (SELECT cluster, count(*) AS cluster_size FROM labt GROUP BY cluster)
-           |SELECT l.vec_id, l.cluster, csize.cluster_size,
-           | CAST(CASE WHEN l.vec_id <> l.cluster THEN 1 ELSE 0 END AS BIGINT) AS purge
-           |FROM labt l JOIN csize USING (cluster)""".stripMargin,
+           |fullm AS (SELECT e.vec_id, COALESCE(l.cluster, e.vec_id) AS cluster
+           |  FROM embeddings e LEFT JOIN labt l USING (vec_id)),
+           |csize AS (SELECT cluster, count(*) AS cluster_size FROM fullm GROUP BY cluster)
+           |SELECT f.vec_id, f.cluster, csize.cluster_size,
+           | CAST(CASE WHEN f.vec_id <> f.cluster THEN 1 ELSE 0 END AS BIGINT) AS purge
+           |FROM fullm f JOIN csize USING (cluster)""".stripMargin,
 
       "q62_ivf_search" ->
         s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -238,6 +238,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall(_.getAs[Double]("cos_sim") == 1.0))
   }
 
+  test("q226 purge graph is similarity-gated: a shared Lloyd cell alone merges " +
+      "nothing, while an exact clone in the over-dense region still purges") {
+    // 20 DISTINCT near-orthogonal all-positive vectors (tiny floor +
+    // one big spike on a distinct dim each): every band bucket holds
+    // all of them (occupancy 21 > RoutedCap), so the only candidate
+    // edges are IVF star pairs at cos ≈ 0 — the r11-advice failure
+    // mode where the unfiltered manifest would purge every non-min
+    // member of each k-means cell despite nothing being a duplicate.
+    // Vector 200 is a bit-identical clone of 105, connected ONLY via
+    // the exact-duplicate channel (its star edge is also cos ≈ 0).
+    val dense = (0 until 20).map { i =>
+      (100L + i) -> Array.tabulate(64)(k =>
+        if (k == (i * 3) % 64) 100.0f else 0.01f)
+    }
+    val emb = embDf(dense :+ (200L -> dense(5)._2.clone()))
+    val out = Similarity.purgeManifestOf(emb,
+      Similarity.bandNeardupRoutedOf(emb, "spec-purge")).collect()
+    assert(out.length == 21) // full coverage: one row per corpus vector
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(200L).getAs[Long]("purge") == 1L &&
+      byId(200L).getAs[Long]("cluster") == 105L &&
+      byId(200L).getAs[Long]("cluster_size") == 2L)
+    out.filter(_.getAs[Long]("vec_id") != 200L).foreach { r =>
+      assert(r.getAs[Long]("purge") == 0L &&
+        r.getAs[Long]("cluster") == r.getAs[Long]("vec_id"),
+        s"distinct vector ${r.getAs[Long]("vec_id")} must keep itself")
+      assert(r.getAs[Long]("cluster_size") ==
+        (if (r.getAs[Long]("vec_id") == 105L) 2L else 1L))
+    }
+  }
+
   test("q226 purge manifest: one kept canonical per cluster, canonical = min id") {
     val rows = q("q226_embedding_purge").collect()
     assert(rows.nonEmpty)
