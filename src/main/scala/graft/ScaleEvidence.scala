@@ -204,9 +204,19 @@ object ScaleEvidence {
     // interesting skew is WRITE-side (path 8) read this after the call
     var lastAggs: Seq[Agg] = Nil
 
+    // Dev iteration aid: SCALE_ONLY=<substring> runs just the paths
+    // whose label matches (case-insensitive); others print SKIP. The
+    // committed SCALE.md rows always come from a full unfiltered run.
+    val only = sys.env.get("SCALE_ONLY").map(_.toLowerCase)
+
     /** Run `action` under the listener, assert its invariant, report
       * the heaviest (by total shuffle-read rows) stage's balance. */
-    def measure(path: String, inputRows: Long)(action: => Unit): Unit = {
+    def measure(path: String, inputRows: Long)(action: => Unit): Unit =
+      if (only.exists(o => !path.toLowerCase.contains(o)))
+        println(s"[scale] SKIP (SCALE_ONLY): $path")
+      else measureAlways(path, inputRows)(action)
+
+    def measureAlways(path: String, inputRows: Long)(action: => Unit): Unit = {
       // the listener bus is asynchronous — drain it both before the
       // snapshot diff (so a prior path's late TaskEnd events can't
       // bleed into this one) and after the action (so this path's own
@@ -662,6 +672,79 @@ object ScaleEvidence {
       allPairs.unpersist()
       println(s"[scale] routed pairs at ×$embReps: $nPairs " +
         s"($nCloneStars clone star members, $clones clones all connected)")
+    }
+
+    // ---- 12. Embedding purge manifest (q226) composed at ×reps ----
+    // r11 verdict #3: the composed chain (routed pairs → verified cut
+    // → exact channel → components → keep/purge) had no ×100 run of
+    // its own — its scale posture was inherited from path 9 (pairs)
+    // and path 3 (components). This measures the SHIPPED composition
+    // end-to-end on a fresh cache key (nothing reused from path 9's
+    // run, so the wall time is the true all-in cost). Invariants:
+    //   - full coverage: one manifest row per corpus vector;
+    //   - keeper discipline: per cluster exactly one purge=0 row and
+    //     it is the min-id member (keeper id == cluster label);
+    //   - clone semantics: every planted bit-identical clone is
+    //     purged and co-clustered with its source (the exact channel
+    //     carries them even though every LSH bucket is over the cap
+    //     and their IVF star edges sit at cos ≈ 0 < the threshold);
+    //   - no candidacy-merge: replica vectors (distinct by
+    //     construction, cross-replica cos ≈ 0) are NOT purged just
+    //     for sharing a Lloyd cell — the r11-advice failure mode.
+    //     Hot-orthant vectors are mutually similar (all-positive,
+    //     cos ≈ 0.9), so THEIR verified star merges are correct
+    //     behavior, not leakage; the bound below excludes them.
+    measure(s"Similarity.purgeManifestOf (q226 shape, ×$embReps vectors)",
+        baseEmb * embReps + clones + hotVecs) {
+      val corpus = baseEmb * embReps + clones + hotVecs
+      val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
+      val manifest = Similarity.purgeManifestOf(scaled,
+        Similarity.bandNeardupRoutedOf(scaled, s"purge$embReps")).persist()
+      val nRows = manifest.count()
+      require(nRows == corpus, s"manifest rows $nRows != corpus $corpus")
+      val aggs = manifest.agg(
+        sum(when(col("purge") === 0, 1L).otherwise(0L)).as("keepers"),
+        countDistinct(col("cluster")).as("nclusters"),
+        sum(when(col("purge") === 0 && col("vec_id") =!= col("cluster"), 1L)
+          .otherwise(0L)).as("badKeepers"),
+        sum(when(col("vec_id") >= 1000000000L && col("purge") === 0, 1L)
+          .otherwise(0L)).as("cloneKeepers"),
+        sum(when(col("vec_id") >= 0 && col("vec_id") < 1000000000L &&
+          col("purge") === 1, 1L).otherwise(0L)).as("replicaPurges"),
+        sum(when(col("vec_id") < 0 && col("purge") === 1, 1L)
+          .otherwise(0L)).as("hotPurges")).collect()(0)
+      require(aggs.getAs[Long]("keepers") == aggs.getAs[Long]("nclusters") &&
+        aggs.getAs[Long]("badKeepers") == 0L,
+        s"keeper discipline broken: $aggs")
+      require(aggs.getAs[Long]("cloneKeepers") == 0L,
+        s"${aggs.getAs[Long]("cloneKeepers")} planted clones kept (must purge)")
+      // co-clustering: clone's manifest cluster == its source's
+      val lab = manifest.select(col("vec_id"), col("cluster"))
+      val mismatch = spark.range(clones)
+        .select((col("id") * embReps).as("src"),
+          (col("id") * embReps + 1000000000L).as("clone"))
+        .join(lab.withColumnRenamed("vec_id", "src")
+          .withColumnRenamed("cluster", "cs"), Seq("src"))
+        .join(lab.withColumnRenamed("vec_id", "clone")
+          .withColumnRenamed("cluster", "cc"), Seq("clone"))
+        .filter(!(col("cs") <=> col("cc"))).count()
+      require(mismatch == 0, s"$mismatch clones not co-clustered with source")
+      // replica vectors are pairwise-distinct: purges there can come
+      // only from genuine verified cos ≥ 0.4 pairs (the base corpus's
+      // own near-tail when a bucket stays under the cap), never from
+      // shared-cell candidacy; at ×100 every bucket is over the cap,
+      // so this stays ~0 — 1% of the replica corpus is the loud bound
+      // (clone ids sit at +1e9, clone SOURCES are their clusters' min
+      // ids and thus keepers — so replica purges exclude the planted
+      // duplicates entirely)
+      val repPurges = aggs.getAs[Long]("replicaPurges")
+      require(repPurges <= (baseEmb * embReps) / 100,
+        s"$repPurges replica purges — candidacy leaking into the manifest?")
+      println(s"[scale] purge manifest at ×$embReps: $nRows rows, " +
+        s"${aggs.getAs[Long]("nclusters")} clusters, " +
+        s"$repPurges replica purges, " +
+        s"${aggs.getAs[Long]("hotPurges")} hot purges, $clones clones all purged")
+      manifest.unpersist()
     }
 
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")
