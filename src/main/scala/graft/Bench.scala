@@ -183,6 +183,12 @@ object Bench {
       if (id.isEmpty) "0" else id
     }
     val cs = sorted.map { case (k, v) => key(k) -> math.round(v * 100) }
+    // zero-stripping could collide q01_* with q1_*; naming is
+    // consistent today, so a future drift must fail the run rather
+    // than silently emit duplicate JSON keys in the compact artifact
+    require(cs.map(_._1).distinct.size == cs.size,
+      "compact bench keys collide after zero-stripping: " +
+        cs.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
     val (shown, rest) = cs.partition(_._2 >= restThresholdCs)
     val compact = fmt(shown.map { case (k, v) => k -> v.toString })
     // "failed" is ALWAYS present (12 bytes when empty): the file

@@ -62,9 +62,14 @@ object CacheRegistry {
     * orientation decision — so repeated query CONSTRUCTION doesn't
     * re-run the counting job (r10 ADVICE: building the q126 and q188
     * plans each triggered the count). Entries die with the session
-    * (purgeDead) but are NOT dropped by [[clear]]: a keyed scalar is a
-    * pure function of the session's input data, so within a session it
-    * cannot go stale the way an unpersisted DataFrame can.
+    * (purgeDead) but are NOT dropped by the default [[clear]]: a keyed
+    * scalar is a pure function of the session's input data, so within
+    * a session it cannot go stale the way an unpersisted DataFrame can
+    * — UNLESS the data at the keyed path is rewritten in-session (a
+    * test fixture regenerating a dir), in which case the memoized
+    * count would silently serve a stale plan decision (r11 ADVICE).
+    * Callers that rewrite data must use `clear(spark, dropScalars =
+    * true)`.
     */
   def getOrComputeLong(spark: SparkSession, key: String)(compute: => Long): Long = {
     purgeDead()
@@ -127,10 +132,18 @@ object CacheRegistry {
     * through `live` — dropping the handle here would orphan a
     * cleared-then-stopped session's scalars for the JVM lifetime
     * (review r11). */
-  def clear(spark: SparkSession): Unit = {
+  def clear(spark: SparkSession): Unit = clear(spark, dropScalars = false)
+
+  /** As [[clear]]; with `dropScalars = true` also drops the session's
+    * [[getOrComputeLong]] memos — REQUIRED when the caller rewrites
+    * data under a path a scalar key embeds, since a memoized count for
+    * regenerated data would otherwise silently mis-size downstream
+    * plan decisions (triangle orientation, IVF k). */
+  def clear(spark: SparkSession, dropScalars: Boolean): Unit = {
     val k = sid(spark)
     owned.remove(k).getOrElse(Nil).foreach(_.unpersist(blocking = false))
     memo.keys.filter(_._1 == k).foreach(memo.remove)
+    if (dropScalars) scalars.keys.filter(_._1 == k).foreach(scalars.remove)
     ()
   }
 }

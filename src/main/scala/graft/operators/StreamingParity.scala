@@ -125,18 +125,53 @@ object StreamingParity {
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Fail-loudly guard for a DURABLE checkpoint of a band-hash-
+    * stateful stream (the q82 shape: state aggregates band hits).
+    * Band hashes from different [[TextDedup.SignatureSchemeVersion]]s
+    * are incompatible; a resume across a scheme change would silently
+    * DROP duplicate matches rather than error (r11 ADVICE — the
+    * version stamp on in-session registry keys cannot reach an
+    * on-disk checkpoint). First start writes a
+    * `graft-signature-scheme` marker next to the checkpoint metadata;
+    * any later start under a different scheme version throws with
+    * instructions instead of under-reporting. Hadoop FileSystem API,
+    * not java.nio: production checkpoints live on HDFS/S3. */
+  private[graft] def guardSignatureCheckpoint(s: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, "graft-signature-scheme")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = s"v${TextDedup.SignatureSchemeVersion}"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(found == v,
+        s"checkpoint $dir was written under MinHash signature scheme " +
+          s"$found but this engine computes $v: band hashes are " +
+          "incompatible across schemes, so resuming would silently " +
+          "drop duplicate matches. Discard the checkpoint and rebuild " +
+          "the stream state (TextDedup.SignatureSchemeVersion scaladoc).")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Run a finite streaming query to completion into a memory sink
-    * and return the materialized result. */
-  private def runToCompletion(agg: DataFrame, name: String): DataFrame = {
+    * and return the materialized result. `checkpointDir`, when given,
+    * pins an explicit checkpoint location (the memory sink otherwise
+    * uses an ephemeral temp checkpoint). */
+  private def runToCompletion(agg: DataFrame, name: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     val s = agg.sparkSession
     dropPriorSinks(s)
     liveSinks.add((s, name))
     val q = withStateParts(s, 8) {
-      agg.writeStream
+      val w = agg.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(name)
-        .start()
+      checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
     }
     try q.processAllAvailable() finally q.stop()
     s.table(name)
@@ -506,7 +541,13 @@ object StreamingParity {
         .agg(count(lit(1)).as("n_band_hits"),
           size(collect_set(col("corpus_doc"))).cast("long").as("n_near_dups"),
           min(col("corpus_doc")).as("min_match"))
-      runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}")
+      // explicit checkpoint + scheme-version marker: the gate exercises
+      // the guard a durable deployment relies on (fails loudly on a
+      // cross-scheme resume instead of silently dropping matches)
+      val ck = java.nio.file.Files.createTempDirectory("graft-q82-ck").toString
+      guardSignatureCheckpoint(s, ck)
+      runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}",
+        checkpointDir = Some(ck))
     }),
 
     // q92: ARBITRARY stateful streaming (flatMapGroupsWithState) under

@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   * at a 32M-shingle ×100 stress with HALF the lane bytes through the
   * agg+shuffle. 32-bit lanes keep the estimator sound: a spurious
   * lane-min collision needs two distinct shingles sharing a 32-bit
-  * value AND winning the same lane min, and candidates are verified
-  * downstream by exact Jaccard anyway — the standard production
-  * MinHash width. md5+substr keeps the DuckDB oracle computing the
+  * value AND winning the same lane min, a band match needs FOUR such
+  * ties at once, and candidates are verified downstream by exact
+  * Jaccard anyway — the standard production MinHash width. Measured,
+  * not just argued: TextDedupSpec's "planted 32-bit lane collision"
+  * case birthday-searches a genuine lane-0 quarter collision, plants
+  * it as two single-shingle docs, and asserts candidate-set inflation
+  * is exactly zero while a true-duplicate control pair still fires.
+  * md5+substr keeps the DuckDB oracle computing the
   * identical signature with the identical SQL functions, which
   * xxhash64 could not.) At scale the shingle
   * self-join is bounded by document frequency (a df cap drops
@@ -496,6 +501,14 @@ object TextDedup {
     // (min-label propagation; see that object's scaladoc for the
     // convergence and lineage-truncation story). This completes the
     // dedup story: pairs (q28/q29) → clusters → canonical doc.
+    // CAVEAT (r11 ADVICE): q68 and q186 consume CANDIDATE pairs
+    // without exact-Jaccard verification, so the v3 32-bit lanes'
+    // spurious-tie rate (~S/2^32 per lane, four simultaneous ties per
+    // band — zero observed in the planted-collision spec) flows into
+    // cluster/purge decisions. Negligible below billions of shingles;
+    // if corpora grow there, either verify pairs before clustering
+    // (the q226 posture) or widen the manifest-producing path back to
+    // 64-bit lanes.
     "q68_dedup_clusters" -> ((s, d) => {
       val labels = Components.minLabel(minhashPairs(s, d), "doc_a", "doc_b")
       val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))

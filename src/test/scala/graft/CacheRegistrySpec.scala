@@ -56,5 +56,11 @@ class CacheRegistrySpec extends AnyFunSuite {
     CacheRegistry.clear(spark)
     assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.a")(compute(99L)) == 7L)
     assert(computes == 2)
+    // clear(dropScalars = true) is the escape hatch for callers that
+    // REWRITE data under a keyed path in-session (r11 ADVICE): the
+    // memoized count must be recomputed, not served stale
+    CacheRegistry.clear(spark, dropScalars = true)
+    assert(CacheRegistry.getOrComputeLong(spark, "spec.cnt.a")(compute(42L)) == 42L)
+    assert(computes == 3, "dropScalars must force recomputation")
   }
 }

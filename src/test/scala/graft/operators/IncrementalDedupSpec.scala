@@ -68,4 +68,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "identical doc must match its corpus twin across the batch boundary")
     assert(!byDoc.contains(102L), "unrelated doc must not produce candidates")
   }
+
+  test("signature-scheme checkpoint guard fails loudly on a cross-version resume") {
+    // r11 ADVICE: the version stamp on in-session registry keys cannot
+    // reach an on-disk checkpoint; a q82-shape stream resumed across a
+    // scheme change would silently drop matches. The guard must (a)
+    // stamp a fresh checkpoint, (b) accept a same-version restart,
+    // (c) THROW on a version mismatch instead of under-reporting.
+    val ck = java.nio.file.Files.createTempDirectory("graft-guard-ck").toString
+    StreamingParity.guardSignatureCheckpoint(spark, ck)   // (a) stamps
+    StreamingParity.guardSignatureCheckpoint(spark, ck)   // (b) idempotent
+    val marker = java.nio.file.Paths.get(ck, "graft-signature-scheme")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      == s"v${TextDedup.SignatureSchemeVersion}")
+    // simulate a checkpoint written under the previous scheme —
+    // through the Hadoop FS (the guard's own read path), so the local
+    // ChecksumFileSystem's .crc sidecar stays consistent
+    val hp = new org.apache.hadoop.fs.Path(ck, "graft-signature-scheme")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write("v2".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      StreamingParity.guardSignatureCheckpoint(spark, ck)  // (c) loud
+    }
+    assert(e.getMessage.contains("incompatible") && e.getMessage.contains("v2"))
+  }
 }

@@ -263,4 +263,56 @@ class TextDedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_tokens") == ws.size)
     }
   }
+
+  test("planted 32-bit lane collision inflates the candidate set by ZERO (v3 scheme adversary)") {
+    // The r11 v3 scheme narrowed MinHash lanes from 64-bit halves to
+    // 32-bit md5 quarters; the scaladoc argues spurious lane-min ties
+    // (P ~ S/2^32 per lane) are harmless because a band match needs 4
+    // SIMULTANEOUS lane ties. This turns the argument into a
+    // measurement: birthday-search a GENUINE lane-0 collision — two
+    // distinct shingles whose md5("0|"+s) first 32-bit quarter is
+    // equal, the exact event the narrowing made more likely — plant
+    // each as a single-shingle document, and assert the engineered tie
+    // produces no candidate pair while a true-duplicate control does.
+    import java.security.MessageDigest
+    def md5hex(x: String): String = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lane(seed: Int, shingle: String, q: Int): String =
+      md5hex(s"$seed|" + shingle).substring(8 * q, 8 * q + 8)
+
+    // deterministic birthday search over the 2^32 quarter space
+    val seen = scala.collection.mutable.HashMap.empty[String, String]
+    var hit: Option[(String, String)] = None
+    var j = 0
+    while (hit.isEmpty) {
+      val sh = s"w$j adversary probe"
+      seen.put(lane(0, sh, 0), sh) match {
+        case Some(prev) if prev != sh => hit = Some((prev, sh))
+        case _ => ()
+      }
+      j += 1
+    }
+    val (s1, s2) = hit.get
+    assert(s1 != s2 && lane(0, s1, 0) == lane(0, s2, 0))
+    // the tie is confined to lane 0: with distinct shingles the other
+    // 15 quarters disagree (would need further 2^-32 coincidences)
+    assert((0 until 4).flatMap(i => (0 until 4).map(q => (i, q)))
+      .count { case (i, qq) => lane(i, s1, qq) == lane(i, s2, qq) } == 1)
+
+    import spark.implicits._
+    val adversary = Seq(1L -> s1, 2L -> s2)            // engineered lane-0 tie
+    val control = Seq(3L -> "true duplicate control text goes here",
+      4L -> "true duplicate control text goes here")    // all 16 lanes tie
+    val background = (10L until 310L).map(i =>
+      i -> s"bg${i}a bg${i}b bg${i}c bg${i}d bg${i}e") // disjoint vocabularies
+    val docs = (adversary ++ control ++ background).toDF("doc_id", "text")
+
+    val got = TextDedup.minhashPairsOf(spark, docs, s"lane-collision-adversary")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // inflation bound: exactly the control pair — the planted single-
+    // lane tie contributes nothing (band hash spans 4 lanes), and so
+    // does the ~900-shingle disjoint background
+    assert(got == Set((3L, 4L)),
+      s"candidate inflation from planted lane collision: ${got - ((3L, 4L))}")
+  }
 }
