@@ -479,6 +479,50 @@ object Similarity {
           col("rn").cast("long").as("rn"))
     }),
 
+    // q227: ANN RECALL AUDIT — recall@5 of the LSH-bucketed search
+    // (q32's shape) against the brute-force ground truth (q31's
+    // shape) over the same query set. BASELINE §L names fixed-band
+    // LSH under-reporting as the engine's residual ceiling; this
+    // query makes that loss a first-class MEASURED quantity instead
+    // of a documented caveat — the audit a production pipeline runs
+    // before trusting an ANN index for dedup or retrieval. Scale
+    // posture: queries are a broadcast SAMPLE (50 here); the truth
+    // side is one streaming corpus scan per the q31 analysis, the
+    // LSH side a bucket equi-join — no all-pairs anywhere, so the
+    // audit costs O(|Q|·N·dim) at any corpus size and |Q| is the
+    // operator's knob. Exact integer micro-units for recall.
+    "q227_ann_recall_audit" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("nrm", vec_norm(col("embedding")))
+        .withColumn("bucket", bucketExprSpark("embedding"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("bucket").as("cbucket"), col("nrm").as("cn"))
+      def top5(joined: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("cand_id"))
+        joined.filter(col("query_id") =!= col("cand_id"))
+          .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("cand_id"))
+      }
+      val truth = top5(c.crossJoin(broadcast(q)))
+      val got = top5(c.join(broadcast(q), col("qbucket") === col("cbucket")))
+      val hits = truth.join(got, Seq("query_id", "cand_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      val retrieved = got.groupBy(col("query_id")).agg(count(lit(1)).as("r"))
+      q.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(retrieved, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("r"), lit(0L)).as("n_retrieved"),
+          coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_micro"))
+    }),
+
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
     // modality (legacy coarse blocking; q223/q224 are the recommended
     // scale surface). See [[embeddingNeardupOf]].
@@ -901,6 +945,34 @@ object Similarity {
            |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb) c(vec_id, cv, bucket)
            |   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id))
            |WHERE rn <= 5""".stripMargin,
+
+      "q227_ann_recall_audit" ->
+        s"""WITH wb AS (SELECT vec_id, embedding,
+           |   ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+           |  FROM wb WHERE vec_id < 50),
+           |truth AS (SELECT query_id, cand_id FROM (
+           | SELECT q.query_id, c.vec_id AS cand_id,
+           |  row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+           | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
+           | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
+           |got AS (SELECT query_id, cand_id FROM (
+           | SELECT q.query_id, c.vec_id AS cand_id,
+           |  row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+           | FROM q JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+           |   c(vec_id, cv, bucket)
+           |  ON q.bucket = c.bucket AND q.query_id <> c.vec_id) WHERE rn <= 5),
+           |hits AS (SELECT t.query_id, count(*) AS h FROM truth t JOIN got g
+           |  ON t.query_id = g.query_id AND t.cand_id = g.cand_id GROUP BY 1),
+           |ret AS (SELECT query_id, count(*) AS r FROM got GROUP BY 1)
+           |SELECT q.query_id,
+           | CAST(COALESCE(ret.r, 0) AS BIGINT) AS n_retrieved,
+           | CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hit,
+           | CAST(COALESCE(hits.h, 0) * 200000 AS BIGINT) AS recall_micro
+           |FROM q LEFT JOIN hits USING (query_id)
+           |LEFT JOIN ret USING (query_id)""".stripMargin,
 
       "q37_embedding_neardup" -> {
         val bucket4 = q37BucketDims.zipWithIndex.map { case (dim, j) =>

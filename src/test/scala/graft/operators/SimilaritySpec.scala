@@ -328,4 +328,44 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
     assert(pairs.length == pairs.distinct.length)
   }
+
+  test("q227 recall audit equals an independent plain-Scala recomputation") {
+    // recompute ground truth AND the in-bucket result locally: cosine
+    // at the same 4-dp HALF_UP rounding, ties broken by cand_id — the
+    // oracle's procedure in Scala, so a drift in either side fails here
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(v: Array[Float]): Int =
+      (0 until 8).map(j => (if (v(j * 8) > 0f) 1 else 0) << j).sum
+    def top5(qid: Long, cands: Iterable[Long]): Set[Long] =
+      cands.filter(_ != qid).toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    val rows = q("q227_ann_recall_audit").collect()
+    assert(rows.length == 50 &&
+      rows.map(_.getAs[Long]("query_id")).toSet == (0L until 50L).toSet)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val truth = top5(qid, vecs.keys)
+      val inBucket = vecs.keys.filter(c => bucket(vecs(c)) == bucket(vecs(qid)))
+      val got = top5(qid, inBucket)
+      assert(r.getAs[Long]("n_retrieved") == got.size, s"query $qid retrieved")
+      assert(r.getAs[Long]("n_hit") == (truth & got).size, s"query $qid hits")
+      assert(r.getAs[Long]("recall_micro") == r.getAs[Long]("n_hit") * 200000L)
+    }
+    // the audit must REPORT loss, not assume it: at gate scale the
+    // bucketed search misses some true neighbors for some query
+    assert(rows.map(_.getAs[Long]("n_hit")).sum <
+      rows.map(_.getAs[Long]("recall_micro")).length * 5L,
+      "recall 1.0 everywhere — the audit corpus no longer exercises LSH loss")
+  }
 }

@@ -264,6 +264,41 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 calibration equals a plain-Scala lane + exact-jaccard recomputation") {
+    import java.security.MessageDigest
+    def md5hex(x: String): String = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // df-capped shingle sets, the q185-spec recompute
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> "\\S+".r.findAllIn(r.getString(1)).toVector)
+    val sets = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = sets.map { case (id, s) => id -> s.filter(g => df(g) <= 100) }
+    // 16-lane signature: quarter q of md5("i|"+shingle), per-lane min
+    def sig(id: Long): Vector[String] =
+      (0 until 4).flatMap { i =>
+        val hs = capped(id).toVector.map(sh => md5hex(s"$i|" + sh))
+        (0 until 4).map(q => hs.map(_.substring(8 * q, 8 * q + 8)).min)
+      }.toVector
+    val rows = q("q228_minhash_calibration").collect()
+    assert(rows.nonEmpty, "expected q29 candidate pairs to audit")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val lanes = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("n_lanes") == lanes, s"lanes for ($a,$b)")
+      assert(lanes >= 4L, s"candidate ($a,$b) without a full band tie")
+      val c = (capped(a) & capped(b)).size.toLong
+      val exact = c * 1000000L / (capped(a).size + capped(b).size - c)
+      assert(r.getAs[Long]("est_micro") == lanes * 62500L)
+      assert(r.getAs[Long]("exact_micro") == exact, s"jaccard for ($a,$b)")
+      assert(r.getAs[Long]("abs_err_micro") ==
+        math.abs(lanes * 62500L - exact))
+    }
+  }
+
   test("planted 32-bit lane collision inflates the candidate set by ZERO (v3 scheme adversary)") {
     // The r11 v3 scheme narrowed MinHash lanes from 64-bit halves to
     // 32-bit md5 quarters; the scaladoc argues spurious lane-min ties
