@@ -747,6 +747,54 @@ object ScaleEvidence {
       manifest.unpersist()
     }
 
+    // ---- 13. Estimator-honesty audits (q227/q228) at ×reps ----
+    // The r12 audits turn documented approximation loss into measured
+    // quantities; this path proves the AUDITS THEMSELVES hold at ×100
+    // (r11-verdict style: a new operator's scale posture is measured,
+    // not inherited). Invariants are accounting exactness — the audit
+    // numbers must stay internally consistent at volume — plus a loose
+    // estimator-sanity bound; the interesting outputs (mean recall,
+    // calibration MAE) are REPORTED, since their values are corpus
+    // properties, not correctness claims.
+    measure(s"Similarity.annRecallAuditOf (q227 shape, ×$embReps vectors)",
+        baseEmb * embReps + clones + hotVecs) {
+      val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
+      val audit = Similarity.annRecallAuditOf(scaled).persist()
+      val n = audit.count()
+      require(n == 50, s"expected 50 audited queries, got $n")
+      val bad = audit.filter(col("n_hit") > col("n_retrieved") ||
+        col("n_retrieved") > 5 ||
+        col("recall_micro") =!= col("n_hit") * lit(200000L)).count()
+      require(bad == 0, s"$bad audit rows violate recall accounting")
+      val meanRecall = audit.agg(avg(col("recall_micro"))).collect()(0).getDouble(0)
+      audit.unpersist()
+      println(f"[scale] ann recall audit at ×$embReps: " +
+        f"mean recall@5 ${meanRecall / 10000}%.1f%% " +
+        "(LOW by design at this density — the under-reporting the audit exists to expose)")
+    }
+    measure(s"TextDedup.calibrationOf (q228 shape, ×$reps corpus)",
+        baseDocs * reps) {
+      val scaled = saltedCorpus(spark, sfDir, reps)
+      val cal = TextDedup.calibrationOf(spark, scaled, s"calib$reps").persist()
+      val n = cal.count()
+      require(n > 0, "no candidate pairs to calibrate at scale")
+      val bad = cal.filter(col("n_lanes") < 4 || col("n_lanes") > 16 ||
+        col("est_micro") =!= col("n_lanes") * lit(62500L) ||
+        col("abs_err_micro") =!=
+          abs(col("est_micro") - col("exact_micro"))).count()
+      require(bad == 0, s"$bad calibration rows violate exactness invariants")
+      // estimator sanity, not a tight bound: 16 lanes give per-pair
+      // std sqrt(J(1-J)/16) ≤ 125k micro; selection bias (candidates
+      // are band-collision-conditioned) pushes low-J pairs up, so the
+      // corpus MAE bound is deliberately loose — the measured value
+      // is the reported number
+      val mae = cal.agg(avg(col("abs_err_micro"))).collect()(0).getDouble(0)
+      require(mae < 300000, f"mean abs calibration error $mae%.0f micro")
+      cal.unpersist()
+      println(f"[scale] minhash calibration at ×$reps: $n pairs, " +
+        f"MAE $mae%.0f micro")
+    }
+
     println("\n| path | input rows | wall s | tasks | mean rows/task | max rows/task | max/mean | max bytes/task |")
     println("|---|---|---|---|---|---|---|---|")
     rows.foreach(println)

@@ -428,6 +428,46 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** q227's body over an arbitrary `(vec_id, embedding)` relation —
+    * the scale harness feeds the ×100 corpus through the REAL
+    * operator (see [[graft.ScaleEvidence]] path 13). Queries are the
+    * 50 lowest-id vectors (a broadcast sample — the |Q| knob); truth
+    * is one streaming corpus scan per q31's analysis, the LSH side a
+    * bucket equi-join. */
+  private[graft] def annRecallAuditOf(e0: DataFrame): DataFrame = {
+    val e = e0
+      .withColumn("nrm", vec_norm(col("embedding")))
+      .withColumn("bucket", bucketExprSpark("embedding"))
+    // >= 0 matters only off the gate tables: the scale harness's
+    // corpus plants adversary vectors under negative ids
+    val q = e.filter(col("vec_id") >= 0 && col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("bucket").as("cbucket"), col("nrm").as("cn"))
+    def top5(joined: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      joined.filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"))
+    }
+    val truth = top5(c.crossJoin(broadcast(q)))
+    val got = top5(c.join(broadcast(q), col("qbucket") === col("cbucket")))
+    val hits = truth.join(got, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    val retrieved = got.groupBy(col("query_id")).agg(count(lit(1)).as("r"))
+    q.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(retrieved, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("r"), lit(0L)).as("n_retrieved"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_micro"))
+  }
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -491,37 +531,8 @@ object Similarity {
     // LSH side a bucket equi-join — no all-pairs anywhere, so the
     // audit costs O(|Q|·N·dim) at any corpus size and |Q| is the
     // operator's knob. Exact integer micro-units for recall.
-    "q227_ann_recall_audit" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .withColumn("nrm", vec_norm(col("embedding")))
-        .withColumn("bucket", bucketExprSpark("embedding"))
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("bucket").as("qbucket"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        col("bucket").as("cbucket"), col("nrm").as("cn"))
-      def top5(joined: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("cand_id"))
-        joined.filter(col("query_id") =!= col("cand_id"))
-          .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("query_id"), col("cand_id"))
-      }
-      val truth = top5(c.crossJoin(broadcast(q)))
-      val got = top5(c.join(broadcast(q), col("qbucket") === col("cbucket")))
-      val hits = truth.join(got, Seq("query_id", "cand_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-      val retrieved = got.groupBy(col("query_id")).agg(count(lit(1)).as("r"))
-      q.select(col("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .join(retrieved, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("r"), lit(0L)).as("n_retrieved"),
-          coalesce(col("h"), lit(0L)).as("n_hit"),
-          (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_micro"))
-    }),
+    "q227_ann_recall_audit" -> ((s, d) =>
+      annRecallAuditOf(t(s, d, "embeddings"))),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
     // modality (legacy coarse blocking; q223/q224 are the recommended
@@ -950,7 +961,7 @@ object Similarity {
         s"""WITH wb AS (SELECT vec_id, embedding,
            |   ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
-           |  FROM wb WHERE vec_id < 50),
+           |  FROM wb WHERE vec_id >= 0 AND vec_id < 50),
            |truth AS (SELECT query_id, cand_id FROM (
            | SELECT q.query_id, c.vec_id AS cand_id,
            |  row_number() OVER (PARTITION BY q.query_id

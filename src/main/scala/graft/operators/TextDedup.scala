@@ -262,6 +262,77 @@ object TextDedup {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(s, t(s, d, "documents"), d)
 
+  /** Corpus size above which [[calibrationOf]] switches from the flat
+    * plan to the candidate-doc-restricted plan (see the in-body
+    * comment for both measurements). Gate tables (≤ 5k docs) stay
+    * flat; the ×100 harness corpus (500k) restricts. */
+  private val CalibRestrictDocThreshold = 100000L
+
+  /** q228's body over an arbitrary `(doc_id, text)` relation — the
+    * scale harness feeds the ×100 corpus through the REAL operator
+    * (see [[graft.ScaleEvidence]] path 13). Per q29 candidate pair:
+    * matching-lanes/16 estimate vs exact shingle Jaccard, integer
+    * micro-units. */
+  private[graft] def calibrationOf(s: SparkSession, docs: DataFrame,
+      key: String): DataFrame = {
+    val sh = filteredShinglesOf(s, docs, key)
+    // the pair relation feeds FIVE consumers here (inter and the
+    // output spine) — persist it once instead of re-running the band
+    // self-join per consumer
+    val pairs = graft.CacheRegistry.getOrPersist(s,
+      s"textdedup.calib.pairs:v$SignatureSchemeVersion:$key") {
+      minhashPairsOf(s, docs, key)
+    }
+    // Plan decision, memoized per (session, corpus) like
+    // trianglesAuto's orientation switch: at gate scale the query is
+    // stage-latency-bound, so the FLAT plan (sig/sizes as single aggs
+    // over the persisted corpus-wide shingle relation) wins — measured
+    // 1.3 s flat vs 2.1 s restricted at sf0.1. Past the threshold the
+    // corpus-wide signature agg and the (doc_b, shingle) intersection
+    // shuffle dominate, and restricting every agg/join input to the
+    // docs that actually appear in a candidate pair (a broadcast
+    // semi-join; the near-dup doc set is ≪ corpus) is the only plan
+    // that scales — ScaleEvidence path 13 measured the ×100 corpus at
+    // 91.6 s flat vs 52.6 s restricted (best-of-reps, interleaved in
+    // one session; the sig agg input drops 32M → 2.8M rows, and what
+    // remains is the pairs build itself, cost-parity with path 3).
+    // Output frames are identical:
+    // only pair docs ever reach the output. (If the pair-doc set
+    // itself outgrew a broadcast, drop the hint — the semi-join
+    // becomes a shuffle and the plan still holds.)
+    val nDocs = graft.CacheRegistry.getOrComputeLong(s,
+      s"textdedup.calib.ndocs:$key")(docs.count())
+    val shx = if (nDocs <= CalibRestrictDocThreshold) sh else {
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      sh.join(broadcast(pairDocs), "doc_id")
+    }
+    val sig = sigFromShingles(shx)
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shx.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shx.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val nLanes = (0 until 16).map(i =>
+      when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_lanes", nLanes)
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("est_micro", col("n_lanes") * lit(62500L))
+      .withColumn("exact_micro", expr("c0 * 1000000L div (na + nb - c0)"))
+      .select(col("doc_a"), col("doc_b"), col("n_lanes"),
+        col("est_micro"), col("exact_micro"),
+        abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
+  }
+
   private[graft] def minhashPairsOf(s: SparkSession, docs: DataFrame,
       key: String): DataFrame = {
     val bands = minhashBandsOf(s, docs, key)
@@ -417,48 +488,8 @@ object TextDedup {
     // pairs against the signature relation, the exact intersection
     // joins pairs against the persisted df-capped shingle table, so
     // cost is O(pairs · avg_shingles), never all-pairs.
-    "q228_minhash_calibration" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val sh = filteredShingles(s, d)
-      // the pair relation feeds FIVE consumers here (pairDocs, inter,
-      // and the output spine) — persist it once instead of re-running
-      // the band self-join per consumer
-      val pairs = graft.CacheRegistry.getOrPersist(s,
-        s"textdedup.calib.pairs:v$SignatureSchemeVersion:$d") {
-        minhashPairsOf(s, docs, d)
-      }
-      // sig and sizes are single aggs over the PERSISTED shingle
-      // relation (no extra stage chain; at gate scale the query is
-      // stage-latency-bound, so fewer sequential shuffles beat a
-      // candidate-doc pre-restriction — measured 2.1 s restricted vs
-      // 1.3 s flat at sf0.1). At 100 TB the restriction becomes worthwhile:
-      // semi-join sh against the pair-doc set first, then aggregate —
-      // same frames, O(pair docs) agg input.
-      val sig = sigFromShingles(sh)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-          Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-      val sa = sig.select(col("doc_id").as("doc_a") +:
-        (0 until 16).map(i => col(s"h$i").as(s"ha$i")): _*)
-      val sb = sig.select(col("doc_id").as("doc_b") +:
-        (0 until 16).map(i => col(s"h$i").as(s"hb$i")): _*)
-      val nLanes = (0 until 16).map(i =>
-        when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L)).reduce(_ + _)
-      pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("n_lanes", nLanes)
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("c0", coalesce(col("c"), lit(0L)))
-        .withColumn("est_micro", col("n_lanes") * lit(62500L))
-        .withColumn("exact_micro", expr("c0 * 1000000L div (na + nb - c0)"))
-        .select(col("doc_a"), col("doc_b"), col("n_lanes"),
-          col("est_micro"), col("exact_micro"),
-          abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
-    }),
+    "q228_minhash_calibration" -> ((s, d) =>
+      calibrationOf(s, t(s, d, "documents"), d)),
 
     // q206: FUZZY decontamination — q104's exact 8-gram probe misses
     // paraphrased/lightly-edited benchmark leakage; the fuzzy form is
