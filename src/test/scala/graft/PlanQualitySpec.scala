@@ -642,4 +642,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(merged.count() == 2)
     assert(merged.filter(col("score").isNull).count() == 1)
   }
+
+  test("q227 recall audit: both top-5 sides prune map-side (WindowGroupLimit), queries broadcast") {
+    // the property that makes the brute-force truth side viable at
+    // 100 TB: rank-filter pushdown keeps each task's local top-5 per
+    // query BEFORE the exchange, so the shuffle carries
+    // O(tasks × |Q| × 5) rows — never the |Q| × N scored cross
+    // product. The query sample itself must ride broadcast (one
+    // corpus scan per side, no corpus repartition for the joins).
+    val plan = executedPlan("q227_ann_recall_audit")
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 4,
+      s"rank-filter pushdown missing on a top-5 side:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("BroadcastHashJoin"),
+      s"query sample not broadcast:\n${plan.take(1500)}")
+  }
 }
