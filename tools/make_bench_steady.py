@@ -2,23 +2,31 @@
 """Regenerate tools/bench_steady.json — the per-query steady-state
 reference used by Bench's retouch rule (protocol v3).
 
-Steady state = per-query MIN over every committed full-format
-BENCH_LOCAL.json in git history (min-of-history is the same robust
-estimator the in-run protocol uses: host noise is strictly additive,
-so the smallest time ever observed on this host is the best available
-steady-state proxy). Compact (centisecond, prefix-named) driver tails
-are skipped — their names are lossy.
+Steady state = per-query MIN over the MOST RECENT WINDOW of committed
+full-format BENCH_LOCAL.json artifacts (min-of-recent-history is the
+same robust estimator the in-run protocol uses: host noise is strictly
+additive, so the smallest time recently observed on this host is the
+best available steady-state proxy). Compact (centisecond, prefix-named)
+driver tails are skipped — their names are lossy.
+
+Why a WINDOW and not all of history (r12): a query whose legitimate
+cost GREW by design keeps its superseded implementation's min forever
+under all-history, so it reads as "inflated" and burns 3 retouch reps
+EVERY run without ever passing — by r12 five floors were stale that
+way (q138's pre-ScalableRank window form at 0.34 s vs the scale-correct
+form's 1.6 s floor, and four streaming queries from before their
+stateful rebuilds). A 15-artifact window (~3 rounds, spanning multiple
+host phases) keeps the min robust to noise while tracking the CURRENT
+implementation; after an intentional cost change the floor self-heals
+as the window rolls.
 
 Run after committing a clean bench artifact:
     python3 tools/make_bench_steady.py && git add tools/bench_steady.json
-
-A query whose legitimate cost GREW (more work by design) will keep its
-old min here and be re-benched every run; that costs 3 isolated reps,
-never a wrong artifact time (retouch only ever min-merges). Remove the
-stale entry manually if that churn matters.
 """
 import json
 import subprocess
+
+WINDOW = 15  # full-format artifacts (~3 rounds; spans host phases)
 
 hashes = subprocess.run(
     ["git", "log", "--format=%H", "--", "BENCH_LOCAL.json"],
@@ -26,6 +34,8 @@ hashes = subprocess.run(
 best = {}
 used = 0
 for h in hashes:
+    if used >= WINDOW:
+        break
     try:
         txt = subprocess.run(["git", "show", f"{h}:BENCH_LOCAL.json"],
                              capture_output=True, text=True).stdout
