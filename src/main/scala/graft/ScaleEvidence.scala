@@ -758,7 +758,18 @@ object ScaleEvidence {
     // properties, not correctness claims.
     measure(s"Similarity.annRecallAuditOf (q227 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
+      // transpose the replica id layout (b·reps + r → r·base + b, a
+      // bijection on the replica range; clone/hot ids untouched) so
+      // the audit's vec_id < 50 sample spans 50 DISTINCT base vectors
+      // instead of one base vector's 50 sign-flip replicas — the
+      // reported mean recall then reflects corpus diversity, not a
+      // single vector family
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
+        .withColumn("vec_id",
+          when(col("vec_id") >= 0 && col("vec_id") < lit(baseEmb * embReps),
+            (col("vec_id") % embReps) * lit(baseEmb) +
+              expr(s"vec_id div $embReps"))
+            .otherwise(col("vec_id")))
       val audit = Similarity.annRecallAuditOf(scaled).persist()
       val n = audit.count()
       require(n == 50, s"expected 50 audited queries, got $n")
