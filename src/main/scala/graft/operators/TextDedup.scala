@@ -272,9 +272,12 @@ object TextDedup {
     * scale harness feeds the ×100 corpus through the REAL operator
     * (see [[graft.ScaleEvidence]] path 13). Per q29 candidate pair:
     * matching-lanes/16 estimate vs exact shingle Jaccard, integer
-    * micro-units. */
+    * micro-units. `restrictThreshold` exists for the equivalence spec
+    * (force the scale branch on gate data); production callers take
+    * the default. */
   private[graft] def calibrationOf(s: SparkSession, docs: DataFrame,
-      key: String): DataFrame = {
+      key: String,
+      restrictThreshold: Long = CalibRestrictDocThreshold): DataFrame = {
     val sh = filteredShinglesOf(s, docs, key)
     // the pair relation feeds FIVE consumers here (inter and the
     // output spine) — persist it once instead of re-running the band
@@ -302,7 +305,7 @@ object TextDedup {
     // becomes a shuffle and the plan still holds.)
     val nDocs = graft.CacheRegistry.getOrComputeLong(s,
       s"textdedup.calib.ndocs:$key")(docs.count())
-    val shx = if (nDocs <= CalibRestrictDocThreshold) sh else {
+    val shx = if (nDocs <= restrictThreshold) sh else {
       val pairDocs = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       sh.join(broadcast(pairDocs), "doc_id")

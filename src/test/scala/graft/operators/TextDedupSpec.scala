@@ -299,6 +299,20 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 restricted (scale-branch) plan produces the identical frame to the flat plan") {
+    // the adaptive plan switch must be output-invariant: the ×100
+    // harness exercises the restricted branch at volume, this pins the
+    // same property on gate data by forcing the threshold to zero
+    val docs = graft.Tables(spark, sf, "documents")
+    val flat = TextDedup.calibrationOf(spark, docs, sf).collect().toSet
+    val restricted = TextDedup
+      .calibrationOf(spark, docs, sf, restrictThreshold = 0L).collect().toSet
+    assert(flat == restricted,
+      s"plan branches disagree: ${(flat diff restricted).take(3)} vs ${
+        (restricted diff flat).take(3)}")
+    assert(flat.nonEmpty)
+  }
+
   test("planted 32-bit lane collision inflates the candidate set by ZERO (v3 scheme adversary)") {
     // The r11 v3 scheme narrowed MinHash lanes from 64-bit halves to
     // 32-bit md5 quarters; the scaladoc argues spurious lane-min ties
