@@ -147,6 +147,21 @@ object Bench {
     }
     val retouch = retouched // names that actually re-measured
     val results = firstPass ++ retouched
+    // HOST-PHASE indicator (r12 verdict #7 — two consecutive driver
+    // artifacts landed phase-inflated and adjudicating the inflation
+    // was a per-round forensic exercise): the median ratio of this
+    // run's final per-query times to their committed steady floors,
+    // over entries with a floor ≥ 0.15 s (sub-noise entries excluded).
+    // The floor set is ~200 code-untouched controls in any given
+    // round, so the median is a robust phase estimate: ~1.0 = steady
+    // host, ≥1.3 = degraded phase — read it BEFORE reading any
+    // per-query regression. Emitted in both artifact forms.
+    val phaseRatios = results.toSeq.flatMap { case (name, t) =>
+      steady.get(name).filter(_ >= 0.15).map(s => t / s)
+    }.sorted
+    val phase =
+      if (phaseRatios.isEmpty) 0.0
+      else phaseRatios(phaseRatios.size / 2)
     CacheRegistry.clear(spark) // release operator-persisted relations
     def fmt(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -155,7 +170,8 @@ object Bench {
     def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedJson = fmt(failures.sortBy(_._1).map { case (k, m) => k -> qstr(m) })
     // full-precision, full-name artifact → file (never truncated)
-    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val phaseStr = f"$phase%.2f"
+    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","phase":$phaseStr,"queries":${
       fmt(sorted.map { case (k, v) => k -> v.toString })
       },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouch_rule":"$retouchRule","retouched":[${
       retouch.map(r => "\"" + r._1 + "\"").mkString(",")}]},"sf":"$sfDir"}"""
@@ -197,7 +213,7 @@ object Bench {
     val failedCompact = fmt(failures.sortBy(_._1)
       .map { case (k, _) => key(k) -> "\"error\"" })
     println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0
-      },"unit":"sec","q_unit":"cs","queries":$compact,"rest":{"n":${rest.size
+      },"unit":"sec","phase":$phaseStr,"q_unit":"cs","queries":$compact,"rest":{"n":${rest.size
       },"cs":${rest.map(_._2).sum}},"failed":$failedCompact,"sf":"${
         new java.io.File(sfDir).getName}"}""")
     if (failures.nonEmpty) {

@@ -145,6 +145,39 @@ object ScaleEvidence {
     rep.union(cl).union(hot)
   }
 
+  /** ×reps CLUSTERED embedding corpus — the production-shaped twin of
+    * [[scaledEmbeddings]] for the ANN-search paths (13a/13c). Real
+    * embedding corpora are clustered (near-dups, revisions,
+    * translations, semantic families); [[scaledEmbeddings]] is
+    * deliberately the OPPOSITE — fully decorrelated replicas, i.e.
+    * isotropic-random directions, the information-theoretic worst
+    * case where NO sub-linear index can reach high recall (top-5
+    * cosines ≈ 0.41 ⇒ per-hyperplane agreement ≈ 0.7 ⇒ most true
+    * neighbors sit ≥ 3 sign flips away; covering them costs Ω(N)).
+    * Here replicas are grouped into FAMILIES of `famSize`: one
+    * deterministic sign-flip isometry per family (cross-family cos ≈
+    * 0, as before), plus per-(member, dim) additive uniform noise of
+    * half-width `sigma` (≈ 0.48·base-std at 0.06 ⇒ member-member cos
+    * ≈ 0.93). Every member thus has famSize−1 true neighbors at cos
+    * ≈ 0.93 ≫ the ≈ 0.49 isotropic ceiling, so with famSize ≥ 6 the
+    * true top-5 is entirely in-family — recall@5 measures whether
+    * the index finds GENUINELY similar vectors, the question a
+    * production pipeline asks of its search surface. */
+  private[graft] def clusteredEmbeddings(spark: SparkSession, sfDir: String,
+      reps: Long, famSize: Int, sigma: Double): DataFrame = {
+    val base = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(32, col("vec_id")) // single-file base: see saltedCorpus
+    base.withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("vid", col("vec_id") * reps + col("rep"))
+      .withColumn("fam", expr(s"rep div $famSize"))
+      .select(col("vid").as("vec_id"),
+        expr(s"""transform(embedding, (x, i) ->
+          CAST((CASE WHEN pmod(xxhash64(fam, i), 2) = 0 THEN x ELSE -x END)
+            + $sigma * (pmod(xxhash64(vid, i), 2001) / 1000.0 - 1.0) AS FLOAT))""")
+          .as("embedding"))
+  }
+
   /** ×reps media corpus for the q147 path. Replica payloads are
     * REGENERATED from md5 chains keyed by (text, rep) — appending a
     * salt would not do: the bigram-histogram sketch is
@@ -758,18 +791,10 @@ object ScaleEvidence {
     // properties, not correctness claims.
     measure(s"Similarity.annRecallAuditOf (q227 shape, ×$embReps vectors)",
         baseEmb * embReps + clones + hotVecs) {
-      // transpose the replica id layout (b·reps + r → r·base + b, a
-      // bijection on the replica range; clone/hot ids untouched) so
-      // the audit's vec_id < 50 sample spans 50 DISTINCT base vectors
-      // instead of one base vector's 50 sign-flip replicas — the
-      // reported mean recall then reflects corpus diversity, not a
-      // single vector family
+      // r13: no id transpose needed any more — the operator's own
+      // md5-hash query sampling disperses the 50-query sample across
+      // the full corpus by construction (the r12 lesson, folded in)
       val scaled = scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs)
-        .withColumn("vec_id",
-          when(col("vec_id") >= 0 && col("vec_id") < lit(baseEmb * embReps),
-            (col("vec_id") % embReps) * lit(baseEmb) +
-              expr(s"vec_id div $embReps"))
-            .otherwise(col("vec_id")))
       val audit = Similarity.annRecallAuditOf(scaled).persist()
       val n = audit.count()
       require(n == 50, s"expected 50 audited queries, got $n")
@@ -782,6 +807,73 @@ object ScaleEvidence {
       println(f"[scale] ann recall audit at ×$embReps: " +
         f"mean recall@5 ${meanRecall / 10000}%.1f%% " +
         "(LOW by design at this density — the under-reporting the audit exists to expose)")
+    }
+    // ---- 13c. Multi-probe recall/cost curve (q230/q229) at ×reps ----
+    // The r12 verdict's #1 measured TWICE, because recall@5 is a
+    // corpus property before it is an index property:
+    //   (i)  on the ISOTROPIC ×100 corpus (scaledEmbeddings — fully
+    //        decorrelated replicas, true top-5 cosines ≈ 0.41): the
+    //        information-theoretic hard case. Per-hyperplane
+    //        agreement ≈ 0.71, so most true neighbors sit ≥ 3 sign
+    //        flips out; covering them costs Ω(N) for ANY sub-linear
+    //        index — radius 2 lifts recall 6.8% → ~47% at ~1/7 the
+    //        brute-force candidate mass, and THAT trade (7× recall/
+    //        cost lift), not an absolute bar, is the invariant here.
+    //   (ii) on the CLUSTERED ×102 corpus (clusteredEmbeddings —
+    //        families of 6 at member cos ≈ 0.93, the shape of real
+    //        embedding corpora): the ≥ 80% promise the shipped
+    //        radius-2 default must keep where high recall is
+    //        attainable at all.
+    // Shared invariants: curve monotone in radius (prefix property of
+    // the probe rings), exact accounting, radius-2 candidate mass
+    // bounded by 3× the expected 37/256 bucket share.
+    def curveInvariants(label: String, corpusDf: org.apache.spark.sql.DataFrame,
+        corpus: Long): Array[org.apache.spark.sql.Row] = {
+      val curve = Similarity.multiprobeRecallCurveOf(corpusDf)
+        .orderBy(col("probe_radius")).collect()
+      require(curve.length == 3, s"expected 3 curve rows, got ${curve.length}")
+      curve.foreach { r =>
+        require(r.getAs[Long]("recall_micro") == r.getAs[Long]("n_hit") * 4000L,
+          s"curve accounting broken: $r")
+      }
+      val cands = curve.map(_.getAs[Long]("n_candidates"))
+      val hits = curve.map(_.getAs[Long]("n_hit"))
+      require(cands.sameElements(cands.sorted) && hits.sameElements(hits.sorted),
+        s"curve not monotone in radius: cands=${cands.toSeq} hits=${hits.toSeq}")
+      // cost bound: 37/256 of bucket space ⇒ ~14.5% of |Q|·N expected;
+      // 3× slack absorbs bucket skew without hiding a quadratic
+      require(cands(2) <= (50L * corpus * 37 * 3) / 256,
+        s"radius-2 candidates ${cands(2)} exceed 3× the expected bucket mass")
+      println(f"[scale] multi-probe curve, $label (cost = candidates/|Q|·N): " +
+        curve.map { r =>
+          f"r=${r.getAs[Int]("probe_radius")} recall@5 ${r.getAs[Long]("recall_micro") / 10000.0}%.1f%% " +
+            f"cost ${r.getAs[Long]("n_candidates") * 100.0 / (50.0 * corpus)}%.2f%%"
+        }.mkString("; "))
+      curve
+    }
+    measure(s"Similarity.multiprobeRecallCurveOf (q230, isotropic ×$embReps)",
+        baseEmb * embReps + clones + hotVecs) {
+      val corpus = baseEmb * embReps + clones + hotVecs
+      val curve = curveInvariants(s"isotropic ×$embReps",
+        scaledEmbeddings(spark, sfDir, embReps, clones, hotVecs), corpus)
+      val recall0 = curve(0).getAs[Long]("recall_micro") / 1e6
+      val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
+      // deterministic corpus ⇒ deterministic recall (measured 0.068 →
+      // 0.472); the invariant is the LIFT — radius 2 must multiply
+      // single-probe recall ≥ 4× on the structureless corpus while
+      // probing ≤ 3·37/256 of the candidate mass (bound above)
+      require(recall2 >= 0.40 && recall2 >= 4 * recall0,
+        f"multi-probe lift collapsed: r0 $recall0%.3f → r2 $recall2%.3f")
+    }
+    measure(s"Similarity.multiprobeRecallCurveOf (q230, clustered ×102)",
+        baseEmb * 102) {
+      val curve = curveInvariants("clustered ×102 (fam 6, cos≈0.93)",
+        clusteredEmbeddings(spark, sfDir, reps = 102, famSize = 6, sigma = 0.06),
+        baseEmb * 102)
+      val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
+      require(recall2 >= 0.80,
+        f"multi-probe radius-2 recall@5 $recall2%.3f < 0.80 on the clustered " +
+          "corpus — the shipped default broke its promise where recall is attainable")
     }
     measure(s"TextDedup.calibrationOf (q228 shape, ×$reps corpus)",
         baseDocs * reps) {

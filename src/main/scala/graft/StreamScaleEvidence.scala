@@ -40,8 +40,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * 1 s per row, so the watermark advances naturally batch over batch
   * and join/window state is CONSTANTLY evicted behind it: final state
   * rows measure the steady-state watermark footprint, not the corpus.
-  * SCALE_STREAM_SHAPE=q219|q103|q113|all (default all) selects the run
-  * (`both` keeps its r9 meaning: q219+q103).
+  * SCALE_STREAM_SHAPE=q219|q103|q113|q82|all (default all) selects the
+  * run (`both` keeps its r9 meaning: q219+q103); q82 (r13) is the
+  * incremental near-dup shape — see [[runIncrementalNeardup]]'s doc
+  * inside main.
   */
 object StreamScaleEvidence {
 
@@ -310,11 +312,154 @@ object StreamScaleEvidence {
         println("[q113] run shorter than the emission tail — assertions vacuous")
     }
 
+    /** q82 shape (NEW r13, closing the r12 verdict's #4): INCREMENTAL
+      * near-dup — the stateful operator a training pipeline runs
+      * CONTINUOUSLY: documents stream in, are MinHash-banded in-row
+      * (the IDENTICAL map-only construction the gate's q82 and the
+      * batch q29 share — [[graft.operators.StreamingParity.inRowBands]],
+      * scheme v3), and stream-static join against a persisted corpus
+      * band index; per matched doc, band hits / distinct near-dups /
+      * canonical match, finalized per day window behind the watermark.
+      * This is the durable-deployment form of q82's complete-mode agg:
+      * state is (open window × MATCHED doc), evicted as the watermark
+      * passes — the only bounded posture on an unbounded ingest stream.
+      *
+      * Text derives deterministically from the event id: every 10th
+      * incoming doc reuses corpus doc pmod(id/10, 50k)'s text VERBATIM
+      * (an exact dup ⇒ collides in all 4 bands by construction); the
+      * rest embed their id in every word (salted-unique, zero corpus
+      * shingle overlap). So the finalized horizon carries EXACT
+      * match-set invariants: emitted docs are precisely the planted
+      * ids, each with n_band_hits=4, n_near_dups=1, min_match = its
+      * planted source — plus full row parity against the batch twin of
+      * the same chain (the other shapes' oracle pattern), and the
+      * plateau/commit evidence this harness publishes.
+      */
+    def runIncrementalNeardup(): Unit = {
+      stats.clear()
+      val corpusDocs = 50000L
+      val plantEvery = 10L
+      // corpus text: 8 pseudo-words from xxhash64(doc, k) — pairwise
+      // doc-distinct w.h.p.; fresh text embeds the id in every word so
+      // non-planted docs share no shingle with any corpus doc
+      def corpusTextSql(idExpr: String): String =
+        s"concat_ws(' ', transform(sequence(0, 7), " +
+          s"k -> concat('c', pmod(xxhash64($idExpr, k), 50000))))"
+      def docsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("id").as("doc_id"),
+        expr(s"CASE WHEN id % $plantEvery = 0 THEN " +
+          corpusTextSql(s"pmod(id div $plantEvery, $corpusDocs)") +
+          s" ELSE concat_ws(' ', transform(sequence(0, 7), " +
+          "k -> concat('w', id, 'x', k))) END").as("text"))
+      // the static side of the stream-static join: built ONCE,
+      // persisted — each micro-batch probes the cached 200k-row index
+      // (corpusDocs × 4 bands), never recomputing signatures
+      val corpus = graft.operators.StreamingParity.inRowBands(
+        spark.range(corpusDocs).select(col("id").as("doc_id"),
+          expr(corpusTextSql("id")).as("text")))
+        .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
+        .repartition(32).persist()
+      corpus.count()
+      // event time is a pure function of doc_id (generator: ts_ms =
+      // 1.7e12 + id·1000, one doc per second), reconstructed after the
+      // banding map so the band stage stays the same Column chain the
+      // gate runs
+      def withTs(banded: org.apache.spark.sql.DataFrame) = banded
+        .withColumn("ts",
+          expr("cast((1700000000000 + doc_id * 1000) / 1000.0 as timestamp)"))
+      def chain(banded: org.apache.spark.sql.DataFrame) = banded
+        .join(corpus, Seq("band", "bh"))
+        .groupBy(window(col("ts"), "1 day"), col("doc_id"))
+        .agg(count(lit(1)).as("n_band_hits"),
+          size(collect_set(col("corpus_doc"))).cast("long").as("n_near_dups"),
+          min(col("corpus_doc")).as("min_match"))
+        .select(col("window.start").as("day"), col("doc_id"),
+          col("n_band_hits"), col("n_near_dups"), col("min_match"))
+      val stream = withTs(graft.operators.StreamingParity.inRowBands(docsOf(
+        spark.readStream.format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString)
+          .option("rowsPerBatch", math.max(n / nBatches, 1L).toString).load()
+          .select(col("id")))))
+        .withWatermark("ts", "3 hours")
+      // parquet sink (q113 pattern): ~n/10 matched-doc rows must not
+      // make the harness's ceiling its own driver heap
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft-streamscale-q82").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-streamscale-q82-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = chain(stream).writeStream.outputMode("append")
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .queryName("stream_scale_q82").start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+
+      val emitted = spark.read.schema(
+        "day timestamp, doc_id long, n_band_hits long, n_near_dups long, min_match long")
+        .parquet(sinkDir)
+      val oracle = chain(withTs(graft.operators.StreamingParity.inRowBands(docsOf(
+        spark.read.format("graft.sources.SyntheticEvents")
+          .option("numRows", n.toString).load().select(col("id"))))))
+        .select(col("day"), col("doc_id"), col("n_band_hits").as("o_hits"),
+          col("n_near_dups").as("o_dups"), col("min_match").as("o_min"))
+      val expectedDays = n / 86400L
+      val batchSpanDays = n.toDouble / math.max(nBatches, 1) / 86400.0
+      val safeDays =
+        math.max(0L, expectedDays - (batchSpanDays + 2).ceil.toLong)
+      val day0 = 1700000000L - Math.floorMod(1700000000L, 86400L)
+      val safe = emitted.filter(col("day").cast("long") < day0 + safeDays * 86400L)
+        .persist()
+      val nSafe = safe.count()
+      // exact planted accounting: docs 0, 10, 20, … within the safe
+      // horizon — ts(doc) = 1.7e9 + doc_id, so the planted population
+      // per safe horizon is closed-form
+      val horizonEnd = day0 + safeDays * 86400L
+      val expectedSafe =
+        if (horizonEnd <= 1700000000L) 0L
+        else ((math.min(horizonEnd - 1700000000L, n) - 1) / plantEvery) + 1
+      val badRows = safe.filter(col("doc_id") % plantEvery =!= 0 ||
+        col("n_band_hits") =!= 4L || col("n_near_dups") =!= 1L ||
+        col("min_match") =!= pmod(expr(s"doc_id div $plantEvery"), lit(corpusDocs)))
+        .count()
+      val oracleMismatch = safe.join(oracle, Seq("day", "doc_id"), "left")
+        .filter(col("o_hits").isNull || col("o_hits") =!= col("n_band_hits") ||
+          col("o_dups") =!= col("n_near_dups") || col("o_min") =!= col("min_match"))
+        .count()
+      val rows = stats.toArray(Array.empty[BatchStat])
+        .filter(b => b.query == "stream_scale_q82" && b.inputRows > 0)
+        .sortBy(_.batchId)
+      println(s"\n### shape q82")
+      println("| batch | input rows | batch s | state rows | state MB | commit ms |")
+      println("|---|---|---|---|---|---|")
+      rows.foreach { b =>
+        println(f"| ${b.batchId} | ${b.inputRows} | ${b.durMs / 1000.0}%.1f " +
+          f"| ${b.stateRows} | ${b.stateMemBytes / 1e6}%.1f | ${b.commitMs} |")
+      }
+      val maxState = if (rows.nonEmpty) rows.map(_.stateRows).max else 0L
+      val lastState = if (rows.nonEmpty) rows.last.stateRows else 0L
+      val maxCommit = if (rows.nonEmpty) rows.map(_.commitMs).max else 0L
+      println(f"\nSUMMARY[q82] rows=$n batches=${rows.size} wall=$secs%.1f s " +
+        f"(${n / secs}%.0f ev/s) matchedSafe=$nSafe/$expectedSafe " +
+        f"maxStateRows=$maxState finalStateRows=$lastState maxCommitMs=$maxCommit")
+      safe.unpersist(blocking = false)
+
+      require(nSafe == expectedSafe,
+        s"[q82] $nSafe matched docs in the finalized horizon, expected " +
+          s"$expectedSafe (dropped matches or phantom candidates)")
+      require(badRows == 0,
+        s"[q82] $badRows rows violate the planted match-set invariants")
+      require(oracleMismatch == 0,
+        s"[q82] $oracleMismatch safe rows disagree with the batch twin")
+      corpus.unpersist(blocking = false)
+    }
+
     if (shape == "q219" || shape == "both" || shape == "all")
       runShape("q219", outer = false)
     if (shape == "q103" || shape == "both" || shape == "all")
       runShape("q103", outer = true)
     if (shape == "q113" || shape == "all") runFullOuter()
+    if (shape == "q82" || shape == "all") runIncrementalNeardup()
     spark.stop()
   }
 }

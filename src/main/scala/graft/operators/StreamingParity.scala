@@ -75,7 +75,7 @@ object StreamingParity {
     * [[TextDedup.SignatureSchemeVersion]]), so the DuckDB oracle
     * reproduces signatures with the same SQL.
     */
-  private[operators] def inRowBands(docs: DataFrame): DataFrame = {
+  private[graft] def inRowBands(docs: DataFrame): DataFrame = {
     val withSh = docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
@@ -141,20 +141,30 @@ object StreamingParity {
     val p = new Path(dir, "graft-signature-scheme")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val v = s"v${TextDedup.SignatureSchemeVersion}"
+    // publish via temp-file + rename (the AuditSink commit pattern):
+    // a crash mid-write must never leave a truncated marker that a
+    // later start misreads as a scheme mismatch
+    def stamp(): Unit = {
+      val tmp = new Path(dir, "graft-signature-scheme.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not publish scheme marker at $p")
+    }
     if (fs.exists(p)) {
       val in = fs.open(p)
       val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      require(found == v,
+      // empty ⇒ a torn legacy write, not a scheme: re-stamp, don't
+      // fail with a misleading "scheme  vs v3" message
+      if (found.isEmpty) stamp()
+      else require(found == v,
         s"checkpoint $dir was written under MinHash signature scheme " +
           s"$found but this engine computes $v: band hashes are " +
           "incompatible across schemes, so resuming would silently " +
           "drop duplicate matches. Discard the checkpoint and rebuild " +
           "the stream state (TextDedup.SignatureSchemeVersion scaladoc).")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(v.getBytes("UTF-8")) finally out.close()
-    }
+    } else stamp()
   }
 
   /** Run a finite streaming query to completion into a memory sink
@@ -546,8 +556,15 @@ object StreamingParity {
       // cross-scheme resume instead of silently dropping matches)
       val ck = java.nio.file.Files.createTempDirectory("graft-q82-ck").toString
       guardSignatureCheckpoint(s, ck)
-      runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}",
+      // memory sink holds the result; the stopped query's state dir is
+      // dead weight — delete it so repeated gate runs don't accrete
+      // RocksDB dirs in /tmp (the guard only needed a fresh stamp path)
+      try runToCompletion(agg, s"graft_stream_neardup_${runId.incrementAndGet()}",
         checkpointDir = Some(ck))
+      finally {
+        val ckp = new org.apache.hadoop.fs.Path(ck)
+        ckp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckp, true)
+      }
     }),
 
     // q92: ARBITRARY stateful streaming (flatMapGroupsWithState) under

@@ -656,4 +656,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoop") || plan.contains("BroadcastHashJoin"),
       s"query sample not broadcast:\n${plan.take(1500)}")
   }
+
+  test("q229 multi-probe: probe set broadcast-hash-joined on bucket, top-5 prunes map-side") {
+    // the property that keeps multi-probe a SEARCH plan and not a
+    // re-shuffle: the 50×37 exploded probe set rides broadcast into
+    // ONE hash join keyed on the corpus's bucket column (the corpus
+    // never repartitions), and rank-filter pushdown prunes each
+    // task's local top-5 before the window exchange.
+    val plan = executedPlan("q229_ann_multiprobe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set not broadcast-hash-joined:\n${plan.take(1500)}")
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"rank-filter pushdown missing:\n${plan.take(1500)}")
+    // exactly one scan of the embeddings table feeds the probe join
+    // side — multi-probe must not multiply corpus scans with probes
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian in the probe plan:\n${plan.take(1500)}")
+  }
 }

@@ -351,8 +351,18 @@ class SimilaritySpec extends AnyFunSuite {
         .map(c => (c, cos(vecs(qid), vecs(c))))
         .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
     val rows = q("q227_ann_recall_audit").collect()
+    // r13: the sample is the 50 smallest md5(vec_id) keys — recompute
+    // it locally, and assert it DISPERSES (not the lowest-id prefix:
+    // the r12 lesson the hash sample exists to encode)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectSample = vecs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(50).toSet
     assert(rows.length == 50 &&
-      rows.map(_.getAs[Long]("query_id")).toSet == (0L until 50L).toSet)
+      rows.map(_.getAs[Long]("query_id")).toSet == expectSample)
+    assert(expectSample.count(_ >= 50L) > 25,
+      "hash sample collapsed to low ids — dispersion property lost")
     rows.foreach { r =>
       val qid = r.getAs[Long]("query_id")
       val truth = top5(qid, vecs.keys)
@@ -364,8 +374,92 @@ class SimilaritySpec extends AnyFunSuite {
     }
     // the audit must REPORT loss, not assume it: at gate scale the
     // bucketed search misses some true neighbors for some query
-    assert(rows.map(_.getAs[Long]("n_hit")).sum <
-      rows.map(_.getAs[Long]("recall_micro")).length * 5L,
+    assert(rows.map(_.getAs[Long]("n_hit")).sum < rows.length * 5L,
       "recall 1.0 everywhere — the audit corpus no longer exercises LSH loss")
+  }
+
+  // shared plain-Scala model for the multi-probe surfaces: cosine at
+  // the oracle's 4-dp HALF_UP rounding, cand_id tiebreak, 8-bit sign
+  // bucket over dims 0,8,...,56, Hamming over bucket ids
+  private def localModel() = {
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(v: Array[Float]): Int =
+      (0 until 8).map(j => (if (v(j * 8) > 0f) 1 else 0) << j).sum
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sample = vecs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(50)
+    def top5(qid: Long, cands: Iterable[Long]): Seq[Long] =
+      cands.filter(_ != qid).toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1)
+    (vecs, sample, bucket _, top5 _)
+  }
+
+  test("q229 multi-probe search equals an independent plain-Scala recomputation") {
+    val (vecs, sample, bucket, top5) = localModel()
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val rows = q("q229_ann_multiprobe").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == sample.toSet)
+    byQuery.foreach { case (qid, rs) =>
+      val probed = vecs.keys.filter(c =>
+        hamming(bucket(vecs(c)), bucket(vecs(qid))) <= 2)
+      val expect = top5(qid, probed)
+      val got = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+      rs.foreach { r =>
+        assert(r.getAs[Int]("probe_hamming") ==
+          hamming(bucket(vecs(r.getAs[Long]("cand_id"))), bucket(vecs(qid))),
+          s"query $qid probe_hamming mislabeled")
+      }
+    }
+    // the whole point: some hits must come from a probed (non-own)
+    // bucket, or multi-probe degenerates to q32
+    assert(rows.exists(_.getAs[Int]("probe_hamming") > 0),
+      "no hit from a Hamming>0 probe — multi-probe adds nothing here")
+  }
+
+  test("q230 recall/cost curve equals the local model and is monotone in radius") {
+    val (vecs, sample, bucket, top5) = localModel()
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val rows = q("q230_multiprobe_recall_curve").collect()
+      .sortBy(_.getAs[Int]("probe_radius"))
+    assert(rows.map(_.getAs[Int]("probe_radius")).toSeq == Seq(0, 1, 2))
+    val expect = (0 to 2).map { r =>
+      var nCand = 0L; var nHit = 0L
+      sample.foreach { qid =>
+        val truth = top5(qid, vecs.keys).toSet
+        val probed = vecs.keys.filter(c => c != qid &&
+          hamming(bucket(vecs(c)), bucket(vecs(qid))) <= r)
+        nCand += probed.size
+        nHit += (top5(qid, probed).toSet & truth).size
+      }
+      (nCand, nHit)
+    }
+    rows.zip(expect).foreach { case (row, (nCand, nHit)) =>
+      assert(row.getAs[Long]("n_candidates") == nCand &&
+        row.getAs[Long]("n_hit") == nHit &&
+        row.getAs[Long]("recall_micro") == nHit * 4000L,
+        s"radius ${row.getAs[Int]("probe_radius")}: $row vs ($nCand, $nHit)")
+    }
+    val hits = rows.map(_.getAs[Long]("n_hit"))
+    assert(hits.sameElements(hits.sorted), "hits must be monotone in radius")
+    // radius 0 IS the single-probe search q227 audits: totals must agree
+    val q227hits = q("q227_ann_recall_audit").collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(hits(0) == q227hits,
+      s"q230 radius-0 hits ${hits(0)} != q227 total $q227hits")
   }
 }

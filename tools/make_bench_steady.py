@@ -50,6 +50,18 @@ for h in hashes:
     except Exception:
         continue
 
+# a floor silently vanishing (query present only in artifacts older
+# than the window) would shrink retouch coverage unnoticed — say so
+try:
+    with open("tools/bench_steady.json") as f:
+        prior = set(json.load(f))
+except Exception:
+    prior = set()
+dropped = sorted(prior - set(best))
+if dropped:
+    print(f"WARNING: {len(dropped)} floors dropped (absent from the "
+          f"last {used} full artifacts): {', '.join(dropped)}")
+
 with open("tools/bench_steady.json", "w") as f:
     json.dump({k: round(best[k], 4) for k in sorted(best)}, f,
               indent=0, sort_keys=True)
