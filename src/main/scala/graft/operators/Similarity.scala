@@ -576,6 +576,50 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) * lit(4000L)).as("recall_micro"))
   }
 
+  /** q62/q231's body — the IVF cell-probe search with `label` as the
+    * coarse partition: bit-deterministic decimal-sum centroids, each
+    * query probes its `nprobe` nearest cells (squared distance,
+    * label tiebreak) and ranks top-3 inside the probed union. At
+    * 100 TB: centroids are k×dim rows broadcast, the probe set is
+    * ≤ nq·nprobe broadcast rows, the cell search one equi-join on the
+    * cell id — the plan IVF indexes run in production, never a cross
+    * join, at ANY nprobe. */
+  private def ivfSearchOf(e: DataFrame, nprobe: Int): DataFrame = {
+    val ex = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val cents = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(30,10)")).cast("double") /
+        count(lit(1))).as("c"))
+    val qx = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+    val d2 = qx.join(cents, "pos")
+      .withColumn("t",
+        ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,18)"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("t")).as("d2"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("label").asc)
+    val probe = d2.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("label"))
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        vec_norm(col("embedding")).as("qn"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("embedding").as("cv"), vec_norm(col("embedding")).as("cn"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    broadcast(probe.join(qv, "query_id"))
+      .join(cand, Seq("label"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("label"), col("cand_id"), col("cos_sim"),
+        col("rn").cast("long").as("rn"))
+  }
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -827,42 +871,18 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("adc_d2"), col("rank"))
     }),
 
-    "q62_ivf_search" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val ex = e.select(col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      val cents = ex.groupBy(col("label"), col("pos"))
-        .agg((sum(col("x").cast("decimal(30,10)")).cast("double") /
-          count(lit(1))).as("c"))
-      val qx = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-      val d2 = qx.join(cents, "pos")
-        .withColumn("t",
-          ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,18)"))
-        .groupBy(col("query_id"), col("label"))
-        .agg(sum(col("t")).as("d2"))
-      val wCell = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2").asc, col("label").asc)
-      val probe = d2.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("label"))
-      val qv = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          vec_norm(col("embedding")).as("qn"))
-      val cand = e.select(col("vec_id").as("cand_id"), col("label"),
-        col("embedding").as("cv"), vec_norm(col("embedding")).as("cn"))
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("cand_id"))
-      broadcast(probe.join(qv, "query_id"))
-        .join(cand, Seq("label"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("label"), col("cand_id"), col("cos_sim"),
-          col("rn").cast("long").as("rn"))
-    }),
+    "q62_ivf_search" -> ((s, d) =>
+      ivfSearchOf(t(s, d, "embeddings"), nprobe = 1)),
+
+    // q231: IVF MULTI-CELL probe — q62 with nprobe = 2, the knob a
+    // production vector store turns when single-cell recall is short
+    // (the IVF twin of q229's Hamming probing): each query ranks
+    // candidates over the UNION of its 2 nearest cells. Plan shape is
+    // identical — the probe set is still a broadcast ≤ nq·nprobe rows,
+    // the cell search still one equi-join on the cell id, so cost
+    // scales linearly in nprobe and the corpus never repartitions.
+    "q231_ivf_multiprobe" -> ((s, d) =>
+      ivfSearchOf(t(s, d, "embeddings"), nprobe = 2)),
 
     // q36: centroid per label — the IVF coarse-quantizer build step
     // (mean vector per cell as array<double>); also exercises
@@ -1069,6 +1089,34 @@ object Similarity {
        |  UNION ALL SELECT vec_a, vec_b, 'ivf' FROM ivf)""".stripMargin
   }
 
+  /** DuckDB twin of [[ivfSearchOf]] — nprobe is the only knob. */
+  private def ivfSearchOracle(nprobe: Int, cosSql: String): String =
+    s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |   unnest(embedding) AS x FROM embeddings),
+       |cents AS (SELECT label, pos,
+       |   CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+       |  FROM ex GROUP BY 1,2),
+       |qx AS (SELECT vec_id AS query_id, generate_subscripts(embedding,1) AS pos,
+       |   unnest(embedding) AS x FROM embeddings WHERE vec_id < 20),
+       |d2 AS (SELECT query_id, label,
+       |   sum(CAST((x - c) * (x - c) AS DECIMAL(38,18))) AS d2
+       |  FROM qx JOIN cents USING (pos) GROUP BY 1,2),
+       |probe AS (SELECT query_id, label FROM (
+       |   SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY d2 ASC, label ASC) AS rn FROM d2) WHERE rn <= $nprobe),
+       |qv2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |cand AS (SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings)
+       |SELECT query_id, label, cand_id, cos_sim, rn FROM (
+       | SELECT query_id, label, cand_id, cos_sim,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT p.query_id, p.label, c.cand_id, $cosSql AS cos_sim
+       |  FROM probe p JOIN qv2 q ON p.query_id = q.query_id
+       |  JOIN cand c ON c.label = p.label
+       |  WHERE c.cand_id <> p.query_id))
+       |WHERE rn <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
@@ -1265,32 +1313,8 @@ object Similarity {
            | CAST(CASE WHEN f.vec_id <> f.cluster THEN 1 ELSE 0 END AS BIGINT) AS purge
            |FROM fullm f JOIN csize USING (cluster)""".stripMargin,
 
-      "q62_ivf_search" ->
-        s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
-           |   unnest(embedding) AS x FROM embeddings),
-           |cents AS (SELECT label, pos,
-           |   CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
-           |  FROM ex GROUP BY 1,2),
-           |qx AS (SELECT vec_id AS query_id, generate_subscripts(embedding,1) AS pos,
-           |   unnest(embedding) AS x FROM embeddings WHERE vec_id < 20),
-           |d2 AS (SELECT query_id, label,
-           |   sum(CAST((x - c) * (x - c) AS DECIMAL(38,18))) AS d2
-           |  FROM qx JOIN cents USING (pos) GROUP BY 1,2),
-           |probe AS (SELECT query_id, label FROM (
-           |   SELECT query_id, label, row_number() OVER (PARTITION BY query_id
-           |     ORDER BY d2 ASC, label ASC) AS rn FROM d2) WHERE rn = 1),
-           |qv2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-           |cand AS (SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings)
-           |SELECT query_id, label, cand_id, cos_sim, rn FROM (
-           | SELECT query_id, label, cand_id, cos_sim,
-           |  row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, cand_id) AS rn
-           | FROM (
-           |  SELECT p.query_id, p.label, c.cand_id, $cosSql AS cos_sim
-           |  FROM probe p JOIN qv2 q ON p.query_id = q.query_id
-           |  JOIN cand c ON c.label = p.label
-           |  WHERE c.cand_id <> p.query_id))
-           |WHERE rn <= 3""".stripMargin,
+      "q62_ivf_search" -> ivfSearchOracle(nprobe = 1, cosSql),
+      "q231_ivf_multiprobe" -> ivfSearchOracle(nprobe = 2, cosSql),
 
       "q36_label_centroid_norm" ->
         """SELECT label, count(*) AS n_vecs,

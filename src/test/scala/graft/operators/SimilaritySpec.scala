@@ -431,6 +431,34 @@ class SimilaritySpec extends AnyFunSuite {
       "no hit from a Hamming>0 probe — multi-probe adds nothing here")
   }
 
+  test("q231 ivf nprobe=2 probes exactly the 2 nearest cells and dominates q62 pointwise") {
+    val rows = q("q231_ivf_multiprobe").collect()
+    val single = q("q62_ivf_search").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == single.keySet)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length <= 3)
+      // hits come from at most the 2 probed cells
+      assert(rs.map(_.getAs[Int]("label")).distinct.length <= 2, s"query $qid")
+      // widening the probe set can only improve (or tie) each rank's
+      // similarity — pointwise dominance over the nprobe=1 search
+      val m2 = rs.map(r => r.getAs[Long]("rn") -> r.getAs[Double]("cos_sim")).toMap
+      single(qid).foreach { r1 =>
+        val rn = r1.getAs[Long]("rn")
+        m2.get(rn).foreach { c2 =>
+          assert(c2 >= r1.getAs[Double]("cos_sim"),
+            s"query $qid rank $rn: nprobe=2 ranked worse than nprobe=1")
+        }
+      }
+    }
+    // the second probe must genuinely matter somewhere at gate scale
+    assert(rows.map(_.getAs[Int]("label")).toSet.size > 1 &&
+      byQuery.exists { case (_, rs) =>
+        rs.map(_.getAs[Int]("label")).distinct.length == 2
+      }, "no query drew hits from its second cell — nprobe=2 is vacuous here")
+  }
+
   test("q230 recall/cost curve equals the local model and is monotone in radius") {
     val (vecs, sample, bucket, top5) = localModel()
     def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
