@@ -66,10 +66,17 @@ object Similarity {
     * whose sign signature disagrees with the query's in ≤ radius of
     * the 8 hyperplanes — where a true neighbor lands when it crosses
     * that many. radius 2 → 1+8+28 = 37 probes (14.5% of bucket
-    * space). Rationale: q227 measured single-probe recall@5 = 22.4%
-    * at ×100 density ⇒ per-hyperplane agreement ≈ 0.83 ⇒ ≤ 2 flips
-    * carry ~86% of true-neighbor mass (Binomial(8, 0.17)); q230 and
-    * ScaleEvidence path 13a measure the actual curve.
+    * space). Measured curves (ScaleEvidence path 13c) justify the
+    * radius-2 default: ISOTROPIC ×100 corpus (true-neighbor cos ≈
+    * 0.41 — the hard case where no sub-linear index reaches high
+    * recall) 6.8% → 47.2% recall@5 at ~1/7 brute-force candidate
+    * mass; CLUSTERED ×102 (member cos ≈ 0.93, the production shape)
+    * 35.6% → 95.6%. The Binomial(8, per-bit-flip) model predicts
+    * both within a few points. Margin-ordered probing (Lv et al.
+    * 2007) was considered and REJECTED for this 8-bit geometry: with
+    * expected flips ≈ 1.2 the Hamming-1 ring already covers the
+    * dominant single-flip mass exactly, so an 8-probe margin set
+    * cannot beat the 9-probe radius-1 ring it would replace.
     */
   private[graft] def probeMasks(radius: Int): Seq[(Int, Int)] =
     (0 until 256).map(m => (m, Integer.bitCount(m)))
@@ -88,9 +95,10 @@ object Similarity {
     * md5(vec_id) keys — the q54 hash-sampling policy lifted into the
     * operator so ANY caller gets a dispersed sample by construction
     * (the r12 lesson: a lowest-50-ids sample on a replicated corpus
-    * read 1.2% recall where the corpus-wide number was 22.4%; the
-    * ×100 harness had to transpose ids to compensate — now the
-    * operator disperses by itself). Plan: TakeOrderedAndProject —
+    * read degenerate recall — and the transposed compensation turned
+    * out CLONE-INFLATED, reading 22.4% where the corpus-wide honest
+    * number is 6.8%; the operator now disperses by itself and the
+    * harness plants nothing in the sample's way). Plan: TakeOrderedAndProject —
     * map-side partial top-50 per partition, no global sort. Expects
     * `bucket`/`nrm` pre-computed on `e`.
     */
@@ -520,8 +528,8 @@ object Similarity {
     * shape; r=0 is exactly q32's single-probe) against brute-force
     * truth, with the measured candidate-set cost. This is the number
     * a pipeline reads before choosing its probe radius — the
-    * recall-for-candidates trade made explicit (r12 verdict: the
-    * single-probe default measured 22.4% recall@5 at ×100 density).
+    * recall-for-candidates trade made explicit (r12 verdict; the honest
+    * hash-sampled single-probe number at ×100 density is 6.8%).
     *
     * Plan at scale: truth is one streaming corpus scan against the
     * broadcast 50-query sample (O(‖Q‖·N·dim)); the probe side is ONE
@@ -687,8 +695,8 @@ object Similarity {
       annRecallAuditOf(t(s, d, "embeddings"))),
 
     // q229: MULTI-PROBE sign-LSH ANN search — the recommended search
-    // surface (r12 verdict: q32's single-probe shape measured 22.4%
-    // recall@5 at ×100 density). Each query probes its own bucket
+    // surface (r12 verdict; q32's single-probe shape measures 6.8%
+    // recall@5 at ×100 density under the honest hash sample). Each query probes its own bucket
     // plus every bucket within Hamming distance 2 of its 8-bit sign
     // signature (37 probes — the sign-flip enumeration is a broadcast
     // explode, no new shuffle shape): the plan stays ONE bucket
