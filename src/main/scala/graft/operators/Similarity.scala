@@ -522,6 +522,40 @@ object Similarity {
         (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_micro"))
   }
 
+  /** The LIBRARY form of the q229 search — multi-probe sign-LSH top-k
+    * over an ARBITRARY query relation, so a caller brings their own
+    * query vectors instead of the gate's hash sample. `corpus` must
+    * carry (vec_id, embedding, bucket, nrm) and `queries`
+    * (query_id, qv, qbucket, qn) — i.e. both pre-bucketed with
+    * [[bucketExprSpark]]/[[vec_norm]], computed once per relation.
+    * Each query is exploded into its (radius-ring) probe buckets and
+    * the whole probe set rides BROADCAST into one hash equi-join on
+    * the corpus bucket column — one corpus scan at any |Q|·probes
+    * that fits a broadcast, which is the multi-probe regime by
+    * definition. Output: (query_id, cand_id, probe_hamming, cos_sim,
+    * rn ≤ k); probe_hamming = 0 marks hits single-probe q32 would
+    * also have found. */
+  private[graft] def multiprobeSearchOf(corpus: DataFrame, queries: DataFrame,
+      radius: Int, k: Int): DataFrame = {
+    val qp = queries.select(col("query_id"), col("qv"), col("qn"),
+        explode(probeMaskStructs(radius)).as("p"),
+        col("qbucket"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qbucket").bitwiseXOR(col("p.mask")).as("bucket"),
+        col("p.h").as("probe_hamming"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("bucket"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    c.join(broadcast(qp), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("probe_hamming"),
+        col("cos_sim"), col("rn").cast("long").as("rn"))
+  }
+
   /** q230's body — the multi-probe recall/cost CURVE over an
     * arbitrary `(vec_id, embedding)` relation: for each probe radius
     * r ∈ {0,1,2}, recall@5 of the r-probe sign-LSH search (q229's
@@ -710,24 +744,7 @@ object Similarity {
       val e = t(s, d, "embeddings")
         .withColumn("bucket", bucketExprSpark("embedding"))
         .withColumn("nrm", vec_norm(col("embedding")))
-      val q = hashSampleQueries(e)
-      val qp = q.select(col("query_id"), col("qv"), col("qn"),
-          explode(probeMaskStructs(2)).as("p"),
-          col("qbucket"))
-        .select(col("query_id"), col("qv"), col("qn"),
-          col("qbucket").bitwiseXOR(col("p.mask")).as("bucket"),
-          col("p.h").as("probe_hamming"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        col("bucket"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("cand_id"))
-      c.join(broadcast(qp), Seq("bucket"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", round(cosine("qv", "cv", "qn", "cn"), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("probe_hamming"),
-          col("cos_sim"), col("rn").cast("long").as("rn"))
+      multiprobeSearchOf(e, hashSampleQueries(e), radius = 2, k = 5)
     }),
 
     // q230: the multi-probe recall/cost CURVE (radius 0/1/2) vs
