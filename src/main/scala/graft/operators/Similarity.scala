@@ -50,7 +50,7 @@ object Similarity {
     */
   private val bucketDims = 0 until 8 map (_ * 8)
 
-  private def bucketExprSpark(col0: String): Column =
+  private[graft] def bucketExprSpark(col0: String): Column =
     expr(bucketDims.zipWithIndex.map { case (dim, j) =>
       s"(CASE WHEN $col0[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)"))

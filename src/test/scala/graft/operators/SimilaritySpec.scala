@@ -459,6 +459,36 @@ class SimilaritySpec extends AnyFunSuite {
       }, "no query drew hits from its second cell — nprobe=2 is vacuous here")
   }
 
+  test("multiprobeSearchOf (library form) honors arbitrary queries and the radius/k knobs") {
+    val (vecs, _, bucket, top5) = localModel()
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    import org.apache.spark.sql.functions.{col, expr}
+    val corpus = graft.Tables(spark, sf, "embeddings")
+      .withColumn("bucket", Similarity.bucketExprSpark("embedding"))
+      .withColumn("nrm", graft.functions.VectorFunctions.vec_norm(col("embedding")))
+    // a caller-chosen query set the hash sample would never pick:
+    // three fixed mid-range ids
+    val qids = Seq(7L, 123L, 456L).filter(vecs.contains)
+    assert(qids.size == 3)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"), col("nrm").as("qn"))
+    // radius 1 (9 probes) and k = 2: both knobs off the q229 defaults
+    val rows = Similarity.multiprobeSearchOf(corpus, queries, radius = 1, k = 2)
+      .collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == qids.toSet)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length <= 2, s"k=2 violated for query $qid")
+      val probed = vecs.keys.filter(c =>
+        hamming(bucket(vecs(c)), bucket(vecs(qid))) <= 1)
+      val expect = top5(qid, probed).take(2)
+      val got = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+      rs.foreach(r => assert(r.getAs[Int]("probe_hamming") <= 1))
+    }
+  }
+
   test("q230 recall/cost curve equals the local model and is monotone in radius") {
     val (vecs, sample, bucket, top5) = localModel()
     def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
