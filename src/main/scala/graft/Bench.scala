@@ -170,7 +170,9 @@ object Bench {
     def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedJson = fmt(failures.sortBy(_._1).map { case (k, m) => k -> qstr(m) })
     // full-precision, full-name artifact → file (never truncated)
-    val phaseStr = f"$phase%.2f"
+    // Locale.ROOT: f"" uses the JVM default locale, which under a
+    // comma-decimal locale would emit "phase":1,39 — invalid JSON
+    val phaseStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(phase))
     val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","phase":$phaseStr,"queries":${
       fmt(sorted.map { case (k, v) => k -> v.toString })
       },"failed":$failedJson,"protocol":{"counted_reps":$reps,"first_rep_discarded":true,"retouch_rule":"$retouchRule","retouched":[${

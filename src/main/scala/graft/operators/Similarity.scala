@@ -43,20 +43,33 @@ object Similarity {
   private def cosine(qv: String, cv: String, qn: String, cn: String): Column =
     vec_dot(col(qv), col(cv)) / (col(qn) * col(cn))
 
-  /** 8-bit sign-LSH bucket over dims 0,8,16,…,56 (axis-aligned
-    * hyperplanes — deterministic and oracle-portable; a production
-    * variant would use seeded random hyperplanes, same plan shape).
-    * `dims0` are 0-based Spark indices; DuckDB adds 1.
+  /** `width`-bit sign-LSH bucket over evenly spaced dims
+    * 0, 64/width, 2·64/width, … (axis-aligned hyperplanes —
+    * deterministic and oracle-portable; a production variant would
+    * use seeded random hyperplanes, same plan shape). width 8 is the
+    * legacy/default space (dims 0,8,…,56 — 256 buckets, unchanged
+    * from rounds ≤13 so every gated result is stable); width 16
+    * (dims 0,4,…,60 — 65,536 buckets) is the SCALE space the r13
+    * verdict asked for: at 8 bits, radius-2 multi-probe inspects
+    * 37/256 = 14.5% of bucket space, so the search can never be more
+    * than ~7× cheaper than brute force; at 16 bits the same radius
+    * probes 137/65,536 = 0.2%, the genuinely sub-linear regime
+    * (q232/q233; ScaleEvidence path 13d measures the frontier).
+    * `dims` are 0-based Spark indices; DuckDB adds 1.
     */
-  private val bucketDims = 0 until 8 map (_ * 8)
+  private def bucketDims(width: Int): Seq[Int] = {
+    require(width > 0 && 64 % width == 0 && width <= 31,
+      s"bucket width must divide 64 and fit an INT bucket id, got $width")
+    0 until width map (_ * (64 / width))
+  }
 
-  private[graft] def bucketExprSpark(col0: String): Column =
-    expr(bucketDims.zipWithIndex.map { case (dim, j) =>
+  private[graft] def bucketExprSpark(col0: String, width: Int = 8): Column =
+    expr(bucketDims(width).zipWithIndex.map { case (dim, j) =>
       s"(CASE WHEN $col0[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)"))
 
-  private def bucketSqlDuck(col0: String): String =
-    bucketDims.zipWithIndex.map { case (dim, j) =>
+  private def bucketSqlDuck(col0: String, width: Int = 8): String =
+    bucketDims(width).zipWithIndex.map { case (dim, j) =>
       s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)")
 
@@ -78,17 +91,32 @@ object Similarity {
     * dominant single-flip mass exactly, so an 8-probe margin set
     * cannot beat the 9-probe radius-1 ring it would replace.
     */
-  private[graft] def probeMasks(radius: Int): Seq[(Int, Int)] =
-    (0 until 256).map(m => (m, Integer.bitCount(m)))
+  private[graft] def probeMasks(radius: Int, width: Int = 8): Seq[(Int, Int)] = {
+    // enumerate-then-filter stays cheap through width 16 (65,536
+    // ints); the caps keep the exploded probe set broadcast-sized
+    require(width <= 20, s"probe-mask enumeration not sized for width $width")
+    require(probeCount(radius, width) <= 4096,
+      s"probe set Σ C($width, ≤$radius) = ${probeCount(radius, width)} " +
+        "too large to broadcast-explode")
+    (0 until (1 << width)).map(m => (m, Integer.bitCount(m)))
       .filter(_._2 <= radius).sortBy(identity)
+  }
 
-  private def probeMaskStructs(radius: Int): Column =
-    array(probeMasks(radius).map { case (m, h) =>
+  /** Σ_{h ≤ radius} C(width, h) — the probe-set size, used for the
+    * require above and the cost commentary. */
+  private[graft] def probeCount(radius: Int, width: Int): Long =
+    (0 to radius).map { h =>
+      (0 until h).map(i => (width - i).toLong).product /
+        (1 to math.max(h, 1)).map(_.toLong).product
+    }.sum
+
+  private def probeMaskStructs(radius: Int, width: Int = 8): Column =
+    array(probeMasks(radius, width).map { case (m, h) =>
       struct(lit(m).as("mask"), lit(h).as("h"))
     }: _*)
 
-  private def probeMaskValuesDuck(radius: Int): String =
-    probeMasks(radius).map { case (m, h) => s"($m, $h)" }.mkString(", ")
+  private def probeMaskValuesDuck(radius: Int, width: Int = 8): String =
+    probeMasks(radius, width).map { case (m, h) => s"($m, $h)" }.mkString(", ")
 
   /** Deterministic corpus-spanning query sample for the audit and
     * search surfaces (q227/q229/q230): the 50 smallest
@@ -102,7 +130,7 @@ object Similarity {
     * map-side partial top-50 per partition, no global sort. Expects
     * `bucket`/`nrm` pre-computed on `e`.
     */
-  private def hashSampleQueries(e: DataFrame): DataFrame =
+  private[graft] def hashSampleQueries(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(50)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -536,13 +564,26 @@ object Similarity {
     * rn ≤ k); probe_hamming = 0 marks hits single-probe q32 would
     * also have found. */
   private[graft] def multiprobeSearchOf(corpus: DataFrame, queries: DataFrame,
-      radius: Int, k: Int): DataFrame = {
+      radius: Int, k: Int, width: Int = 8): DataFrame = {
     val qp = queries.select(col("query_id"), col("qv"), col("qn"),
-        explode(probeMaskStructs(radius)).as("p"),
+        explode(probeMaskStructs(radius, width)).as("p"),
         col("qbucket"))
       .select(col("query_id"), col("qv"), col("qn"),
         col("qbucket").bitwiseXOR(col("p.mask")).as("bucket"),
         col("p.h").as("probe_hamming"))
+    probeJoinTopK(corpus, qp, k)
+  }
+
+  /** Shared tail of every probe-set search (q229/q232/q234): the
+    * broadcast probe relation `qp` (query_id, qv, qn, bucket,
+    * probe_hamming) equi-joins the corpus ON ITS EXISTING bucket
+    * column — one hash-partitioned corpus scan at any probe-set size
+    * that fits a broadcast — then one window pass ranks top-k per
+    * query. Probe buckets are distinct per query by construction in
+    * every caller (distinct XOR masks), so no candidate dedup pass is
+    * needed and each hit carries exactly one `probe_hamming` label. */
+  private def probeJoinTopK(corpus: DataFrame, qp: DataFrame, k: Int)
+      : DataFrame = {
     val c = corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"), col("bucket"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
@@ -556,11 +597,12 @@ object Similarity {
         col("cos_sim"), col("rn").cast("long").as("rn"))
   }
 
-  /** q230's body — the multi-probe recall/cost CURVE over an
+  /** q230/q233's body — the multi-probe recall/cost CURVE over an
     * arbitrary `(vec_id, embedding)` relation: for each probe radius
-    * r ∈ {0,1,2}, recall@5 of the r-probe sign-LSH search (q229's
-    * shape; r=0 is exactly q32's single-probe) against brute-force
-    * truth, with the measured candidate-set cost. This is the number
+    * r ∈ {0..maxRadius}, recall@5 of the r-probe `width`-bit sign-LSH
+    * search (q229/q232's shape; r=0 is exactly the single-probe
+    * search) against brute-force truth, with the measured
+    * candidate-set cost. This is the number
     * a pipeline reads before choosing its probe radius — the
     * recall-for-candidates trade made explicit (r12 verdict; the honest
     * hash-sampled single-probe number at ×100 density is 6.8%).
@@ -574,10 +616,27 @@ object Similarity {
     * window + hash-agg pass. Nothing driver-resident; measured at
     * ×100 in [[graft.ScaleEvidence]] path 13a.
     */
-  private[graft] def multiprobeRecallCurveOf(e0: DataFrame): DataFrame = {
+  private[graft] def multiprobeRecallCurveOf(e0: DataFrame, width: Int = 8,
+      maxRadius: Int = 2): DataFrame = {
+    val (q, c, truth) = curveScaffold(e0, width)
+    val qp = q.select(col("query_id"), col("qv"), col("qn"), col("qbucket"),
+        explode(probeMaskStructs(maxRadius, width)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qbucket").bitwiseXOR(col("p.mask")).as("cbucket"),
+        col("p.h").as("h"))
+    recallCurveTail(e0.sparkSession, c, truth, qp, maxRadius)
+  }
+
+  /** Shared front of the recall-curve audits (q230/q233/q235):
+    * bucket + norm the corpus at `width`, hash-sample the 50-query
+    * set, and build the brute-force truth relation — one streaming
+    * corpus scan against the broadcast sample (O(‖Q‖·N·dim), the
+    * audit's deliberate cost). */
+  private def curveScaffold(e0: DataFrame, width: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = e0
       .withColumn("nrm", vec_norm(col("embedding")))
-      .withColumn("bucket", bucketExprSpark("embedding"))
+      .withColumn("bucket", bucketExprSpark("embedding", width))
     val q = hashSampleQueries(e)
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       col("bucket").as("cbucket"), col("nrm").as("cn"))
@@ -589,12 +648,18 @@ object Similarity {
       .withColumn("rn", row_number().over(wT))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("cand_id"), lit(1L).as("is_true"))
-    val qp = q.select(col("query_id"), col("qv"), col("qn"), col("qbucket"),
-        explode(probeMaskStructs(2)).as("p"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("qbucket").bitwiseXOR(col("p.mask")).as("cbucket"),
-        col("p.h").as("h"))
-    val radii = e0.sparkSession.range(3)
+    (q, c, truth)
+  }
+
+  /** Shared tail of the recall-curve audits: the radius-tagged probe
+    * relation `qp` (query_id, qv, qn, cbucket, h) rides ONE broadcast
+    * bucket equi-join against the corpus; the per-radius prefix
+    * relation (h ≤ r, a (maxRadius+1)-row broadcast theta-join) feeds
+    * a single window + hash-agg pass. recall_micro = n_hit · 10^6 /
+    * (50 queries · 5) — exact integers. */
+  private def recallCurveTail(spark: SparkSession, c: DataFrame,
+      truth: DataFrame, qp: DataFrame, maxRadius: Int): DataFrame = {
+    val radii = spark.range(maxRadius + 1L)
       .select(col("id").cast("int").as("probe_radius"))
     val wG = Window.partitionBy(col("probe_radius"), col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
@@ -610,12 +675,85 @@ object Similarity {
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("rn") <= 5 && col("is_true").isNotNull, 1L)
           .otherwise(0L)).as("n_hit"))
-    // recall_micro = n_hit · 10^6 / (50 queries · 5) — exact integers
     radii.join(stats, Seq("probe_radius"), "left")
       .select(col("probe_radius"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) * lit(4000L)).as("recall_micro"))
+  }
+
+  /** QUERY-DIRECTED (margin-ordered) probe relation — the multi-probe
+    * refinement of Lv et al. 2007 that the Hamming rings can't match
+    * once the bucket space is wide: a sign bit flips between a query
+    * and its true neighbor only where the query's own coordinate
+    * |qv[dim]| is SMALL (the hyperplane margin), so instead of
+    * probing every Hamming-≤r bucket (Σ C(width,h) of them), probe
+    * only flips of the `soft` smallest-margin bits (Σ C(soft,h) —
+    * e.g. width 16, soft 8, radius 4: 163 of 65,536 buckets = 0.25%
+    * of bucket space, vs 2,517 for the blind radius-4 ring). On the
+    * clustered production shape a flip needs |base coord| < noise
+    * half-width, so flippable dims are exactly the low-margin dims —
+    * margin probing buys ring-4 recall at ring-1½ cost (measured:
+    * ScaleEvidence path 13d; gated: q234/q235).
+    *
+    * Relational build (both engines run the same shape, so the
+    * DuckDB twin is exact): per query, rank the `width` sign dims by
+    * (|qv[dim]|, dim-index) — one window over a 50×width exploded
+    * relation — keep ranks < soft; cross the ranked bits with the
+    * Σ C(soft, ≤radius) static index-mask table; OR the selected
+    * bits' (1 << j) into a bucket mask per (query, index-mask) via
+    * one hash-agg; XOR onto the query's bucket. Probe buckets are
+    * distinct per query (distinct index subsets of distinct bit
+    * positions), `probe_hamming` = number of flipped soft bits.
+    * Everything before the corpus join is O(|Q|·soft·masks) rows and
+    * rides broadcast. */
+  private def marginProbesOf(queries: DataFrame, width: Int, soft: Int,
+      radius: Int): DataFrame = {
+    require(soft <= width && soft <= 20, s"soft=$soft out of range for width=$width")
+    val step = 64 / width
+    val wM = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin"), col("j"))
+    val qsoft = queries
+      .select(col("query_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${width - 1}), j -> abs(qv[j * $step]))"))
+          .as(Seq("j", "margin")))
+      .withColumn("r", row_number().over(wM) - 1)
+      .filter(col("r") < soft)
+    val bm = qsoft
+      .select(col("query_id"), col("j"), col("r"),
+        explode(probeMaskStructs(radius, soft)).as("p"))
+      .groupBy(col("query_id"), col("p.mask").as("imask"),
+        col("p.h").as("probe_hamming"))
+      .agg(sum(when(expr("(p.mask div shiftleft(1, r)) % 2 = 1"),
+        expr("shiftleft(1, j)")).otherwise(0)).as("bmask"))
+    bm.join(queries.select(col("query_id"), col("qv"), col("qn"),
+        col("qbucket")), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qbucket").bitwiseXOR(col("bmask").cast("int")).as("bucket"),
+        col("probe_hamming"))
+  }
+
+  /** q234's LIBRARY form — margin-directed multi-probe top-k over an
+    * arbitrary query relation (contract as [[multiprobeSearchOf]]:
+    * both sides pre-bucketed at `width`). */
+  private[graft] def marginProbeSearchOf(corpus: DataFrame, queries: DataFrame,
+      width: Int, soft: Int, radius: Int, k: Int): DataFrame =
+    probeJoinTopK(corpus, marginProbesOf(queries, width, soft, radius), k)
+
+  /** q235's body — the margin-probe recall/cost curve: for each
+    * flip-budget r ∈ {0..maxRadius} (number of flipped soft bits),
+    * recall@5 vs brute-force truth plus measured candidate mass, the
+    * frontier a caller reads next to q233's blind-ring curve. The
+    * prefix property holds exactly as for rings (flip-budget-≤r probe
+    * sets are nested), so the same tagged-prefix tail applies. */
+  private[graft] def marginRecallCurveOf(e0: DataFrame, width: Int, soft: Int,
+      maxRadius: Int): DataFrame = {
+    val (q, c, truth) = curveScaffold(e0, width)
+    val qp = marginProbesOf(q, width, soft, maxRadius)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("bucket").as("cbucket"), col("probe_hamming").as("h"))
+    recallCurveTail(e0.sparkSession, c, truth, qp, maxRadius)
   }
 
   /** q62/q231's body — the IVF cell-probe search with `label` as the
@@ -692,6 +830,11 @@ object Similarity {
     }),
 
     // q32: LSH-bucketed ANN — equi-join on bucket, top-5 in-bucket.
+    // DEPRECATED as a search surface: single-probe recall is
+    // measured-poor at density (q227: 6.8% at ×100). New search code
+    // should call q229/[[multiprobeSearchOf]] (or the width-16
+    // q232/q234 variants); q32 stays registered as the measured
+    // single-probe floor the curve queries compare against.
     "q32_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .withColumn("bucket", bucketExprSpark("embedding"))
@@ -751,6 +894,52 @@ object Similarity {
     // brute-force truth — see [[multiprobeRecallCurveOf]].
     "q230_multiprobe_recall_curve" -> ((s, d) =>
       multiprobeRecallCurveOf(t(s, d, "embeddings"))),
+
+    // q232: q229's search in the WIDTH-16 bucket space (r14; verdict
+    // #1). Same plan — ONE broadcast-probe bucket equi-join — but the
+    // radius-2 ring is now 137 of 65,536 buckets = 0.2% of bucket
+    // space, vs 37/256 = 14.5% at width 8: the sub-linear regime the
+    // 8-bit space can never reach regardless of radius. The
+    // recall/cost trade of the width change is measured by q233 (and
+    // at ×102 by ScaleEvidence path 13d).
+    "q232_ann_multiprobe_w16" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", bucketExprSpark("embedding", 16))
+        .withColumn("nrm", vec_norm(col("embedding")))
+      multiprobeSearchOf(e, hashSampleQueries(e), radius = 2, k = 5, width = 16)
+    }),
+
+    // q233: the width-16 ring recall/cost curve (radius 0..3) — the
+    // q230 audit re-run in the 65,536-bucket space, one extra radius
+    // because wider signatures flip more bits on true neighbors
+    // (Binomial(16,p) vs Binomial(8,p)): the width's recall loss and
+    // candidate-mass gain are BOTH on the gated record.
+    "q233_multiprobe_curve_w16" -> ((s, d) =>
+      multiprobeRecallCurveOf(t(s, d, "embeddings"), width = 16, maxRadius = 3)),
+
+    // q234: MARGIN-DIRECTED (query-directed, Lv et al. 2007) probe
+    // search in the width-16 space — flips only the 8 smallest-margin
+    // sign bits, ≤ 4 at a time: 163 probe buckets = 0.25% of bucket
+    // space, yet it covers nearly all the flip mass because sign
+    // flips concentrate where the query's hyperplane margin is small.
+    // The production search surface for wide bucket spaces; see
+    // [[marginProbesOf]] for the plan analysis and q235 for its
+    // measured frontier.
+    "q234_ann_margin_probe" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", bucketExprSpark("embedding", 16))
+        .withColumn("nrm", vec_norm(col("embedding")))
+      marginProbeSearchOf(e, hashSampleQueries(e), width = 16, soft = 8,
+        radius = 4, k = 5)
+    }),
+
+    // q235: the margin-probe recall/cost curve (flip budget 0..4) —
+    // read next to q233: same width, same query sample, so the two
+    // gated curves measure exactly what query-directed probing buys
+    // over blind Hamming rings.
+    "q235_margin_recall_curve" -> ((s, d) =>
+      marginRecallCurveOf(t(s, d, "embeddings"), width = 16, soft = 8,
+        maxRadius = 4)),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
     // modality (legacy coarse blocking; q223/q224 are the recommended
@@ -1142,6 +1331,148 @@ object Similarity {
        |  WHERE c.cand_id <> p.query_id))
        |WHERE rn <= 3""".stripMargin
 
+  /** DuckDB twin of [[multiprobeSearchOf]] over the hash-sampled
+    * query set (q229/q232) — width/radius/k are the knobs. */
+  private def multiprobeSearchOracle(width: Int, radius: Int, k: Int,
+      cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb $hashSampleDuck),
+       |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(radius, width)})
+       |SELECT query_id, cand_id, probe_hamming, cos_sim, rn FROM (
+       | SELECT query_id, cand_id, probe_hamming, cos_sim,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT q.query_id, c.vec_id AS cand_id, m.h AS probe_hamming,
+       |   $cosSql AS cos_sim
+       |  FROM q CROSS JOIN masks m
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, m.mask) AND q.query_id <> c.vec_id))
+       |WHERE rn <= $k""".stripMargin
+
+  private def radiiValuesDuck(maxRadius: Int): String =
+    (0 to maxRadius).map(r => s"($r)").mkString(", ")
+
+  /** DuckDB twin of [[multiprobeRecallCurveOf]]. */
+  private def multiprobeCurveOracle(width: Int, maxRadius: Int,
+      cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb $hashSampleDuck),
+       |truth AS (SELECT query_id, cand_id FROM (
+       | SELECT q.query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+       | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
+       | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
+       |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(maxRadius, width)}),
+       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
+       |ranked AS (
+       | SELECT probe_radius, query_id, cand_id,
+       |  row_number() OVER (PARTITION BY probe_radius, query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT r.probe_radius, q.query_id, c.vec_id AS cand_id,
+       |   $cosSql AS cos_sim
+       |  FROM q CROSS JOIN masks m
+       |  JOIN radii r ON m.h <= r.probe_radius
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, m.mask) AND q.query_id <> c.vec_id)),
+       |stats AS (SELECT probe_radius, count(*) AS n_candidates,
+       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS n_hit
+       | FROM ranked k LEFT JOIN truth t
+       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
+       | GROUP BY 1)
+       |SELECT r.probe_radius,
+       | CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+       | CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(COALESCE(s.n_hit, 0) * 4000 AS BIGINT) AS recall_micro
+       |FROM radii r LEFT JOIN stats s USING (probe_radius)""".stripMargin
+
+  /** Shared margin-probe CTE block ([[marginProbesOf]]'s relational
+    * build, verbatim in SQL): per-query margin-ranked soft bits →
+    * index-mask cross → per-(query, mask) bucket-mask OR-fold. Both
+    * engines execute this same shape, so parity is by construction. */
+  private def marginProbeCtesDuck(width: Int, soft: Int, radius: Int): String = {
+    val step = 64 / width
+    s"""qbits AS (SELECT query_id, j,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY abs(qv[j * $step + 1]), j) - 1 AS r
+       |  FROM q CROSS JOIN (SELECT CAST(unnest(range($width)) AS INT) AS j) t),
+       |qsoft AS (SELECT query_id, j, r FROM qbits WHERE r < $soft),
+       |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(radius, soft)}),
+       |probes AS (SELECT query_id, mask, h,
+       |   CAST(COALESCE(SUM(CASE WHEN (mask // (1 << r)) % 2 = 1
+       |     THEN (1 << j) END), 0) AS INT) AS bmask
+       |  FROM qsoft CROSS JOIN masks GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** DuckDB twin of [[marginProbeSearchOf]] (q234). */
+  private def marginSearchOracle(width: Int, soft: Int, radius: Int, k: Int,
+      cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb $hashSampleDuck),
+       |${marginProbeCtesDuck(width, soft, radius)}
+       |SELECT query_id, cand_id, probe_hamming, cos_sim, rn FROM (
+       | SELECT query_id, cand_id, probe_hamming, cos_sim,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT q.query_id, c.vec_id AS cand_id, p.h AS probe_hamming,
+       |   $cosSql AS cos_sim
+       |  FROM probes p JOIN q USING (query_id)
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id))
+       |WHERE rn <= $k""".stripMargin
+
+  /** DuckDB twin of [[marginRecallCurveOf]] (q235). */
+  private def marginCurveOracle(width: Int, soft: Int, maxRadius: Int,
+      cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb $hashSampleDuck),
+       |truth AS (SELECT query_id, cand_id FROM (
+       | SELECT q.query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+       | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
+       | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
+       |${marginProbeCtesDuck(width, soft, maxRadius)},
+       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
+       |ranked AS (
+       | SELECT probe_radius, query_id, cand_id,
+       |  row_number() OVER (PARTITION BY probe_radius, query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT r.probe_radius, q.query_id, c.vec_id AS cand_id,
+       |   $cosSql AS cos_sim
+       |  FROM probes p JOIN q USING (query_id)
+       |  JOIN radii r ON p.h <= r.probe_radius
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id)),
+       |stats AS (SELECT probe_radius, count(*) AS n_candidates,
+       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS n_hit
+       | FROM ranked k LEFT JOIN truth t
+       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
+       | GROUP BY 1)
+       |SELECT r.probe_radius,
+       | CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+       | CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(COALESCE(s.n_hit, 0) * 4000 AS BIGINT) AS recall_micro
+       |FROM radii r LEFT JOIN stats s USING (probe_radius)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
@@ -1208,60 +1539,22 @@ object Similarity {
            |LEFT JOIN ret USING (query_id)""".stripMargin,
 
       "q229_ann_multiprobe" ->
-        s"""WITH wb AS (SELECT vec_id, embedding,
-           |   ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
-           |  FROM wb $hashSampleDuck),
-           |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(2)})
-           |SELECT query_id, cand_id, probe_hamming, cos_sim, rn FROM (
-           | SELECT query_id, cand_id, probe_hamming, cos_sim,
-           |  row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, cand_id) AS rn
-           | FROM (
-           |  SELECT q.query_id, c.vec_id AS cand_id, m.h AS probe_hamming,
-           |   $cosSql AS cos_sim
-           |  FROM q CROSS JOIN masks m
-           |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
-           |    c(vec_id, cv, bucket)
-           |   ON c.bucket = xor(q.qbucket, m.mask) AND q.query_id <> c.vec_id))
-           |WHERE rn <= 5""".stripMargin,
+        multiprobeSearchOracle(width = 8, radius = 2, k = 5, cosSql),
 
       "q230_multiprobe_recall_curve" ->
-        s"""WITH wb AS (SELECT vec_id, embedding,
-           |   ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
-           |  FROM wb $hashSampleDuck),
-           |truth AS (SELECT query_id, cand_id FROM (
-           | SELECT q.query_id, c.vec_id AS cand_id,
-           |  row_number() OVER (PARTITION BY q.query_id
-           |    ORDER BY $cosSql DESC, c.vec_id) AS rn
-           | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
-           | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
-           |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(2)}),
-           |radii(probe_radius) AS (VALUES (0), (1), (2)),
-           |ranked AS (
-           | SELECT probe_radius, query_id, cand_id,
-           |  row_number() OVER (PARTITION BY probe_radius, query_id
-           |    ORDER BY cos_sim DESC, cand_id) AS rn
-           | FROM (
-           |  SELECT r.probe_radius, q.query_id, c.vec_id AS cand_id,
-           |   $cosSql AS cos_sim
-           |  FROM q CROSS JOIN masks m
-           |  JOIN radii r ON m.h <= r.probe_radius
-           |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
-           |    c(vec_id, cv, bucket)
-           |   ON c.bucket = xor(q.qbucket, m.mask) AND q.query_id <> c.vec_id)),
-           |stats AS (SELECT probe_radius, count(*) AS n_candidates,
-           |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
-           |    THEN 1 ELSE 0 END) AS n_hit
-           | FROM ranked k LEFT JOIN truth t
-           |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
-           | GROUP BY 1)
-           |SELECT r.probe_radius,
-           | CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
-           | CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
-           | CAST(COALESCE(s.n_hit, 0) * 4000 AS BIGINT) AS recall_micro
-           |FROM radii r LEFT JOIN stats s USING (probe_radius)""".stripMargin,
+        multiprobeCurveOracle(width = 8, maxRadius = 2, cosSql),
+
+      "q232_ann_multiprobe_w16" ->
+        multiprobeSearchOracle(width = 16, radius = 2, k = 5, cosSql),
+
+      "q233_multiprobe_curve_w16" ->
+        multiprobeCurveOracle(width = 16, maxRadius = 3, cosSql),
+
+      "q234_ann_margin_probe" ->
+        marginSearchOracle(width = 16, soft = 8, radius = 4, k = 5, cosSql),
+
+      "q235_margin_recall_curve" ->
+        marginCurveOracle(width = 16, soft = 8, maxRadius = 4, cosSql),
 
       "q37_embedding_neardup" -> {
         val bucket4 = q37BucketDims.zipWithIndex.map { case (dim, j) =>
