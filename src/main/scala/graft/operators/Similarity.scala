@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   *     random-hyperplane LSH) shrinks the candidate set per query to
   *     one bucket; the join is an equi-join on bucket id, so at 100 TB
   *     it hash-partitions instead of cross-joining. Single-probe
-  *     recall is measured-poor at density (q227: 6.8% at ×100) —
+  *     recall is measured-poor at density (q227: 2.4% at plant-free ×100) —
   *     q229 MULTI-PROBE (own bucket + Hamming-≤2 sign flips, 37
-  *     probes, same one-equi-join plan) is the RECOMMENDED search
-  *     surface: 47.2% on the isotropic hard case, 95.6% on a
-  *     clustered production-shaped corpus, at ~1/7 brute-force
-  *     candidate mass (q230 curve; ScaleEvidence path 13c).
+  *     probes, same one-equi-join plan) lifts that to 44.4% on the
+  *     isotropic hard case / 95.6% on a clustered production-shaped
+  *     corpus, but its 8-bit space floors the cost at 37/256 = ~1/7
+  *     brute force (q230 curve; ScaleEvidence path 13c). The
+  *     RECOMMENDED search surface at scale is q234 MARGIN-DIRECTED
+  *     probing in the width-16 space (q232/q233 are the blind-ring
+  *     step stone): 98.0% recall@5 at 0.59% of brute-force candidate
+  *     mass on the clustered ×102 shape (q235 curve; path 13d).
   *
   * The dot product is the native codegen'd
   * [[graft.functions.FloatVecDot]] — a sequential left-to-right
@@ -73,23 +77,27 @@ object Similarity {
       s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)")
 
-  /** Multi-probe masks (q229/q230): every 8-bit mask of popcount ≤
-    * `radius`, as (mask, hamming) ordered by (hamming, mask). XORing
-    * the query's bucket with each mask enumerates exactly the buckets
-    * whose sign signature disagrees with the query's in ≤ radius of
-    * the 8 hyperplanes — where a true neighbor lands when it crosses
-    * that many. radius 2 → 1+8+28 = 37 probes (14.5% of bucket
-    * space). Measured curves (ScaleEvidence path 13c) justify the
-    * radius-2 default: ISOTROPIC ×100 corpus (true-neighbor cos ≈
-    * 0.41 — the hard case where no sub-linear index reaches high
-    * recall) 6.8% → 47.2% recall@5 at ~1/7 brute-force candidate
-    * mass; CLUSTERED ×102 (member cos ≈ 0.93, the production shape)
-    * 35.6% → 95.6%. The Binomial(8, per-bit-flip) model predicts
-    * both within a few points. Margin-ordered probing (Lv et al.
-    * 2007) was considered and REJECTED for this 8-bit geometry: with
-    * expected flips ≈ 1.2 the Hamming-1 ring already covers the
-    * dominant single-flip mass exactly, so an 8-probe margin set
-    * cannot beat the 9-probe radius-1 ring it would replace.
+  /** Multi-probe masks (q229/q230/q232/q233): every `width`-bit mask
+    * of popcount ≤ `radius`, as (mask, hamming) ordered by (hamming,
+    * mask). XORing the query's bucket with each mask enumerates
+    * exactly the buckets whose sign signature disagrees with the
+    * query's in ≤ radius of the `width` hyperplanes — where a true
+    * neighbor lands when it crosses that many. Width 8, radius 2 →
+    * 1+8+28 = 37 probes (14.5% of bucket space). Measured curves
+    * (ScaleEvidence path 13c) justify the radius-2 default there:
+    * ISOTROPIC ×100 corpus (true-neighbor cos ≈ 0.41 — the hard case
+    * where no sub-linear index reaches high recall) 2.4% → 44.4%
+    * recall@5 at ~1/7 brute-force candidate mass; CLUSTERED ×102
+    * (member cos ≈ 0.93, the production shape) 35.6% → 95.6%. The
+    * Binomial(width, per-bit-flip) model predicts both within a few
+    * points. Margin-ordered probing (Lv et al. 2007) is REJECTED for
+    * the 8-bit geometry — with expected flips ≈ 1.2 the Hamming-1
+    * ring already covers the dominant single-flip mass exactly, so
+    * an 8-probe margin set cannot beat the 9-probe radius-1 ring —
+    * but it is exactly right for the WIDE geometry, where blind
+    * rings blow up combinatorially: see [[marginProbesOf]] (q234),
+    * which matches the width-16 ring's recall pointwise at ~1/4 its
+    * candidate mass.
     */
   private[graft] def probeMasks(radius: Int, width: Int = 8): Seq[(Int, Int)] = {
     // enumerate-then-filter stays cheap through width 16 (65,536
@@ -125,7 +133,7 @@ object Similarity {
     * (the r12 lesson: a lowest-50-ids sample on a replicated corpus
     * read degenerate recall — and the transposed compensation turned
     * out CLONE-INFLATED, reading 22.4% where the corpus-wide honest
-    * number is 6.8%; the operator now disperses by itself and the
+    * number is 2.4%; the operator now disperses by itself and the
     * harness plants nothing in the sample's way). Plan: TakeOrderedAndProject —
     * map-side partial top-50 per partition, no global sort. Expects
     * `bucket`/`nrm` pre-computed on `e`.
@@ -605,7 +613,7 @@ object Similarity {
     * candidate-set cost. This is the number
     * a pipeline reads before choosing its probe radius — the
     * recall-for-candidates trade made explicit (r12 verdict; the honest
-    * hash-sampled single-probe number at ×100 density is 6.8%).
+    * hash-sampled single-probe number at plant-free ×100 density is 2.4%).
     *
     * Plan at scale: truth is one streaming corpus scan against the
     * broadcast 50-query sample (O(‖Q‖·N·dim)); the probe side is ONE
@@ -689,12 +697,16 @@ object Similarity {
     * |qv[dim]| is SMALL (the hyperplane margin), so instead of
     * probing every Hamming-≤r bucket (Σ C(width,h) of them), probe
     * only flips of the `soft` smallest-margin bits (Σ C(soft,h) —
-    * e.g. width 16, soft 8, radius 4: 163 of 65,536 buckets = 0.25%
+    * e.g. width 16, soft 10, radius 4: 386 of 65,536 buckets = 0.59%
     * of bucket space, vs 2,517 for the blind radius-4 ring). On the
     * clustered production shape a flip needs |base coord| < noise
     * half-width, so flippable dims are exactly the low-margin dims —
-    * margin probing buys ring-4 recall at ring-1½ cost (measured:
-    * ScaleEvidence path 13d; gated: q234/q235).
+    * measured (ScaleEvidence path 13d, clustered ×102): soft=10
+    * recall is pointwise EQUAL to the full Hamming ring at every
+    * shared budget (every flip lands inside the 10 soft bits), and
+    * budget 4 reaches 98.0% recall@5 at 0.59% of brute-force
+    * candidate mass — the r13 verdict's ≥90%-at-≤1% target with
+    * headroom (gated: q234/q235).
     *
     * Relational build (both engines run the same shape, so the
     * DuckDB twin is exact): per query, rank the `width` sign dims by
@@ -831,7 +843,7 @@ object Similarity {
 
     // q32: LSH-bucketed ANN — equi-join on bucket, top-5 in-bucket.
     // DEPRECATED as a search surface: single-probe recall is
-    // measured-poor at density (q227: 6.8% at ×100). New search code
+    // measured-poor at density (q227: 2.4% at plant-free ×100). New search code
     // should call q229/[[multiprobeSearchOf]] (or the width-16
     // q232/q234 variants); q32 stays registered as the measured
     // single-probe floor the curve queries compare against.
@@ -872,7 +884,7 @@ object Similarity {
       annRecallAuditOf(t(s, d, "embeddings"))),
 
     // q229: MULTI-PROBE sign-LSH ANN search — the recommended search
-    // surface (r12 verdict; q32's single-probe shape measures 6.8%
+    // surface (r12 verdict; q32's single-probe shape measures 2.4%
     // recall@5 at ×100 density under the honest hash sample). Each query probes its own bucket
     // plus every bucket within Hamming distance 2 of its 8-bit sign
     // signature (37 probes — the sign-flip enumeration is a broadcast
@@ -918,28 +930,32 @@ object Similarity {
       multiprobeRecallCurveOf(t(s, d, "embeddings"), width = 16, maxRadius = 3)),
 
     // q234: MARGIN-DIRECTED (query-directed, Lv et al. 2007) probe
-    // search in the width-16 space — flips only the 8 smallest-margin
-    // sign bits, ≤ 4 at a time: 163 probe buckets = 0.25% of bucket
+    // search in the width-16 space — flips only the 10 smallest-margin
+    // sign bits, ≤ 4 at a time: 386 probe buckets = 0.59% of bucket
     // space, yet it covers nearly all the flip mass because sign
     // flips concentrate where the query's hyperplane margin is small.
-    // The production search surface for wide bucket spaces; see
-    // [[marginProbesOf]] for the plan analysis and q235 for its
-    // measured frontier.
+    // Measured on the clustered ×102 production shape (ScaleEvidence
+    // path 13d): 98.0% recall@5 at 0.59% of brute-force candidate
+    // mass — pointwise EQUAL to the blind Hamming ring at budgets ≤ 3
+    // (every true-neighbor flip lands inside the 10 soft bits) at
+    // ~1/4 the ring's candidate mass. The production search surface
+    // for wide bucket spaces; see [[marginProbesOf]] for the plan
+    // analysis and q235 for its measured frontier.
     "q234_ann_margin_probe" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .withColumn("bucket", bucketExprSpark("embedding", 16))
         .withColumn("nrm", vec_norm(col("embedding")))
-      marginProbeSearchOf(e, hashSampleQueries(e), width = 16, soft = 8,
+      marginProbeSearchOf(e, hashSampleQueries(e), width = 16, soft = 10,
         radius = 4, k = 5)
     }),
 
-    // q235: the margin-probe recall/cost curve (flip budget 0..4) —
+    // q235: the margin-probe recall/cost curve (flip budget 0..5) —
     // read next to q233: same width, same query sample, so the two
     // gated curves measure exactly what query-directed probing buys
     // over blind Hamming rings.
     "q235_margin_recall_curve" -> ((s, d) =>
-      marginRecallCurveOf(t(s, d, "embeddings"), width = 16, soft = 8,
-        maxRadius = 4)),
+      marginRecallCurveOf(t(s, d, "embeddings"), width = 16, soft = 10,
+        maxRadius = 5)),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
     // modality (legacy coarse blocking; q223/q224 are the recommended
@@ -1551,10 +1567,10 @@ object Similarity {
         multiprobeCurveOracle(width = 16, maxRadius = 3, cosSql),
 
       "q234_ann_margin_probe" ->
-        marginSearchOracle(width = 16, soft = 8, radius = 4, k = 5, cosSql),
+        marginSearchOracle(width = 16, soft = 10, radius = 4, k = 5, cosSql),
 
       "q235_margin_recall_curve" ->
-        marginCurveOracle(width = 16, soft = 8, maxRadius = 4, cosSql),
+        marginCurveOracle(width = 16, soft = 10, maxRadius = 5, cosSql),
 
       "q37_embedding_neardup" -> {
         val bucket4 = q37BucketDims.zipWithIndex.map { case (dim, j) =>

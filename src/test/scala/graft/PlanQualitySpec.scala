@@ -673,4 +673,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"unexpected cartesian in the probe plan:\n${plan.take(1500)}")
   }
+
+  test("q234 margin probe: probe construction broadcast, one corpus bucket join, top-5 map-side") {
+    // the margin refinement must keep q229's plan shape: everything
+    // before the corpus join is |Q|-sized (margin ranking + mask
+    // fold) and rides broadcast; the corpus is scanned once, hash
+    // equi-joined on its existing bucket column, never repartitioned
+    // and never crossed
+    val plan = executedPlan("q234_ann_margin_probe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set not broadcast-hash-joined:\n${plan.take(1500)}")
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 1,
+      s"rank-filter pushdown missing:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian in the margin-probe plan:\n${plan.take(1500)}")
+  }
 }

@@ -520,4 +520,151 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits(0) == q227hits,
       s"q230 radius-0 hits ${hits(0)} != q227 total $q227hits")
   }
+
+  // ---- width-16 / margin-directed probing (r14) ------------------
+
+  private def bucket16(v: Array[Float]): Int =
+    (0 until 16).map(j => (if (v(j * 4) > 0f) 1 else 0) << j).sum
+
+  /** The `soft` smallest-margin sign-bit positions of the width-16
+    * signature, ordered by (|coord|, position) — the plain-Scala twin
+    * of [[Similarity.marginProbesOf]]'s window ranking. */
+  private def softBits16(v: Array[Float], soft: Int): Seq[Int] =
+    (0 until 16).map(j => (math.abs(v(j * 4)), j)).sortBy(identity)
+      .take(soft).map(_._2)
+
+  /** Buckets the margin search probes for query vector `v` at flip
+    * budget ≤ radius over its `soft` soft bits. */
+  private def marginBuckets(v: Array[Float], soft: Int, radius: Int): Set[Int] = {
+    val bits = softBits16(v, soft)
+    (0 until (1 << soft)).filter(Integer.bitCount(_) <= radius).map { m =>
+      bucket16(v) ^ (0 until soft).filter(i => ((m >> i) & 1) == 1)
+        .map(i => 1 << bits(i)).sum
+    }.toSet
+  }
+
+  test("q232 width-16 multi-probe search equals a plain-Scala recomputation") {
+    val (vecs, sample, _, top5) = localModel()
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val rows = q("q232_ann_multiprobe_w16").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.subsetOf(sample.toSet))
+    byQuery.foreach { case (qid, rs) =>
+      val probed = vecs.keys.filter(c =>
+        hamming(bucket16(vecs(c)), bucket16(vecs(qid))) <= 2)
+      val expect = top5(qid, probed)
+      val got = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+      rs.foreach(r => assert(r.getAs[Int]("probe_hamming") ==
+        hamming(bucket16(vecs(r.getAs[Long]("cand_id"))), bucket16(vecs(qid)))))
+    }
+    // width-16 queries with ≥1 in-radius candidate must all appear —
+    // absence is only legal when the probed space is empty
+    sample.foreach { qid =>
+      val probed = vecs.keys.filter(c => c != qid &&
+        hamming(bucket16(vecs(c)), bucket16(vecs(qid))) <= 2)
+      assert(byQuery.contains(qid) == probed.nonEmpty,
+        s"query $qid presence vs ${probed.size} candidates")
+    }
+  }
+
+  test("q234 margin-probe search equals a plain-Scala recomputation of Lv-style probing") {
+    val (vecs, sample, _, top5) = localModel()
+    val rows = q("q234_ann_margin_probe").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet.subsetOf(sample.toSet))
+    sample.foreach { qid =>
+      val buckets = marginBuckets(vecs(qid), soft = 10, radius = 4)
+      assert(buckets.size == (0 until 1024).count(Integer.bitCount(_) <= 4),
+        s"query $qid: probe buckets not distinct")
+      val probed = vecs.keys.filter(c => c != qid &&
+        buckets.contains(bucket16(vecs(c))))
+      val expect = top5(qid, probed)
+      val got = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+      // every hit's ring label = the bucket Hamming distance (probe
+      // masks are subsets of soft positions, so the XOR inverts)
+      byQuery.getOrElse(qid, Array.empty).foreach { r =>
+        assert(r.getAs[Int]("probe_hamming") == Integer.bitCount(
+          bucket16(vecs(r.getAs[Long]("cand_id"))) ^ bucket16(vecs(qid))))
+      }
+    }
+  }
+
+  test("q233/q235 width-16 curves equal the local model; margin ⊆ ring at every budget") {
+    val (vecs, sample, _, top5) = localModel()
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    def curveExpect(probedOf: (Long, Int) => Iterable[Long], maxR: Int) =
+      (0 to maxR).map { r =>
+        var nCand = 0L; var nHit = 0L
+        sample.foreach { qid =>
+          val truth = top5(qid, vecs.keys).toSet
+          val probed = probedOf(qid, r)
+          nCand += probed.size
+          nHit += (top5(qid, probed).toSet & truth).size
+        }
+        (nCand, nHit)
+      }
+    val ringExpect = curveExpect((qid, r) => vecs.keys.filter(c => c != qid &&
+      hamming(bucket16(vecs(c)), bucket16(vecs(qid))) <= r), 3)
+    val ringRows = q("q233_multiprobe_curve_w16").collect()
+      .sortBy(_.getAs[Int]("probe_radius"))
+    assert(ringRows.map(_.getAs[Int]("probe_radius")).toSeq == (0 to 3))
+    ringRows.zip(ringExpect).foreach { case (row, (nCand, nHit)) =>
+      assert(row.getAs[Long]("n_candidates") == nCand &&
+        row.getAs[Long]("n_hit") == nHit &&
+        row.getAs[Long]("recall_micro") == nHit * 4000L, s"ring: $row")
+    }
+    val marginExpect = curveExpect((qid, r) => {
+      val buckets = marginBuckets(vecs(qid), soft = 10, radius = r)
+      vecs.keys.filter(c => c != qid && buckets.contains(bucket16(vecs(c))))
+    }, 5)
+    val marginRows = q("q235_margin_recall_curve").collect()
+      .sortBy(_.getAs[Int]("probe_radius"))
+    assert(marginRows.map(_.getAs[Int]("probe_radius")).toSeq == (0 to 5))
+    marginRows.zip(marginExpect).foreach { case (row, (nCand, nHit)) =>
+      assert(row.getAs[Long]("n_candidates") == nCand &&
+        row.getAs[Long]("n_hit") == nHit &&
+        row.getAs[Long]("recall_micro") == nHit * 4000L, s"margin: $row")
+    }
+    // structural containment: a flip-budget-r margin probe set is a
+    // subset of the Hamming-r ring, so margin candidates can never
+    // exceed ring candidates at the same budget
+    marginRows.take(4).zip(ringRows).foreach { case (m, g) =>
+      assert(m.getAs[Long]("n_candidates") <= g.getAs[Long]("n_candidates"),
+        s"margin probed MORE than the ring at radius ${g.getAs[Int]("probe_radius")}")
+    }
+  }
+
+  test("marginProbeSearchOf (library form) honors arbitrary queries and the knobs") {
+    val (vecs, _, _, top5) = localModel()
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables(spark, sf, "embeddings")
+      .withColumn("bucket", Similarity.bucketExprSpark("embedding", 16))
+      .withColumn("nrm", graft.functions.VectorFunctions.vec_norm(col("embedding")))
+    val qids = Seq(7L, 123L, 456L).filter(vecs.contains)
+    assert(qids.size == 3)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"), col("nrm").as("qn"))
+    // soft = 6, radius = 2, k = 3: all knobs off the q234 defaults
+    val rows = Similarity.marginProbeSearchOf(corpus, queries,
+      width = 16, soft = 6, radius = 2, k = 3).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    qids.foreach { qid =>
+      val soft = (0 until 16).map(j => (math.abs(vecs(qid)(j * 4)), j))
+        .sortBy(identity).take(6).map(_._2)
+      val buckets = (0 until 64).filter(Integer.bitCount(_) <= 2).map { m =>
+        bucket16(vecs(qid)) ^ (0 until 6).filter(i => ((m >> i) & 1) == 1)
+          .map(i => 1 << soft(i)).sum
+      }.toSet
+      val probed = vecs.keys.filter(c => c != qid &&
+        buckets.contains(bucket16(vecs(c))))
+      val expect = top5(qid, probed).take(3)
+      val got = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+    }
+  }
 }
