@@ -1002,6 +1002,18 @@ object ScaleEvidence {
           f"${best.getAs[Long]("recall_micro") / 10000.0}%.1f%% recall@5 at " +
           f"${best.getAs[Long]("n_candidates") * 100.0 / (50.0 * n)}%.3f%% " +
           "of brute-force candidate mass")
+        // r13 verdict #2: on the production shape the budget SELECTOR
+        // must land on the measured cheapest qualifying point — not
+        // the maxRadius fallback — and agree with the curve it reads
+        val sel = Similarity.selectMarginBudget(corpus,
+          tag = "13d-clustered", targetRecallMicro = 900000L)
+        val fromCurve = margin.find(_.getAs[Long]("recall_micro") >= 900000L)
+          .map(_.getAs[Int]("probe_radius")).getOrElse(5)
+        require(sel == fromCurve && sel < 5,
+          s"selectMarginBudget picked $sel, curve says $fromCurve — " +
+            "the selector drifted from its own measurement")
+        println(s"[scale] selectMarginBudget(target 90%) → flip budget $sel " +
+          "on the clustered corpus")
       } finally corpus.unpersist()
     }
     measure(s"TextDedup.calibrationOf (q228 shape, ×$reps corpus)",

@@ -768,6 +768,52 @@ object Similarity {
     recallCurveTail(e0.sparkSession, c, truth, qp, maxRadius)
   }
 
+  /** Target-recall → flip-budget selector (r13 verdict #2): the
+    * smallest margin-probe budget whose MEASURED recall@5 on the
+    * corpus's own hash-sampled curve ([[marginRecallCurveOf]]) meets
+    * `targetRecallMicro`, or `maxRadius` when the target is
+    * unreachable (isotropic-density corpora, where q235 shows no
+    * sub-linear budget gets close). The curve is a one-time
+    * index-calibration job — O(50·N·dim) brute-force truth, the same
+    * cost class as one full search — memoized per (tag, knobs) via
+    * CacheRegistry (the `trianglesAuto`/q224 sizing pattern), so
+    * repeated query CONSTRUCTION doesn't re-run it; callers that
+    * rewrite the data under `tag` must clear scalars (see
+    * [[graft.CacheRegistry.getOrComputeLong]]). Selection is
+    * deterministic from the curve, so the DuckDB oracle reproduces
+    * it with a MIN-over-qualifying-radii subquery (q236). */
+  private[graft] def selectMarginBudget(e0: DataFrame, tag: String,
+      targetRecallMicro: Long, width: Int = 16, soft: Int = 10,
+      maxRadius: Int = 5): Int = {
+    require(targetRecallMicro > 0, "target recall must be positive micro-units")
+    graft.CacheRegistry.getOrComputeLong(e0.sparkSession,
+        s"similarity.marginbudget:$tag:$width:$soft:$maxRadius:$targetRecallMicro") {
+      marginRecallCurveOf(e0, width, soft, maxRadius)
+        .orderBy(col("probe_radius")).collect()
+        .find(_.getAs[Long]("recall_micro") >= targetRecallMicro)
+        .map(_.getAs[Int]("probe_radius").toLong)
+        .getOrElse(maxRadius.toLong)
+    }.toInt
+  }
+
+  /** q236's LIBRARY form — the margin search with the flip budget
+    * chosen by [[selectMarginBudget]] from the measured curve instead
+    * of by the caller's guess. `queries` (same pre-bucketed contract
+    * as [[marginProbeSearchOf]]) defaults to the corpus's own hash
+    * sample; the selected budget rides along as a `budget` column so
+    * downstream readers see which operating point served them. */
+  private[graft] def marginProbeSearchAuto(e0: DataFrame, tag: String,
+      targetRecallMicro: Long, k: Int, queries: Option[DataFrame] = None,
+      width: Int = 16, soft: Int = 10, maxRadius: Int = 5): DataFrame = {
+    val budget = selectMarginBudget(e0, tag, targetRecallMicro, width, soft,
+      maxRadius)
+    val e = e0
+      .withColumn("bucket", bucketExprSpark("embedding", width))
+      .withColumn("nrm", vec_norm(col("embedding")))
+    marginProbeSearchOf(e, queries.getOrElse(hashSampleQueries(e)), width,
+      soft, budget, k).withColumn("budget", lit(budget))
+  }
+
   /** q62/q231's body — the IVF cell-probe search with `label` as the
     * coarse partition: bit-deterministic decimal-sum centroids, each
     * query probes its `nprobe` nearest cells (squared distance,
@@ -956,6 +1002,20 @@ object Similarity {
     "q235_margin_recall_curve" -> ((s, d) =>
       marginRecallCurveOf(t(s, d, "embeddings"), width = 16, soft = 10,
         maxRadius = 5)),
+
+    // q236: AUTO-TUNED margin search — target recall in, measured
+    // flip budget out ([[selectMarginBudget]]): the caller stops
+    // guessing the radius the r13 verdict flagged (#2). The gate
+    // target is 4% recall@5 — deliberately SMALL because the gate
+    // corpus is the isotropic hard case where q235 shows ≤ 11.6%
+    // recall even at budget 5; it still exercises genuine selection
+    // (measured: budget 4 at sf0.001/sf0.01, budget 3 at sf0.1 — the
+    // denser corpus needs FEWER flips for the same recall). On the
+    // clustered production shape the same machinery selects budget 3
+    // for a 90% target (ScaleEvidence path 13d pins it).
+    "q236_ann_autoprobe" -> ((s, d) =>
+      marginProbeSearchAuto(t(s, d, "embeddings"), tag = d,
+        targetRecallMicro = 40000L, k = 5)),
 
     // q37: embedding-cosine near-duplicate pairs — the 5th dedup
     // modality (legacy coarse blocking; q223/q224 are the recommended
@@ -1489,6 +1549,57 @@ object Similarity {
        | CAST(COALESCE(s.n_hit, 0) * 4000 AS BIGINT) AS recall_micro
        |FROM radii r LEFT JOIN stats s USING (probe_radius)""".stripMargin
 
+  /** DuckDB twin of [[marginProbeSearchAuto]] (q236): the q235 curve
+    * CTEs feed a MIN-over-qualifying-budgets selection, which gates
+    * the search's probe set — the selector made relational. */
+  private def autoprobeOracle(width: Int, soft: Int, maxRadius: Int,
+      targetMicro: Long, k: Int, cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb $hashSampleDuck),
+       |truth AS (SELECT query_id, cand_id FROM (
+       | SELECT q.query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+       | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
+       | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
+       |${marginProbeCtesDuck(width, soft, maxRadius)},
+       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
+       |ranked AS (
+       | SELECT probe_radius, query_id, cand_id,
+       |  row_number() OVER (PARTITION BY probe_radius, query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT r.probe_radius, q.query_id, c.vec_id AS cand_id,
+       |   $cosSql AS cos_sim
+       |  FROM probes p JOIN q USING (query_id)
+       |  JOIN radii r ON p.h <= r.probe_radius
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id)),
+       |stats AS (SELECT probe_radius,
+       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS n_hit
+       | FROM ranked k LEFT JOIN truth t
+       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
+       | GROUP BY 1),
+       |sel AS (SELECT CAST(COALESCE(MIN(probe_radius), $maxRadius) AS INT)
+       |  AS budget FROM stats WHERE n_hit * 4000 >= $targetMicro)
+       |SELECT query_id, cand_id, probe_hamming, cos_sim, rn, budget FROM (
+       | SELECT query_id, cand_id, probe_hamming, cos_sim, budget,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT q.query_id, c.vec_id AS cand_id, p.h AS probe_hamming,
+       |   s.budget, $cosSql AS cos_sim
+       |  FROM probes p JOIN q USING (query_id) CROSS JOIN sel s
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id
+       |  WHERE p.h <= s.budget))
+       |WHERE rn <= $k""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
@@ -1571,6 +1682,10 @@ object Similarity {
 
       "q235_margin_recall_curve" ->
         marginCurveOracle(width = 16, soft = 10, maxRadius = 5, cosSql),
+
+      "q236_ann_autoprobe" ->
+        autoprobeOracle(width = 16, soft = 10, maxRadius = 5,
+          targetMicro = 40000L, k = 5, cosSql),
 
       "q37_embedding_neardup" -> {
         val bucket4 = q37BucketDims.zipWithIndex.map { case (dim, j) =>

@@ -637,6 +637,65 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q236 auto-probe selects the measured budget and equals the fixed-budget search") {
+    val (vecs, sample, _, top5) = localModel()
+    def probedAt(qid: Long, r: Int): Iterable[Long] = {
+      val buckets = marginBuckets(vecs(qid), soft = 10, radius = r)
+      vecs.keys.filter(c => c != qid && buckets.contains(bucket16(vecs(c))))
+    }
+    def recallAt(r: Int): Long = {
+      var nHit = 0L
+      sample.foreach { qid =>
+        val truth = top5(qid, vecs.keys).toSet
+        nHit += (top5(qid, probedAt(qid, r)).toSet & truth).size
+      }
+      nHit * 4000L
+    }
+    val expectBudget = (0 to 5).find(recallAt(_) >= 40000L).getOrElse(5)
+    val rows = q("q236_ann_autoprobe").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("budget")).distinct.toSeq == Seq(expectBudget),
+      s"selected budget != locally recomputed $expectBudget")
+    // the search itself must equal the fixed-budget margin search at
+    // the selected budget, query by query
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    sample.foreach { qid =>
+      val expect = top5(qid, probedAt(qid, expectBudget))
+      val got = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("cand_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+    }
+  }
+
+  test("selectMarginBudget: small budget on a clustered corpus, max-budget fallback on isotropic") {
+    // the r13-verdict #2 fixtures: a corpus with genuine structure
+    // (families of 6 at cos ≈ 1, built by the scale harness's own
+    // generator) must select a SMALL measured budget for a 90%
+    // target; the isotropic base corpus — where q235 shows no budget
+    // gets near 90% — must fall back to maxRadius
+    val clustered = graft.ScaleEvidence.clusteredEmbeddings(
+      spark, sf, reps = 6, famSize = 6, sigma = 0.01)
+    val bC = Similarity.selectMarginBudget(clustered, tag = "spec-clustered",
+      targetRecallMicro = 900000L)
+    assert(bC < 5, s"clustered corpus fell back to max budget ($bC)")
+    // consistency: the selection is exactly the operator's own curve
+    // read at the target
+    val curve = Similarity.marginRecallCurveOf(clustered, width = 16,
+      soft = 10, maxRadius = 5).orderBy(col("probe_radius")).collect()
+    val expected = curve.find(_.getAs[Long]("recall_micro") >= 900000L)
+      .map(_.getAs[Int]("probe_radius")).getOrElse(5)
+    assert(bC == expected, s"selector $bC != curve-derived $expected")
+    assert(curve(bC).getAs[Long]("recall_micro") >= 900000L)
+    val iso = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bI = Similarity.selectMarginBudget(iso, tag = "spec-iso",
+      targetRecallMicro = 900000L)
+    assert(bI == 5, s"isotropic corpus should fall back to max budget, got $bI")
+    // memoized: the repeat call is served from CacheRegistry
+    assert(Similarity.selectMarginBudget(clustered, tag = "spec-clustered",
+      targetRecallMicro = 900000L) == bC)
+  }
+
   test("marginProbeSearchOf (library form) honors arbitrary queries and the knobs") {
     val (vecs, _, _, top5) = localModel()
     import org.apache.spark.sql.functions.col
