@@ -81,9 +81,22 @@ object PipeBench {
     require(written == n, s"sink holds $written records, staged $n")
     val rps = written / secs
     val mode = if (cfg.delivery == DeliveryMode.AtLeastOnceSized) "sized" else "native"
+    // provenance stamp: which code produced this number (r13 verdict
+    // #6 — the committed artifact must be tied to a commit). Optional
+    // env wins (CI passes the exact ref); best-effort `git rev-parse`
+    // otherwise; omitted when neither is available.
+    val commit = sys.env.get("SPARK_GRAFT_COMMIT").orElse(
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) Some(out)
+        else None
+      } catch { case _: Throwable => None })
+    val commitField = commit.map(c => s""","commit":"$c"""").getOrElse("")
     val json =
       s"""{"metric":"pipeline_throughput","value":${math.round(rps)},"unit":"records/sec","records":$written,"seconds":${
-        math.round(secs * 1000) / 1000.0},"cpus":$cpus,"mode":"$mode","reference_design_rps":300000}"""
+        math.round(secs * 1000) / 1000.0},"cpus":$cpus,"mode":"$mode","reference_design_rps":300000$commitField}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PIPEBENCH_OUT", "PIPEBENCH.json")
     try Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
