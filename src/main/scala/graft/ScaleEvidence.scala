@@ -908,33 +908,41 @@ object ScaleEvidence {
     }
     measure(s"Similarity.multiprobeRecallCurveOf (q230, isotropic ×$embReps)",
         baseEmb * embReps) {
-      // plant-free corpus, as for the q227 path above (r13 ADVICE)
+      // plant-free corpus, as for the q227 path above (r13 ADVICE);
+      // persisted: the path reads it three times (unplanted guard,
+      // curve + truth scan, own-bucket recomputation)
       val corpus = baseEmb * embReps
-      assertUnplantedSample(scaledEmbeddings(spark, sfDir, embReps, 0, 0))
-      val curve = curveInvariants(s"isotropic ×$embReps",
-        scaledEmbeddings(spark, sfDir, embReps, 0, 0), corpus,
-        width = 8, maxRadius = 2,
-        df => Similarity.multiprobeRecallCurveOf(df), ringCostBound = true)
-      val recall0 = curve(0).getAs[Long]("recall_micro") / 1e6
-      val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
-      // deterministic corpus ⇒ deterministic recall (measured 0.024 →
-      // 0.444 on the plant-free corpus — r13's 0.068/0.472 carried ~2
-      // sampled clones); the invariant is the LIFT — radius 2 must multiply
-      // single-probe recall ≥ 4× on the structureless corpus while
-      // probing ≤ 3·37/256 of the candidate mass (bound above)
-      require(recall2 >= 0.40 && recall2 >= 4 * recall0,
-        f"multi-probe lift collapsed: r0 $recall0%.3f → r2 $recall2%.3f")
+      val corpusDf = scaledEmbeddings(spark, sfDir, embReps, 0, 0).persist()
+      try {
+        assertUnplantedSample(corpusDf)
+        val curve = curveInvariants(s"isotropic ×$embReps",
+          corpusDf, corpus,
+          width = 8, maxRadius = 2,
+          df => Similarity.multiprobeRecallCurveOf(df), ringCostBound = true)
+        val recall0 = curve(0).getAs[Long]("recall_micro") / 1e6
+        val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
+        // deterministic corpus ⇒ deterministic recall (measured 0.024 →
+        // 0.444 on the plant-free corpus — r13's 0.068/0.472 carried ~2
+        // sampled clones); the invariant is the LIFT — radius 2 must multiply
+        // single-probe recall ≥ 4× on the structureless corpus while
+        // probing ≤ 3·37/256 of the candidate mass (bound above)
+        require(recall2 >= 0.40 && recall2 >= 4 * recall0,
+          f"multi-probe lift collapsed: r0 $recall0%.3f → r2 $recall2%.3f")
+      } finally corpusDf.unpersist()
     }
     measure(s"Similarity.multiprobeRecallCurveOf (q230, clustered ×102)",
         baseEmb * 102) {
-      val curve = curveInvariants("clustered ×102 (fam 6, cos≈0.93)",
-        clusteredEmbeddings(spark, sfDir, reps = 102, famSize = 6, sigma = 0.06),
-        baseEmb * 102, width = 8, maxRadius = 2,
-        df => Similarity.multiprobeRecallCurveOf(df), ringCostBound = true)
-      val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
-      require(recall2 >= 0.80,
-        f"multi-probe radius-2 recall@5 $recall2%.3f < 0.80 on the clustered " +
-          "corpus — the shipped default broke its promise where recall is attainable")
+      val corpusDf = clusteredEmbeddings(spark, sfDir, reps = 102, famSize = 6,
+        sigma = 0.06).persist() // read twice: curve + own-bucket recompute
+      try {
+        val curve = curveInvariants("clustered ×102 (fam 6, cos≈0.93)",
+          corpusDf, baseEmb * 102, width = 8, maxRadius = 2,
+          df => Similarity.multiprobeRecallCurveOf(df), ringCostBound = true)
+        val recall2 = curve(2).getAs[Long]("recall_micro") / 1e6
+        require(recall2 >= 0.80,
+          f"multi-probe radius-2 recall@5 $recall2%.3f < 0.80 on the clustered " +
+            "corpus — the shipped default broke its promise where recall is attainable")
+      } finally corpusDf.unpersist()
     }
     // ---- 13d. Width-16 frontier: blind rings vs margin probing ----
     // (r14; r13 verdict #1): the 8-bit space caps the search at ~1/7
