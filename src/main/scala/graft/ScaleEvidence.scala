@@ -1023,6 +1023,32 @@ object ScaleEvidence {
         println(s"[scale] selectMarginBudget(target 90%) → flip budget $sel " +
           "on the clustered corpus")
       } finally corpus.unpersist()
+      // Honesty coda, REPORTED not asserted (the value is a corpus
+      // property): the same width-16 margin search on the ISOTROPIC
+      // hard case — true-neighbor cos ≈ 0.41, where q230 shows even
+      // the 8-bit radius-2 ring needs 14.5% of brute-force mass for
+      // 44.4% recall. At width 16 the probed mass collapses (~0.01%
+      // per the 638/65,536 bucket share) and recall with it — the
+      // measured "no sub-linear index wins here" datum a pipeline
+      // reads before picking brute force for decorrelated corpora.
+      // The selector must take the maxRadius FALLBACK on this shape.
+      val iso = scaledEmbeddings(spark, sfDir, embReps, 0, 0).persist()
+      try {
+        val isoCurve = curveInvariants(s"isotropic ×$embReps, w16 margin soft=10",
+          iso, baseEmb * embReps, width = 16, maxRadius = 5,
+          df => Similarity.marginRecallCurveOf(df, width = 16, soft = 10,
+            maxRadius = 5), ringCostBound = false)
+        val selIso = Similarity.selectMarginBudget(iso,
+          tag = "13d-isotropic", targetRecallMicro = 900000L)
+        require(selIso == 5,
+          s"selector picked $selIso on the isotropic corpus — the 90% target " +
+            "is unreachable there and must fall back to maxRadius")
+        val top = isoCurve.last
+        println(f"[scale] isotropic w16 margin ceiling: budget 5 reaches " +
+          f"${top.getAs[Long]("recall_micro") / 10000.0}%.1f%% recall@5 at " +
+          f"${top.getAs[Long]("n_candidates") * 100.0 / (50.0 * baseEmb * embReps)}%.3f%% " +
+          "mass — brute force (q31) is the honest surface for decorrelated corpora")
+      } finally iso.unpersist()
     }
     measure(s"TextDedup.calibrationOf (q228 shape, ×$reps corpus)",
         baseDocs * reps) {
