@@ -72,7 +72,7 @@ object Similarity {
       s"(CASE WHEN $col0[$dim] > CAST(0 AS FLOAT) THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)"))
 
-  private def bucketSqlDuck(col0: String, width: Int = 8): String =
+  private[graft] def bucketSqlDuck(col0: String, width: Int = 8): String =
     bucketDims(width).zipWithIndex.map { case (dim, j) =>
       s"(CASE WHEN $col0[${dim + 1}] > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString("CAST(", " + ", " AS INT)")
@@ -719,7 +719,7 @@ object Similarity {
     * positions), `probe_hamming` = number of flipped soft bits.
     * Everything before the corpus join is O(|Q|·soft·masks) rows and
     * rides broadcast. */
-  private def marginProbesOf(queries: DataFrame, width: Int, soft: Int,
+  private[graft] def marginProbesOf(queries: DataFrame, width: Int, soft: Int,
       radius: Int): DataFrame = {
     require(soft <= width && soft <= 20, s"soft=$soft out of range for width=$width")
     val step = 64 / width
@@ -752,6 +752,37 @@ object Similarity {
   private[graft] def marginProbeSearchOf(corpus: DataFrame, queries: DataFrame,
       width: Int, soft: Int, radius: Int, k: Int): DataFrame =
     probeJoinTopK(corpus, marginProbesOf(queries, width, soft, radius), k)
+
+  /** The IN-ROW (stateless) form of [[marginProbesOf]], for STREAMING
+    * query relations (q237): the margin ranking the batch form
+    * expresses as a window is computed per row — `array_sort` over
+    * the (|margin|, dim-index) structs (same lexicographic order as
+    * the window's ORDER BY margin, j), sliced to the `soft` smallest,
+    * then each static index mask OR-folds its selected bits via
+    * `aggregate` — so probe generation is pure projection: no
+    * shuffle, no state, legal in a streaming plan ahead of a
+    * stream-static join. Spec-asserted ROW-EQUAL to the window form
+    * on batch inputs (the two forms must never drift). Same contract:
+    * `queries` carries (query_id, qv, qn, qbucket) pre-bucketed at
+    * `width`; output (query_id, qv, qn, bucket, probe_hamming). */
+  private[graft] def inRowMarginProbes(queries: DataFrame, width: Int,
+      soft: Int, radius: Int): DataFrame = {
+    require(soft <= width && soft <= 20, s"soft=$soft out of range for width=$width")
+    val step = 64 / width
+    queries
+      .withColumn("soft", expr(
+        s"""slice(array_sort(transform(sequence(0, ${width - 1}),
+           |  j -> struct(abs(qv[j * $step]) AS m, j AS j))), 1, $soft)""".stripMargin))
+      .select(col("query_id"), col("qv"), col("qn"), col("qbucket"),
+        col("soft"), explode(probeMaskStructs(radius, soft)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qbucket").bitwiseXOR(expr(
+          s"""aggregate(sequence(0, ${soft - 1}), 0, (acc, i) ->
+             |  acc + CASE WHEN (p.mask div shiftleft(1, i)) % 2 = 1
+             |    THEN shiftleft(1, soft[i].j) ELSE 0 END)""".stripMargin))
+          .as("bucket"),
+        col("p.h").as("probe_hamming"))
+  }
 
   /** q235's body — the margin-probe recall/cost curve: for each
     * flip-budget r ∈ {0..maxRadius} (number of flipped soft bits),
@@ -1475,7 +1506,7 @@ object Similarity {
     * build, verbatim in SQL): per-query margin-ranked soft bits →
     * index-mask cross → per-(query, mask) bucket-mask OR-fold. Both
     * engines execute this same shape, so parity is by construction. */
-  private def marginProbeCtesDuck(width: Int, soft: Int, radius: Int): String = {
+  private[graft] def marginProbeCtesDuck(width: Int, soft: Int, radius: Int): String = {
     val step = 64 / width
     s"""qbits AS (SELECT query_id, j,
        |   row_number() OVER (PARTITION BY query_id

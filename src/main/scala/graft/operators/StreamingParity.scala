@@ -3,6 +3,7 @@ package graft.operators
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.Tables
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -53,6 +54,48 @@ object StreamingParity {
       catch { case _: Throwable => () }
       e = liveSinks.poll()
     }
+  }
+
+  /** q237's pipeline body over an arbitrary incoming relation
+    * (vec_id, embedding, …) — batch or stream — and a pre-bucketed
+    * corpus index (cand_id, cv, bucket, cn): in-row margin probes →
+    * ONE equi-join on the index's bucket column → per-query aggregate
+    * (candidate count + deterministic best match: highest cosine,
+    * then lowest cand_id via the negated-struct max). Exposed so the
+    * spec can A/B a multi-micro-batch MemoryStream run against the
+    * all-at-once batch answer — the micro-batch-invariance property
+    * that makes it a correct continuous-ingest search. */
+  private[graft] def streamVectorSearch(incomingRaw: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val incoming = incomingRaw
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.bucketExprSpark("embedding", 16).as("qbucket"),
+        vec_norm(col("embedding")).as("qn"))
+    Similarity.inRowMarginProbes(incoming, width = 16, soft = 10, radius = 2)
+      .join(corpus, Seq("bucket"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("cos_sim").as("c"), (-col("cand_id")).as("nc")))
+          .as("best"))
+      .select(col("query_id"), col("n_candidates"),
+        col("best.c").as("best_cos"), (-col("best.nc")).as("best_cand"))
+  }
+
+  /** Corpus-index builder shared by q237 and its spec: the standing
+    * side of the stream-static search, bucketed at width 16. */
+  private[graft] def vectorIndexOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      Similarity.bucketExprSpark("embedding", 16).as("bucket"),
+      vec_norm(col("embedding")).as("cn"))
+
+  /** embeddings as an unbounded stream (the ingest side of the
+    * streaming vector search, q237). */
+  private def embStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
   }
 
   /** documents as an unbounded stream (the ingest side of the
@@ -567,6 +610,31 @@ object StreamingParity {
       }
     }),
 
+    // q237: STREAMING VECTOR SEARCH — the embedding twin of q82's
+    // incremental near-dup, closing the streaming×similarity cell:
+    // arriving vectors (vec_id % 4 = 0, streamed) search a PERSISTED
+    // width-16 sign-LSH index over the standing corpus (vec_id % 4 ≠
+    // 0) by margin-directed probing. The probe construction is the
+    // IN-ROW form ([[Similarity.inRowMarginProbes]], spec-asserted
+    // row-equal to q234's window form): per arriving vector, an
+    // array_sort over its 16 hyperplane margins + a static 56-mask
+    // explode (soft 10, flip budget ≤ 2) — pure projection, no
+    // shuffle, no state — then ONE stream-static equi-join on the
+    // index's bucket column and a per-query aggregate (candidate
+    // count + best match, deterministic max-struct tie-break). At
+    // 100 TB: the index side is the bucketed standing corpus, each
+    // micro-batch costs O(batch × 56) probe rows joined
+    // hash-partitioned — the same plan an online retrieval tier runs.
+    "q237_stream_vector_search" -> ((s, d) => {
+      val corpus = graft.CacheRegistry.getOrPersist(s,
+        s"streamvec.corpus:w16:$d") {
+        vectorIndexOf(Tables(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0))
+      }
+      val incoming = embStream(s, d).filter(col("vec_id") % 4 === 0)
+      runToCompletion(streamVectorSearch(incoming, corpus),
+        s"graft_stream_vecsearch_${runId.incrementAndGet()}")
+    }),
+
     // q92: ARBITRARY stateful streaming (flatMapGroupsWithState) under
     // the oracle gate — a per-user profile (count / exact money total
     // in integer micro-units / first- and last-seen event time) held
@@ -833,6 +901,36 @@ object StreamingParity {
          |JOIN (SELECT * FROM bands WHERE doc_id % 4 <> 0) c
          | ON i.band = c.band AND i.bh = c.bh
          |GROUP BY 1""".stripMargin
+    },
+
+    // q237's twin: the relational (windowed) margin-probe build over
+    // the SAME incoming/corpus split — parity holds because the
+    // in-row form is spec-asserted row-equal to the window form
+    "q237_stream_vector_search" -> {
+      val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+      val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+      val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+      val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |   ${Similarity.bucketSqlDuck("embedding", 16)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+         |  FROM wb WHERE vec_id % 4 = 0),
+         |${Similarity.marginProbeCtesDuck(width = 16, soft = 10, radius = 2)},
+         |hits AS (
+         | SELECT q.query_id, c.vec_id AS cand_id, $cosSql AS cos_sim
+         | FROM probes p JOIN q USING (query_id)
+         | JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb
+         |   WHERE vec_id % 4 <> 0) c(vec_id, cv, bucket)
+         |  ON c.bucket = xor(q.qbucket, p.bmask))
+         |SELECT query_id, n_candidates, cos_sim AS best_cos,
+         | cand_id AS best_cand FROM (
+         | SELECT query_id, cand_id, cos_sim,
+         |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+         |    AS n_candidates,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, cand_id) AS rn
+         | FROM hits) WHERE rn = 1""".stripMargin
     },
 
     "q103_stream_left_outer_join" ->

@@ -7,6 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Doc(doc_id: Long, text: String)
 
+/** Typed row for the q237 streaming vector-search spec. */
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 /** The q82 incremental-dedup construction under micro-batch
   * boundaries: documents arriving across SEVERAL micro-batches must
   * produce exactly the result of banding them all at once — the
@@ -67,6 +70,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(byDoc.contains(100L) && byDoc(100L)._4 == 1L,
       "identical doc must match its corpus twin across the batch boundary")
     assert(!byDoc.contains(102L), "unrelated doc must not produce candidates")
+  }
+
+  test("q237 streaming vector search across micro-batches equals the all-at-once batch answer") {
+    import spark.implicits._
+    // real vectors from the gate table: corpus = vec_id % 4 != 0
+    // (the standing index), incoming = the first 9 of the % 4 == 0
+    // split, delivered THREE per micro-batch — per-query results
+    // must be invariant to which batch carried the query
+    val all = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val corpus = StreamingParity.vectorIndexOf(
+      all.filter(_.vec_id % 4 != 0).toSeq.toDF("vec_id", "embedding"))
+    val incoming = all.filter(_.vec_id % 4 == 0).sortBy(_.vec_id).take(30).toSeq
+    assert(incoming.size == 30)
+
+    val stream = MemoryStream[Vec](31, spark, None)
+    val q = StreamingParity.streamVectorSearch(stream.toDF(), corpus)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("inc_vecsearch").start()
+    try incoming.grouped(10).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable()
+    } finally q.stop()
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val got = keyed(spark.table("inc_vecsearch").collect())
+    val batch = keyed(StreamingParity.streamVectorSearch(
+      incoming.toDF("vec_id", "embedding"), corpus).collect())
+    assert(got == batch,
+      "micro-batch boundaries changed the streaming search result")
+    // the search must find SOMETHING at gate scale, and every best
+    // match must come from the corpus split, never the query's own
+    assert(got.nonEmpty, "no query found any candidate — vacuous spec")
+    got.foreach { case (qid, n, _, best) =>
+      assert(n >= 1L && best % 4 != 0L && best != qid, s"query $qid")
+    }
   }
 
   test("signature-scheme checkpoint guard fails loudly on a cross-version resume") {

@@ -696,6 +696,28 @@ class SimilaritySpec extends AnyFunSuite {
       targetRecallMicro = 900000L) == bC)
   }
 
+  test("inRowMarginProbes (streaming form) is row-equal to the window form") {
+    // the q237 contract: the stateless in-row margin ranking
+    // (array_sort over (|margin|, j) structs) must produce EXACTLY
+    // the probe set of the windowed batch form, or the streaming
+    // search silently drifts from the gated batch surface
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("bucket", Similarity.bucketExprSpark("embedding", 16))
+      .withColumn("nrm", graft.functions.VectorFunctions.vec_norm(col("embedding")))
+    val queries = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("bucket").as("qbucket"),
+      col("nrm").as("qn"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("bucket"), col("probe_hamming")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    for ((soft, radius) <- Seq((10, 2), (8, 4), (6, 1))) {
+      val window = keyed(Similarity.marginProbesOf(queries, 16, soft, radius))
+      val inRow = keyed(Similarity.inRowMarginProbes(queries, 16, soft, radius))
+      assert(inRow == window, s"forms drifted at soft=$soft radius=$radius")
+    }
+  }
+
   test("marginProbeSearchOf (library form) honors arbitrary queries and the knobs") {
     val (vecs, _, _, top5) = localModel()
     import org.apache.spark.sql.functions.col
