@@ -674,6 +674,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unexpected cartesian in the probe plan:\n${plan.take(1500)}")
   }
 
+  test("q232 width-16 ring: same search plan shape as q229 in the wide bucket space") {
+    val plan = executedPlan("q232_ann_multiprobe_w16")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set not broadcast-hash-joined:\n${plan.take(1500)}")
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 1,
+      s"rank-filter pushdown missing:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian:\n${plan.take(1500)}")
+  }
+
+  test("inRowMarginProbes plans as pure projection: zero exchanges, zero windows") {
+    // the property that makes q237's streaming probe construction
+    // legal and free: the in-row margin ranking (array_sort) and the
+    // mask OR-fold (aggregate) stay inside the row — any Exchange or
+    // Window appearing here would mean a shuffle ahead of every
+    // streaming micro-batch
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("bucket",
+        graft.operators.Similarity.bucketExprSpark("embedding", 16))
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.vec_norm(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"), col("nrm").as("qn"))
+    val plan = graft.operators.Similarity
+      .inRowMarginProbes(e, width = 16, soft = 10, radius = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"in-row probe construction shuffled:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"in-row probe construction used a window:\n${plan.take(1500)}")
+  }
+
   test("q234 margin probe: probe construction broadcast, one corpus bucket join, top-5 map-side") {
     // the margin refinement must keep q229's plan shape: everything
     // before the corpus join is |Q|-sized (margin ranking + mask
