@@ -84,10 +84,18 @@ object PipeBench {
     // provenance stamp: which code produced this number (r13 verdict
     // #6 — the committed artifact must be tied to a commit). Optional
     // env wins (CI passes the exact ref); best-effort `git rev-parse`
-    // otherwise; omitted when neither is available.
+    // otherwise — anchored at the repo that BUILT these classes (from
+    // the classpath location, `<root>/target/scala-2.13/classes`),
+    // never the JVM's working directory: a bench launched from an
+    // unrelated repo must not stamp that repo's HEAD (r14 ADVICE — a
+    // wrong provenance stamp is worse than an absent one); omitted
+    // when neither is available.
     val commit = sys.env.get("SPARK_GRAFT_COMMIT").orElse(
       try {
-        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        val loc = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        val p = new ProcessBuilder("git", "-C", loc.getPath,
+          "rev-parse", "--short", "HEAD")
           .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) Some(out)

@@ -848,8 +848,13 @@ object ScaleEvidence {
     // top-50), so a planted adversary id (negative hot-orthant ids,
     // 1e9-offset clones) COULD be sampled as a query and its
     // guaranteed same-bucket twin would silently re-inflate the
-    // audited recall. Assert the sample stays on organic ids — the
-    // guard moves with the SCALE_EMB_REPS/SCALE_HOT_VECS knobs.
+    // audited recall. Assert the sample stays on organic ids. NOTE
+    // (r14 ADVICE): both call sites now build their corpus with
+    // clones = 0 and hotVecs = 0 HARDCODED — this guard caught the
+    // r13 builder's own number (~2 planted clones per sample, 6.8%
+    // clone-inflated vs the honest 2.4%) and is kept as a
+    // belt-and-braces REGRESSION guard: it can only fire again if
+    // someone reintroduces planted ids into a hash-sampled path.
     def assertUnplantedSample(corpusDf: org.apache.spark.sql.DataFrame): Unit = {
       val planted = Similarity.hashSampleQueries(bucketed(corpusDf, 8))
         .filter(col("query_id") < 0L || col("query_id") >= 1000000000L).count()

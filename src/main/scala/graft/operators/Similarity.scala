@@ -60,10 +60,24 @@ object Similarity {
     * probes 137/65,536 = 0.2%, the genuinely sub-linear regime
     * (q232/q233; ScaleEvidence path 13d measures the frontier).
     * `dims` are 0-based Spark indices; DuckDB adds 1.
+    *
+    * DIMENSION ASSUMPTION (r14 verdict #6): the stride is computed
+    * off a FIXED 64-dim embedding layout — the fixture tables' and
+    * the synthetic harnesses' shape — not off the actual array
+    * length, so the `64 % width` require is simultaneously a width
+    * check and a d=64 assumption. A corpus with d ≠ 64 still buckets
+    * (only dims 0..max stride are read) but the hyperplanes would no
+    * longer spread evenly across the vector; generalizing means
+    * threading the real dimension into the stride (`d % width == 0`)
+    * at every call site, Spark and DuckDB twin alike. Width ≤ 31 is
+    * the INT-bucket-id bound; width 16 is the widest value satisfying
+    * both constraints (see docs/ann-search-guide.md).
     */
   private def bucketDims(width: Int): Seq[Int] = {
     require(width > 0 && 64 % width == 0 && width <= 31,
-      s"bucket width must divide 64 and fit an INT bucket id, got $width")
+      s"bucket width must divide the fixed 64-dim embedding stride " +
+        s"and fit an INT bucket id (width <= 31), got $width — this " +
+        "operator assumes d=64 vectors (see bucketDims scaladoc)")
     0 until width map (_ * (64 / width))
   }
 
@@ -808,11 +822,22 @@ object Similarity {
     * index-calibration job — O(50·N·dim) brute-force truth, the same
     * cost class as one full search — memoized per (tag, knobs) via
     * CacheRegistry (the `trianglesAuto`/q224 sizing pattern), so
-    * repeated query CONSTRUCTION doesn't re-run it; callers that
-    * rewrite the data under `tag` must clear scalars (see
-    * [[graft.CacheRegistry.getOrComputeLong]]). Selection is
-    * deterministic from the curve, so the DuckDB oracle reproduces
-    * it with a MIN-over-qualifying-radii subquery (q236). */
+    * repeated query CONSTRUCTION doesn't re-run it.
+    *
+    * STALENESS CONTRACT (r14 verdict #5 — pinned by
+    * SimilaritySpec "selectMarginBudget memoizes per tag…"): the memo
+    * key is (session, tag, knobs, target) and embeds NOTHING about
+    * the corpus's content — a corpus REWRITTEN under the same `tag`
+    * in the same session is served the stale budget, BY DESIGN (a
+    * content fingerprint in the key would cost a corpus scan per
+    * query construction, defeating the memo). Invalidation is the
+    * caller's obligation: after rewriting data a tag refers to,
+    * either call `CacheRegistry.clear(spark, dropScalars = true)`
+    * ([[graft.CacheRegistry.clear]]) or use a fresh tag. The gate
+    * queries embed the sf DIRECTORY in the tag, so distinct datasets
+    * never share a memo, and a new session always recalibrates.
+    * Selection is deterministic from the curve, so the DuckDB oracle
+    * reproduces it with a MIN-over-qualifying-radii subquery (q236). */
   private[graft] def selectMarginBudget(e0: DataFrame, tag: String,
       targetRecallMicro: Long, width: Int = 16, soft: Int = 10,
       maxRadius: Int = 5): Int = {
@@ -1506,18 +1531,28 @@ object Similarity {
     * build, verbatim in SQL): per-query margin-ranked soft bits →
     * index-mask cross → per-(query, mask) bucket-mask OR-fold. Both
     * engines execute this same shape, so parity is by construction. */
-  private[graft] def marginProbeCtesDuck(width: Int, soft: Int, radius: Int): String = {
+  private[graft] def marginProbeCtesDuck(width: Int, soft: Int, radius: Int): String =
+    marginProbeCtesDuckFor("q", "", width, soft, radius)
+
+  /** [[marginProbeCtesDuck]] parameterized over the query CTE name and
+    * a CTE-name prefix, so TWO independent probe relations can coexist
+    * in one oracle statement (q237 needs one for the calibration
+    * sample and one for the incoming stream). Emits
+    * `{prefix}qbits` / `{prefix}qsoft` / `{prefix}masks` /
+    * `{prefix}probes` reading queries from `$qcte`. */
+  private[graft] def marginProbeCtesDuckFor(qcte: String, prefix: String,
+      width: Int, soft: Int, radius: Int): String = {
     val step = 64 / width
-    s"""qbits AS (SELECT query_id, j,
+    s"""${prefix}qbits AS (SELECT query_id, j,
        |   row_number() OVER (PARTITION BY query_id
        |     ORDER BY abs(qv[j * $step + 1]), j) - 1 AS r
-       |  FROM q CROSS JOIN (SELECT CAST(unnest(range($width)) AS INT) AS j) t),
-       |qsoft AS (SELECT query_id, j, r FROM qbits WHERE r < $soft),
-       |masks(mask, h) AS (VALUES ${probeMaskValuesDuck(radius, soft)}),
-       |probes AS (SELECT query_id, mask, h,
+       |  FROM $qcte CROSS JOIN (SELECT CAST(unnest(range($width)) AS INT) AS j) t),
+       |${prefix}qsoft AS (SELECT query_id, j, r FROM ${prefix}qbits WHERE r < $soft),
+       |${prefix}masks(mask, h) AS (VALUES ${probeMaskValuesDuck(radius, soft)}),
+       |${prefix}probes AS (SELECT query_id, mask, h,
        |   CAST(COALESCE(SUM(CASE WHEN (mask // (1 << r)) % 2 = 1
        |     THEN (1 << j) END), 0) AS INT) AS bmask
-       |  FROM qsoft CROSS JOIN masks GROUP BY 1, 2, 3)""".stripMargin
+       |  FROM ${prefix}qsoft CROSS JOIN ${prefix}masks GROUP BY 1, 2, 3)""".stripMargin
   }
 
   /** DuckDB twin of [[marginProbeSearchOf]] (q234). */
@@ -1630,6 +1665,72 @@ object Similarity {
        |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id
        |  WHERE p.h <= s.budget))
        |WHERE rn <= $k""".stripMargin
+
+  /** DuckDB twin of q237's STREAMING vector search: corpus =
+    * `embeddings` with `vec_id % 4 <> 0` (the standing index),
+    * incoming = the `% 4 = 0` split; the flip budget is SELECTED
+    * RELATIONALLY from the corpus's own calibration curve — the q236
+    * selection ([[autoprobeOracle]]) restricted to the corpus split,
+    * mirroring `selectMarginBudget(corpus, …)` on the Spark side —
+    * and then gates which probe masks the incoming queries run
+    * (probe sets are budget-nested, so `h <= budget` over the
+    * maxRadius enumeration IS the budget's probe set). Per query:
+    * candidate count + best match (highest cosine, lowest cand_id)
+    * + the selected budget. */
+  private[graft] def streamSearchOracleDuck(width: Int, soft: Int,
+      maxRadius: Int, targetMicro: Long, cosSql: String): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+       |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
+       |cwb AS (SELECT * FROM wb WHERE vec_id % 4 <> 0),
+       |calq AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM cwb $hashSampleDuck),
+       |truth AS (SELECT query_id, cand_id FROM (
+       | SELECT calq.query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY calq.query_id
+       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+       | FROM calq, (SELECT vec_id, embedding AS cv FROM cwb) c(vec_id, cv)
+       | WHERE calq.query_id <> c.vec_id) WHERE rn <= 5),
+       |${marginProbeCtesDuckFor("calq", "c", width, soft, maxRadius)},
+       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
+       |ranked AS (
+       | SELECT probe_radius, query_id, cand_id,
+       |  row_number() OVER (PARTITION BY probe_radius, query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT r.probe_radius, calq.query_id, c.vec_id AS cand_id,
+       |   $cosSql AS cos_sim
+       |  FROM cprobes p JOIN calq USING (query_id)
+       |  JOIN radii r ON p.h <= r.probe_radius
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM cwb)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor(calq.qbucket, p.bmask)
+       |    AND calq.query_id <> c.vec_id)),
+       |stats AS (SELECT probe_radius,
+       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS n_hit
+       | FROM ranked k LEFT JOIN truth t
+       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
+       | GROUP BY 1),
+       |sel AS (SELECT CAST(COALESCE(MIN(probe_radius), $maxRadius) AS INT)
+       |  AS budget FROM stats WHERE n_hit * 4000 >= $targetMicro),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+       |  FROM wb WHERE vec_id % 4 = 0),
+       |${marginProbeCtesDuckFor("q", "i", width, soft, maxRadius)},
+       |hits AS (
+       | SELECT q.query_id, c.vec_id AS cand_id, $cosSql AS cos_sim
+       | FROM iprobes p JOIN q USING (query_id)
+       | JOIN (SELECT vec_id, embedding AS cv, bucket FROM cwb)
+       |   c(vec_id, cv, bucket)
+       |  ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id
+       | WHERE p.h <= (SELECT budget FROM sel))
+       |SELECT query_id, n_candidates, cos_sim AS best_cos,
+       | cand_id AS best_cand, s.budget FROM (
+       | SELECT query_id, cand_id, cos_sim,
+       |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+       |    AS n_candidates,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM hits) CROSS JOIN sel s WHERE rn = 1""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"

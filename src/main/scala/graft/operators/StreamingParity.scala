@@ -56,32 +56,61 @@ object StreamingParity {
     }
   }
 
-  /** q237's pipeline body over an arbitrary incoming relation
-    * (vec_id, embedding, …) — batch or stream — and a pre-bucketed
-    * corpus index (cand_id, cv, bucket, cn): in-row margin probes →
-    * ONE equi-join on the index's bucket column → per-query aggregate
-    * (candidate count + deterministic best match: highest cosine,
-    * then lowest cand_id via the negated-struct max). Exposed so the
-    * spec can A/B a multi-micro-batch MemoryStream run against the
-    * all-at-once batch answer — the micro-batch-invariance property
-    * that makes it a correct continuous-ingest search. */
-  private[graft] def streamVectorSearch(incomingRaw: DataFrame,
-      corpus: DataFrame): DataFrame = {
+  /** q237's STATELESS pipeline front over an arbitrary incoming
+    * relation (vec_id, embedding, …) — batch or stream — and a
+    * pre-bucketed corpus index (cand_id, cv, bucket, cn): in-row
+    * margin probes at flip budget `radius` → ONE equi-join on the
+    * index's bucket column → per-candidate cosine. Pure projection
+    * plus one stream-static join: no watermark, no state store, no
+    * window — the plan an online retrieval tier runs per micro-batch
+    * (plan-pinned zero-exchange/zero-window on the probe side in
+    * PlanQualitySpec). The aggregation lives in
+    * [[vectorSearchSummary]], applied PER MICRO-BATCH by
+    * [[runPerBatchToParquet]] — never as an unbounded streaming agg
+    * (r14 verdict #1). */
+  private[graft] def vectorSearchHits(incomingRaw: DataFrame,
+      corpus: DataFrame, radius: Int): DataFrame = {
     val incoming = incomingRaw
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         Similarity.bucketExprSpark("embedding", 16).as("qbucket"),
         vec_norm(col("embedding")).as("qn"))
-    Similarity.inRowMarginProbes(incoming, width = 16, soft = 10, radius = 2)
+    Similarity.inRowMarginProbes(incoming, width = 16, soft = 10,
+        radius = radius)
       .join(corpus, Seq("bucket"))
+      // self-exclusion (r14 ADVICE): a caller whose incoming relation
+      // overlaps the corpus split must never be answered with the
+      // query's own vector at cos 1.0 — the q237 %4 splits are
+      // disjoint, so this is a no-op there, but the contract says
+      // "arbitrary incoming relation"; the DuckDB twin carries the
+      // same predicate
+      .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim",
         round(vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-      .groupBy(col("query_id"))
+  }
+
+  /** q237's per-query summary — candidate count + deterministic best
+    * match (highest cosine, then lowest cand_id via the negated-struct
+    * max). A PLAIN BATCH aggregation: the streaming runner applies it
+    * per micro-batch (each arriving query's probes, join hits and
+    * summary all live inside the one batch that carried the query —
+    * the pipeline holds no cross-batch state), the batch twin applies
+    * it to the whole relation, and the two agree because every
+    * query_id arrives exactly once. A query re-submitted in a later
+    * batch would simply be answered again — request/response
+    * semantics, the correct posture for a search tier. */
+  private[graft] def vectorSearchSummary(hits: DataFrame): DataFrame =
+    hits.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_candidates"),
         max(struct(col("cos_sim").as("c"), (-col("cand_id")).as("nc")))
           .as("best"))
       .select(col("query_id"), col("n_candidates"),
         col("best.c").as("best_cos"), (-col("best.nc")).as("best_cand"))
-  }
+
+  /** Batch twin of the streaming vector search — the reference the
+    * micro-batch-invariance spec A/Bs against. */
+  private[graft] def streamVectorSearch(incomingRaw: DataFrame,
+      corpus: DataFrame, radius: Int = 2): DataFrame =
+    vectorSearchSummary(vectorSearchHits(incomingRaw, corpus, radius))
 
   /** Corpus-index builder shared by q237 and its spec: the standing
     * side of the stream-static search, bucketed at width 16. */
@@ -228,6 +257,60 @@ object StreamingParity {
     }
     try q.processAllAvailable() finally q.stop()
     s.table(name)
+  }
+
+  // parquet result dirs of prior per-batch gate runs (foreachBatch
+  // sink) — deleted on the next invocation, mirroring dropPriorSinks:
+  // the CURRENT run's dir must survive (the caller consumes the
+  // returned DataFrame lazily), prior runs' dirs are dead weight
+  private val liveDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def dropPriorDirs(): Unit = {
+    var d = liveDirs.poll()
+    while (d != null) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, true)
+      } catch { case _: Throwable => () }
+      d = liveDirs.poll()
+    }
+  }
+
+  /** Run a STATELESS hit stream to completion through `foreachBatch`,
+    * applying `summarize` (a plain batch aggregation) per micro-batch
+    * and writing each batch's summary under a DETERMINISTIC
+    * `batch_id=<id>` path with overwrite — the per-batch-emission
+    * tail the r14 verdict asked for (#1): the streaming plan itself
+    * carries no aggregation, so there is NO state store, NO
+    * watermark, and nothing driver-resident; per batch the work is
+    * O(batch) and the write is idempotent under replay (a recovered
+    * batch re-overwrites its own directory — the standard
+    * foreachBatch exactly-once recipe), which is how an online
+    * retrieval tier actually lands results in a serving store.
+    * Contrast with the complete-mode memory sink this replaced:
+    * state grew with every query ever seen and the full result table
+    * re-materialized on the driver each batch. Returns the
+    * accumulated summaries (the `batch_id` partition column dropped);
+    * expects at least one non-empty micro-batch (the gate and specs
+    * always stream real rows — an empty stream would leave nothing
+    * to infer a schema from). */
+  private[graft] def runPerBatchToParquet(hits: DataFrame, name: String,
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.processAllAvailable())(
+      summarize: DataFrame => DataFrame): DataFrame = {
+    val s = hits.sparkSession
+    dropPriorDirs()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    liveDirs.add(dir)
+    val q = withStateParts(s, 8) {
+      hits.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          summarize(batch).write.mode("overwrite").parquet(s"$dir/batch_id=$id")
+        }
+        .start()
+    }
+    try drive(q) finally q.stop()
+    s.read.parquet(dir).drop("batch_id")
   }
 
   /** Append-mode twin of [[runToCompletion]] for STATELESS stream
@@ -617,22 +700,36 @@ object StreamingParity {
     // 0) by margin-directed probing. The probe construction is the
     // IN-ROW form ([[Similarity.inRowMarginProbes]], spec-asserted
     // row-equal to q234's window form): per arriving vector, an
-    // array_sort over its 16 hyperplane margins + a static 56-mask
-    // explode (soft 10, flip budget ≤ 2) — pure projection, no
-    // shuffle, no state — then ONE stream-static equi-join on the
-    // index's bucket column and a per-query aggregate (candidate
-    // count + best match, deterministic max-struct tie-break). At
-    // 100 TB: the index side is the bucketed standing corpus, each
-    // micro-batch costs O(batch × 56) probe rows joined
-    // hash-partitioned — the same plan an online retrieval tier runs.
+    // array_sort over its 16 hyperplane margins + a static mask
+    // explode (soft 10) — pure projection, no shuffle, no state —
+    // then ONE stream-static equi-join on the index's bucket column.
+    // The flip budget is NOT hard-coded (r14 verdict #2): it is
+    // selected at INDEX-BUILD time by [[Similarity.selectMarginBudget]]
+    // from the corpus's own measured recall curve (q236's selector,
+    // memoized via CacheRegistry alongside the index itself) and
+    // stamped on every result row. The per-query summary runs PER
+    // MICRO-BATCH through foreachBatch with idempotent per-batch
+    // parquet emission ([[runPerBatchToParquet]]) — r14 verdict #1:
+    // the streaming plan holds NO state store and NO watermark at
+    // all (each query's probes, hits and summary live inside the one
+    // batch that carried it), so state on an unbounded stream is
+    // O(batch), not O(total-queries-ever); StreamScaleEvidence's
+    // q237 shape measures exactly that at 10M streamed vectors. At
+    // 100 TB: the index side is the standing corpus (stored bucketed
+    // on `bucket` for an exchange-free static side — pinned in
+    // StreamingOpsSpec), each micro-batch costs O(batch × probes)
+    // broadcast-joined probe rows.
     "q237_stream_vector_search" -> ((s, d) => {
+      val corpusEmb = Tables(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0)
+      val budget = Similarity.selectMarginBudget(corpusEmb,
+        tag = s"streamvec:$d", targetRecallMicro = 40000L)
       val corpus = graft.CacheRegistry.getOrPersist(s,
-        s"streamvec.corpus:w16:$d") {
-        vectorIndexOf(Tables(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0))
-      }
+        s"streamvec.corpus:w16:$d") { vectorIndexOf(corpusEmb) }
       val incoming = embStream(s, d).filter(col("vec_id") % 4 === 0)
-      runToCompletion(streamVectorSearch(incoming, corpus),
-        s"graft_stream_vecsearch_${runId.incrementAndGet()}")
+      runPerBatchToParquet(vectorSearchHits(incoming, corpus, budget),
+        "stream-vecsearch") { b =>
+        vectorSearchSummary(b).withColumn("budget", lit(budget))
+      }
     }),
 
     // q92: ARBITRARY stateful streaming (flatMapGroupsWithState) under
@@ -905,32 +1002,17 @@ object StreamingParity {
 
     // q237's twin: the relational (windowed) margin-probe build over
     // the SAME incoming/corpus split — parity holds because the
-    // in-row form is spec-asserted row-equal to the window form
+    // in-row form is spec-asserted row-equal to the window form —
+    // with the flip budget selected RELATIONALLY from the corpus
+    // split's own calibration curve (the q236 selection), mirroring
+    // selectMarginBudget on the Spark side.
     "q237_stream_vector_search" -> {
       val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
       val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
       val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
       val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
-      s"""WITH wb AS (SELECT vec_id, embedding,
-         |   ${Similarity.bucketSqlDuck("embedding", 16)} AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
-         |  FROM wb WHERE vec_id % 4 = 0),
-         |${Similarity.marginProbeCtesDuck(width = 16, soft = 10, radius = 2)},
-         |hits AS (
-         | SELECT q.query_id, c.vec_id AS cand_id, $cosSql AS cos_sim
-         | FROM probes p JOIN q USING (query_id)
-         | JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb
-         |   WHERE vec_id % 4 <> 0) c(vec_id, cv, bucket)
-         |  ON c.bucket = xor(q.qbucket, p.bmask))
-         |SELECT query_id, n_candidates, cos_sim AS best_cos,
-         | cand_id AS best_cand FROM (
-         | SELECT query_id, cand_id, cos_sim,
-         |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
-         |    AS n_candidates,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, cand_id) AS rn
-         | FROM hits) WHERE rn = 1""".stripMargin
+      Similarity.streamSearchOracleDuck(width = 16, soft = 10, maxRadius = 5,
+        targetMicro = 40000L, cosSql = cosSql)
     },
 
     "q103_stream_left_outer_join" ->

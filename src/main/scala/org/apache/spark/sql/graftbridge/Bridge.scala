@@ -66,6 +66,20 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Executed physical plan of the LAST micro-batch a streaming query
+    * ran (None before the first batch, or for non-classic wrappers) —
+    * for PLAN PINS on streaming shapes: the micro-batch planner
+    * re-plans the static side of a stream-static join every batch, so
+    * asserting exchange-freeness needs the batch's OWN executed plan,
+    * not the batch-mode plan of an equivalent query
+    * (`IncrementalExecution` is `private[sql]`). */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
+
   /** Resolves `UnresolvedAttribute`s in a Column expression against a
     * DataFrame's analyzed output (name resolution only — the column
     * set a custom node built on that frame can legally reference). */

@@ -75,9 +75,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
   test("q237 streaming vector search across micro-batches equals the all-at-once batch answer") {
     import spark.implicits._
     // real vectors from the gate table: corpus = vec_id % 4 != 0
-    // (the standing index), incoming = the first 9 of the % 4 == 0
-    // split, delivered THREE per micro-batch — per-query results
-    // must be invariant to which batch carried the query
+    // (the standing index), incoming = the first 30 of the % 4 == 0
+    // split, delivered TEN per micro-batch — per-query results must
+    // be invariant to which batch carried the query. The streamed
+    // side runs the GATE's per-batch foreachBatch emission (r14
+    // verdict #1: no streaming aggregation state at all); the union
+    // of the per-batch summaries must equal the all-at-once batch
+    // twin exactly, which holds because each query's probes, hits
+    // and summary live inside the one batch that carried it.
     val all = graft.Tables(spark, TestSpark.sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
@@ -87,19 +92,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incoming.size == 30)
 
     val stream = MemoryStream[Vec](31, spark, None)
-    val q = StreamingParity.streamVectorSearch(stream.toDF(), corpus)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName("inc_vecsearch").start()
-    try incoming.grouped(10).foreach { chunk =>
-      stream.addData(chunk); q.processAllAvailable()
-    } finally q.stop()
+    val hits = StreamingParity.vectorSearchHits(stream.toDF(), corpus,
+      radius = 2)
+    val streamed = StreamingParity.runPerBatchToParquet(hits, "spec-vecsearch",
+      drive = q => incoming.grouped(10).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      })(StreamingParity.vectorSearchSummary)
 
     def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .sortBy(_._1).toSeq
-    val got = keyed(spark.table("inc_vecsearch").collect())
+    val got = keyed(streamed
+      .select("query_id", "n_candidates", "best_cos", "best_cand").collect())
     val batch = keyed(StreamingParity.streamVectorSearch(
-      incoming.toDF("vec_id", "embedding"), corpus).collect())
+      incoming.toDF("vec_id", "embedding"), corpus, radius = 2)
+      .collect())
     assert(got == batch,
       "micro-batch boundaries changed the streaming search result")
     // the search must find SOMETHING at gate scale, and every best
@@ -108,6 +115,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     got.foreach { case (qid, n, _, best) =>
       assert(n >= 1L && best % 4 != 0L && best != qid, s"query $qid")
     }
+  }
+
+  test("q237's streamed budget stamp equals the batch selector's choice on the same corpus") {
+    // r14 verdict #2: the streaming search must take its flip budget
+    // from selectMarginBudget at index-build time, not a hard-coded
+    // radius — pinned end-to-end: run the GATE query (real file
+    // stream + foreachBatch emission) and assert every emitted row
+    // carries exactly the budget the batch selector picks for the
+    // same corpus split, same tag, same target.
+    val d = TestSpark.sf
+    val corpusEmb = graft.Tables(spark, d, "embeddings")
+      .filter(col("vec_id") % 4 =!= 0)
+    val expected = Similarity.selectMarginBudget(corpusEmb,
+      tag = s"streamvec:$d", targetRecallMicro = 40000L)
+    val res = graft.SparkEntry.queries("q237_stream_vector_search")(spark, d)
+    val budgets = res.select(col("budget")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    assert(budgets == Seq(expected),
+      s"streamed budget stamp $budgets != selector's choice $expected")
   }
 
   test("signature-scheme checkpoint guard fails loudly on a cross-version resume") {

@@ -748,4 +748,44 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == expect, s"query $qid: $got vs $expect")
     }
   }
+
+  test("selectMarginBudget memoizes per (session, tag, knobs): stale after a same-tag rewrite until clear(dropScalars = true)") {
+    import spark.implicits._
+    // the STALENESS CONTRACT pinned by the selectMarginBudget
+    // scaladoc (r14 verdict #5): the memo key embeds nothing about
+    // corpus CONTENT, so a corpus rewritten under the same tag is
+    // served the stale budget by design, and invalidation
+    // (CacheRegistry.clear with dropScalars = true, or a fresh tag)
+    // is the caller's obligation. Two corpora with provably different
+    // honest budgets make the memo-hit observable:
+    //  - A: 60 same-bucket clones (signs never flip) → every truth
+    //    neighbor is an own-bucket candidate → budget 0 meets a 90%
+    //    target;
+    //  - B: 200 sign-scrambled vectors across 65,536 buckets → no
+    //    sub-linear budget approaches 90% → maxRadius fallback (5).
+    def vecA(i: Int): Array[Float] = Array.tabulate(64) { k =>
+      (if (k % 2 == 0) 1f else -1f) + 0.001f * ((i * 31 + k) % 7)
+    }
+    def vecB(i: Int): Array[Float] = Array.tabulate(64) { k =>
+      (((i * 2654435761L + k * 40503L) % 1000L).toInt - 500) / 500.0f + 0.001f
+    }
+    val dfA = (0 until 60).map(i => (i.toLong, vecA(i))).toDF("vec_id", "embedding")
+    val dfB = (0 until 200).map(i => (i.toLong, vecB(i))).toDF("vec_id", "embedding")
+    val tag = "staleness-contract-spec"
+
+    graft.CacheRegistry.clear(spark, dropScalars = true)
+    val bA = Similarity.selectMarginBudget(dfA, tag, targetRecallMicro = 900000L)
+    assert(bA == 0, s"clustered same-bucket corpus should select budget 0, got $bA")
+    // rewrite under the SAME tag: the selector must serve the memo,
+    // not recalibrate — the documented staleness
+    val bStale = Similarity.selectMarginBudget(dfB, tag, targetRecallMicro = 900000L)
+    assert(bStale == bA,
+      s"same-tag call recalibrated ($bStale) instead of serving the memo ($bA)")
+    // the caller's documented invalidation path
+    graft.CacheRegistry.clear(spark, dropScalars = true)
+    val bB = Similarity.selectMarginBudget(dfB, tag, targetRecallMicro = 900000L)
+    assert(bB == 5,
+      s"fresh calibration after clear must reflect the rewritten corpus " +
+        s"(isotropic maxRadius fallback), got $bB")
+  }
 }

@@ -342,4 +342,95 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(est >= n, s"CM estimate $est below exact $n for ($t,$u)")
     }
   }
+
+  test("standing vector index stored bucketed on `bucket`: stream-static search joins with NO static-side exchange") {
+    // r14 verdict #3 — the co-location story for q237's standing
+    // index: the micro-batch planner re-plans the static side of a
+    // stream-static join EVERY batch, so at 100 TB an unbucketed
+    // index would be exchanged once per micro-batch, forever. Stored
+    // bucketed on the join key (`bucket`), the index's scan already
+    // satisfies the join's required distribution: only the O(batch)
+    // probe side shuffles. Pinned on the streaming query's OWN
+    // last-micro-batch executed plan (broadcast disabled so the join
+    // really is shuffle-based, as it would be at scale), plus value
+    // parity of the bucketed path against the plain corpus join.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.graftbridge.Bridge
+    val all = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.operators.StreamingParity.vectorIndexOf(
+      all.filter(col("vec_id") % 4 =!= 0))
+    graft.scale.ScaleOps.writeBucketed(index, "b_vec_index", "bucket", 8)
+    val standing = spark.table("b_vec_index")
+
+    val incoming = all.filter(col("vec_id") % 4 === 0).limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val stream = MemoryStream[(Long, Array[Float])](860, spark, None)
+    val hits = graft.operators.StreamingParity.vectorSearchHits(
+      stream.toDF().toDF("vec_id", "embedding"), standing, radius = 2)
+
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val q = hits.writeStream.outputMode("append")
+        .format("memory").queryName("colocated_search").start()
+      try {
+        stream.addData(incoming); q.processAllAvailable()
+        Bridge.lastMicroBatchPlan(q)
+          .getOrElse(fail("no micro-batch executed"))
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+
+    def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("b_vec_index"))
+      case _ => false
+    }
+    // stateless micro-batches run under AQE in Spark 4, and
+    // AdaptiveSparkPlanExec / QueryStageExec are LEAF nodes to
+    // TreeNode.collect — descend through them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    val nodes = flatten(plan)
+    val indexScans = nodes.collect { case f if isIndexScan(f) =>
+      f.asInstanceOf[FileSourceScanExec] }
+    assert(indexScans.nonEmpty, s"bucketed index scan missing:\n$plan")
+    assert(indexScans.forall(_.bucketedScan),
+      "index scan did not use the stored bucketing")
+    val staticExchanges = nodes.collect {
+      case e: ShuffleExchangeExec if flatten(e).exists(isIndexScan) => e
+    }
+    assert(staticExchanges.isEmpty,
+      s"static (index) side was exchanged in the micro-batch plan:\n$plan")
+    // the join must actually be the shuffle-based one (broadcast was
+    // disabled) — a vacuously exchange-free broadcast plan proves
+    // nothing about co-location
+    assert(plan.toString.contains("SortMergeJoin") ||
+      plan.toString.contains("ShuffledHashJoin"),
+      s"expected a shuffle-based join in:\n$plan")
+
+    // value parity: the bucketed standing index serves exactly the
+    // hits the plain (unbucketed) corpus relation serves
+    val streamed = spark.table("colocated_search")
+      .select("query_id", "cand_id", "cos_sim")
+    val plain = graft.operators.StreamingParity.vectorSearchHits(
+      incoming.toDF("vec_id", "embedding"),
+      graft.operators.StreamingParity.vectorIndexOf(
+        all.filter(col("vec_id") % 4 =!= 0)), radius = 2)
+      .select("query_id", "cand_id", "cos_sim")
+    assert(streamed.exceptAll(plain).isEmpty && plain.exceptAll(streamed).isEmpty,
+      "bucketed index changed the hit set")
+  }
 }
