@@ -304,6 +304,7 @@ object StreamingParity {
     liveDirs.add(dir)
     val q = withStateParts(s, 8) {
       hits.writeStream
+        .queryName(name)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           summarize(batch).write.mode("overwrite").parquet(s"$dir/batch_id=$id")
         }
