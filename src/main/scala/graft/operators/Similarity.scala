@@ -1679,6 +1679,38 @@ object Similarity {
     * + the selected budget. */
   private[graft] def streamSearchOracleDuck(width: Int, soft: Int,
       maxRadius: Int, targetMicro: Long, cosSql: String): String =
+    streamSearchCtesDuck(width, soft, maxRadius, targetMicro, cosSql) +
+      s"""
+         |SELECT query_id, n_candidates, cos_sim AS best_cos,
+         | cand_id AS best_cand, s.budget FROM (
+         | SELECT query_id, cand_id, cos_sim,
+         |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+         |    AS n_candidates,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, cand_id) AS rn
+         | FROM hits) CROSS JOIN sel s WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of q238's STREAMING top-k retrieval: the same
+    * calibrated-budget probe pipeline as [[streamSearchOracleDuck]],
+    * finalized as the full per-query top-`k` ranking (the q234 output
+    * shape) instead of the best-1 summary. */
+  private[graft] def streamTopKOracleDuck(width: Int, soft: Int,
+      maxRadius: Int, targetMicro: Long, k: Int, cosSql: String): String =
+    streamSearchCtesDuck(width, soft, maxRadius, targetMicro, cosSql) +
+      s"""
+         |SELECT query_id, cand_id, probe_hamming, cos_sim, rn, s.budget
+         |FROM (
+         | SELECT query_id, cand_id, probe_hamming, cos_sim,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, cand_id) AS rn
+         | FROM hits) CROSS JOIN sel s WHERE rn <= $k""".stripMargin
+
+  /** Shared CTE prologue of the streaming-search oracles: bucketed
+    * corpus/incoming splits, the corpus-restricted calibration curve
+    * feeding the budget selection (`sel`), and the budget-gated
+    * `hits` relation (query_id, cand_id, probe_hamming, cos_sim). */
+  private def streamSearchCtesDuck(width: Int, soft: Int,
+      maxRadius: Int, targetMicro: Long, cosSql: String): String =
     s"""WITH wb AS (SELECT vec_id, embedding,
        |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
        |cwb AS (SELECT * FROM wb WHERE vec_id % 4 <> 0),
@@ -1717,20 +1749,13 @@ object Similarity {
        |  FROM wb WHERE vec_id % 4 = 0),
        |${marginProbeCtesDuckFor("q", "i", width, soft, maxRadius)},
        |hits AS (
-       | SELECT q.query_id, c.vec_id AS cand_id, $cosSql AS cos_sim
+       | SELECT q.query_id, c.vec_id AS cand_id, p.h AS probe_hamming,
+       |  $cosSql AS cos_sim
        | FROM iprobes p JOIN q USING (query_id)
        | JOIN (SELECT vec_id, embedding AS cv, bucket FROM cwb)
        |   c(vec_id, cv, bucket)
        |  ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id
-       | WHERE p.h <= (SELECT budget FROM sel))
-       |SELECT query_id, n_candidates, cos_sim AS best_cos,
-       | cand_id AS best_cand, s.budget FROM (
-       | SELECT query_id, cand_id, cos_sim,
-       |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
-       |    AS n_candidates,
-       |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos_sim DESC, cand_id) AS rn
-       | FROM hits) CROSS JOIN sel s WHERE rn = 1""".stripMargin
+       | WHERE p.h <= (SELECT budget FROM sel))""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"

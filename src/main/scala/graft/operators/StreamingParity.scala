@@ -112,6 +112,37 @@ object StreamingParity {
       corpus: DataFrame, radius: Int = 2): DataFrame =
     vectorSearchSummary(vectorSearchHits(incomingRaw, corpus, radius))
 
+  /** q238's per-query TOP-K ranking — the q234 output shape
+    * (query_id, cand_id, probe_hamming, cos_sim, rn), computed over a
+    * hit relation. Like [[vectorSearchSummary]] this is a plain batch
+    * aggregation the streaming runner applies per micro-batch: the
+    * window partitions by query_id, and every hit of a query lives in
+    * the one batch that carried the query, so the per-batch ranking
+    * IS the global ranking. */
+  private[graft] def vectorSearchTopK(hits: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("probe_hamming"),
+        col("cos_sim"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Shared front of q237/q238 — calibrated flip budget (q236's
+    * selector on the corpus split, memoized) + the CacheRegistry-
+    * persisted standing index + the stateless hit stream over the
+    * arriving `% 4 = 0` split. Returns (budget, hits). */
+  private def streamSearchFront(s: SparkSession, d: String): (Int, DataFrame) = {
+    val corpusEmb = Tables(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0)
+    val budget = Similarity.selectMarginBudget(corpusEmb,
+      tag = s"streamvec:$d", targetRecallMicro = 40000L)
+    val corpus = graft.CacheRegistry.getOrPersist(s,
+      s"streamvec.corpus:w16:$d") { vectorIndexOf(corpusEmb) }
+    val incoming = embStream(s, d).filter(col("vec_id") % 4 === 0)
+    (budget, vectorSearchHits(incoming, corpus, budget))
+  }
+
   /** Corpus-index builder shared by q237 and its spec: the standing
     * side of the stream-static search, bucketed at width 16. */
   private[graft] def vectorIndexOf(emb: DataFrame): DataFrame =
@@ -721,15 +752,24 @@ object StreamingParity {
     // StreamingOpsSpec), each micro-batch costs O(batch × probes)
     // broadcast-joined probe rows.
     "q237_stream_vector_search" -> ((s, d) => {
-      val corpusEmb = Tables(s, d, "embeddings").filter(col("vec_id") % 4 =!= 0)
-      val budget = Similarity.selectMarginBudget(corpusEmb,
-        tag = s"streamvec:$d", targetRecallMicro = 40000L)
-      val corpus = graft.CacheRegistry.getOrPersist(s,
-        s"streamvec.corpus:w16:$d") { vectorIndexOf(corpusEmb) }
-      val incoming = embStream(s, d).filter(col("vec_id") % 4 === 0)
-      runPerBatchToParquet(vectorSearchHits(incoming, corpus, budget),
-        "stream-vecsearch") { b =>
+      val (budget, hits) = streamSearchFront(s, d)
+      runPerBatchToParquet(hits, "stream-vecsearch") { b =>
         vectorSearchSummary(b).withColumn("budget", lit(budget))
+      }
+    }),
+
+    // q238: STREAMING TOP-K RETRIEVAL — the serving-shape completion
+    // of q237: per arriving query the full top-5 ranking (the q234
+    // batch-search output shape: cand_id, probe_hamming, cos_sim,
+    // rn), not just the best-1 summary — what an online retrieval
+    // tier actually returns to its caller. Same calibrated budget,
+    // same standing index, same state-free per-batch emission; the
+    // per-batch window ranking IS the global ranking because every
+    // hit of a query lives in the one batch that carried the query.
+    "q238_stream_vector_topk" -> ((s, d) => {
+      val (budget, hits) = streamSearchFront(s, d)
+      runPerBatchToParquet(hits, "stream-vectopk") { b =>
+        vectorSearchTopK(b, 5).withColumn("budget", lit(budget))
       }
     }),
 
@@ -1014,6 +1054,17 @@ object StreamingParity {
       val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
       Similarity.streamSearchOracleDuck(width = 16, soft = 10, maxRadius = 5,
         targetMicro = 40000L, cosSql = cosSql)
+    },
+
+    // q238's twin: the same calibrated-budget pipeline finalized as
+    // the per-query top-5 ranking instead of the best-1 summary
+    "q238_stream_vector_topk" -> {
+      val dotQC = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+      val dotQQ = "list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+      val dotCC = "list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+      val cosSql = s"round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 4)"
+      Similarity.streamTopKOracleDuck(width = 16, soft = 10, maxRadius = 5,
+        targetMicro = 40000L, k = 5, cosSql = cosSql)
     },
 
     "q103_stream_left_outer_join" ->

@@ -117,6 +117,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q238 streaming top-k retrieval across micro-batches equals the all-at-once batch ranking") {
+    import spark.implicits._
+    // q237's delivery discipline applied to the TOP-K form: the
+    // per-batch window ranking must union to the global ranking,
+    // which holds because every hit of a query lives in the one
+    // batch that carried the query
+    val all = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val corpus = StreamingParity.vectorIndexOf(
+      all.filter(_.vec_id % 4 != 0).toSeq.toDF("vec_id", "embedding"))
+    val incoming = all.filter(_.vec_id % 4 == 0).sortBy(_.vec_id).take(30).toSeq
+
+    val stream = MemoryStream[Vec](32, spark, None)
+    val hits = StreamingParity.vectorSearchHits(stream.toDF(), corpus,
+      radius = 2)
+    val streamed = StreamingParity.runPerBatchToParquet(hits, "spec-vectopk",
+      drive = q => incoming.grouped(10).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      })(b => StreamingParity.vectorSearchTopK(b, 3))
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val cols = Seq("query_id", "cand_id", "probe_hamming", "cos_sim", "rn")
+    val got = keyed(streamed.select(cols.head, cols.tail: _*).collect())
+    val batch = keyed(StreamingParity.vectorSearchTopK(
+      StreamingParity.vectorSearchHits(
+        incoming.toDF("vec_id", "embedding"), corpus, radius = 2), 3)
+      .select(cols.head, cols.tail: _*).collect())
+    assert(got == batch,
+      "micro-batch boundaries changed the streaming top-k ranking")
+    assert(got.nonEmpty, "no query ranked any candidate — vacuous spec")
+    // ranks are dense from 1 per query
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq, s"query $qid")
+    }
+  }
+
   test("q237's streamed budget stamp equals the batch selector's choice on the same corpus") {
     // r14 verdict #2: the streaming search must take its flip budget
     // from selectMarginBudget at index-build time, not a hard-coded
