@@ -486,6 +486,11 @@ object StreamScaleEvidence {
       * mass at 10M queries inside a sane evidence-run wall time.
       * Incoming ids are offset by the corpus size so the id spaces
       * are disjoint (the gate's %4-split discipline, same effect).
+      * This measurement covers q238 (streaming top-k) too: q238 runs
+      * the IDENTICAL streaming plan — same hit stream, same
+      * foreachBatch runner — differing only in which batch-local
+      * aggregation summarizes each batch (window top-k vs groupBy
+      * best-1), which holds no streaming state either way.
       */
     def runVectorSearch(): Unit = {
       stats.clear()
