@@ -174,6 +174,13 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq
     assert(budgets == Seq(expected),
       s"streamed budget stamp $budgets != selector's choice $expected")
+    // q238 rides the same front (streamSearchFront) — its stamp must
+    // be the same selection
+    val res238 = graft.SparkEntry.queries("q238_stream_vector_topk")(spark, d)
+    val budgets238 = res238.select(col("budget")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    assert(budgets238 == Seq(expected),
+      s"q238 budget stamp $budgets238 != selector's choice $expected")
   }
 
   test("signature-scheme checkpoint guard fails loudly on a cross-version resume") {
