@@ -293,7 +293,12 @@ object StreamingParity {
   // parquet result dirs of prior per-batch gate runs (foreachBatch
   // sink) — deleted on the next invocation, mirroring dropPriorSinks:
   // the CURRENT run's dir must survive (the caller consumes the
-  // returned DataFrame lazily), prior runs' dirs are dead weight
+  // returned DataFrame lazily), prior runs' dirs are dead weight.
+  // Same single-driver contract as liveSinks: gate queries run
+  // sequentially, and a caller must consume a returned result before
+  // constructing the next per-batch query (a concurrent caller would
+  // drop a live run's dir, exactly as dropPriorSinks would drop a
+  // live run's temp view)
   private val liveDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def dropPriorDirs(): Unit = {
     var d = liveDirs.poll()
