@@ -94,7 +94,11 @@ object PipeBench {
       try {
         val loc = new java.io.File(getClass.getProtectionDomain
           .getCodeSource.getLocation.toURI)
-        val p = new ProcessBuilder("git", "-C", loc.getPath,
+        // classes dir, or the jar's PARENT dir when running from a
+        // jar (`git -C <file>` always fails; the jar's directory is
+        // inside the building repo for an in-repo build)
+        val anchor = if (loc.isFile) loc.getParentFile else loc
+        val p = new ProcessBuilder("git", "-C", anchor.getPath,
           "rev-parse", "--short", "HEAD")
           .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes()).trim

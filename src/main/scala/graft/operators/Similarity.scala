@@ -1615,6 +1615,49 @@ object Similarity {
        | CAST(COALESCE(s.n_hit, 0) * 4000 AS BIGINT) AS recall_micro
        |FROM radii r LEFT JOIN stats s USING (probe_radius)""".stripMargin
 
+  /** Calibration-curve → budget-selection CTE block shared by the
+    * q236 and q237/q238 oracles (extracted r15 review — a selection
+    * fix must hit all three twins at once): brute-force truth for
+    * `qcte`'s hash-sampled queries over `corpusCte`, the `prefix`'d
+    * margin-probe relations at `maxRadius`, per-radius recall stats,
+    * and `sel(budget)` = the smallest qualifying flip budget with the
+    * maxRadius fallback — mirroring [[selectMarginBudget]]. Emits
+    * CTEs `truth`, `{prefix}probes` (et al.), `radii`, `ranked`,
+    * `stats`, `sel`; callers must not redefine those names. */
+  private def budgetSelectionCtesDuck(qcte: String, prefix: String,
+      corpusCte: String, width: Int, soft: Int, maxRadius: Int,
+      targetMicro: Long, cosSql: String): String =
+    s"""truth AS (SELECT query_id, cand_id FROM (
+       | SELECT $qcte.query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY $qcte.query_id
+       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
+       | FROM $qcte, (SELECT vec_id, embedding AS cv FROM $corpusCte)
+       |   c(vec_id, cv)
+       | WHERE $qcte.query_id <> c.vec_id) WHERE rn <= 5),
+       |${marginProbeCtesDuckFor(qcte, prefix, width, soft, maxRadius)},
+       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
+       |ranked AS (
+       | SELECT probe_radius, query_id, cand_id,
+       |  row_number() OVER (PARTITION BY probe_radius, query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rn
+       | FROM (
+       |  SELECT r.probe_radius, $qcte.query_id, c.vec_id AS cand_id,
+       |   $cosSql AS cos_sim
+       |  FROM ${prefix}probes p JOIN $qcte USING (query_id)
+       |  JOIN radii r ON p.h <= r.probe_radius
+       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM $corpusCte)
+       |    c(vec_id, cv, bucket)
+       |   ON c.bucket = xor($qcte.qbucket, p.bmask)
+       |    AND $qcte.query_id <> c.vec_id)),
+       |stats AS (SELECT probe_radius,
+       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS n_hit
+       | FROM ranked k LEFT JOIN truth t
+       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
+       | GROUP BY 1),
+       |sel AS (SELECT CAST(COALESCE(MIN(probe_radius), $maxRadius) AS INT)
+       |  AS budget FROM stats WHERE n_hit * 4000 >= $targetMicro)""".stripMargin
+
   /** DuckDB twin of [[marginProbeSearchAuto]] (q236): the q235 curve
     * CTEs feed a MIN-over-qualifying-budgets selection, which gates
     * the search's probe set — the selector made relational. */
@@ -1624,34 +1667,8 @@ object Similarity {
        |   ${bucketSqlDuck("embedding", width)} AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
        |  FROM wb $hashSampleDuck),
-       |truth AS (SELECT query_id, cand_id FROM (
-       | SELECT q.query_id, c.vec_id AS cand_id,
-       |  row_number() OVER (PARTITION BY q.query_id
-       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
-       | FROM q, (SELECT vec_id, embedding AS cv FROM wb) c(vec_id, cv)
-       | WHERE q.query_id <> c.vec_id) WHERE rn <= 5),
-       |${marginProbeCtesDuck(width, soft, maxRadius)},
-       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
-       |ranked AS (
-       | SELECT probe_radius, query_id, cand_id,
-       |  row_number() OVER (PARTITION BY probe_radius, query_id
-       |    ORDER BY cos_sim DESC, cand_id) AS rn
-       | FROM (
-       |  SELECT r.probe_radius, q.query_id, c.vec_id AS cand_id,
-       |   $cosSql AS cos_sim
-       |  FROM probes p JOIN q USING (query_id)
-       |  JOIN radii r ON p.h <= r.probe_radius
-       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM wb)
-       |    c(vec_id, cv, bucket)
-       |   ON c.bucket = xor(q.qbucket, p.bmask) AND q.query_id <> c.vec_id)),
-       |stats AS (SELECT probe_radius,
-       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
-       |    THEN 1 ELSE 0 END) AS n_hit
-       | FROM ranked k LEFT JOIN truth t
-       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
-       | GROUP BY 1),
-       |sel AS (SELECT CAST(COALESCE(MIN(probe_radius), $maxRadius) AS INT)
-       |  AS budget FROM stats WHERE n_hit * 4000 >= $targetMicro)
+       |${budgetSelectionCtesDuck("q", "", "wb", width, soft, maxRadius,
+           targetMicro, cosSql)}
        |SELECT query_id, cand_id, probe_hamming, cos_sim, rn, budget FROM (
        | SELECT query_id, cand_id, probe_hamming, cos_sim, budget,
        |  row_number() OVER (PARTITION BY query_id
@@ -1716,35 +1733,8 @@ object Similarity {
        |cwb AS (SELECT * FROM wb WHERE vec_id % 4 <> 0),
        |calq AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
        |  FROM cwb $hashSampleDuck),
-       |truth AS (SELECT query_id, cand_id FROM (
-       | SELECT calq.query_id, c.vec_id AS cand_id,
-       |  row_number() OVER (PARTITION BY calq.query_id
-       |    ORDER BY $cosSql DESC, c.vec_id) AS rn
-       | FROM calq, (SELECT vec_id, embedding AS cv FROM cwb) c(vec_id, cv)
-       | WHERE calq.query_id <> c.vec_id) WHERE rn <= 5),
-       |${marginProbeCtesDuckFor("calq", "c", width, soft, maxRadius)},
-       |radii(probe_radius) AS (VALUES ${radiiValuesDuck(maxRadius)}),
-       |ranked AS (
-       | SELECT probe_radius, query_id, cand_id,
-       |  row_number() OVER (PARTITION BY probe_radius, query_id
-       |    ORDER BY cos_sim DESC, cand_id) AS rn
-       | FROM (
-       |  SELECT r.probe_radius, calq.query_id, c.vec_id AS cand_id,
-       |   $cosSql AS cos_sim
-       |  FROM cprobes p JOIN calq USING (query_id)
-       |  JOIN radii r ON p.h <= r.probe_radius
-       |  JOIN (SELECT vec_id, embedding AS cv, bucket FROM cwb)
-       |    c(vec_id, cv, bucket)
-       |   ON c.bucket = xor(calq.qbucket, p.bmask)
-       |    AND calq.query_id <> c.vec_id)),
-       |stats AS (SELECT probe_radius,
-       |  sum(CASE WHEN rn <= 5 AND t.query_id IS NOT NULL
-       |    THEN 1 ELSE 0 END) AS n_hit
-       | FROM ranked k LEFT JOIN truth t
-       |  ON t.query_id = k.query_id AND t.cand_id = k.cand_id
-       | GROUP BY 1),
-       |sel AS (SELECT CAST(COALESCE(MIN(probe_radius), $maxRadius) AS INT)
-       |  AS budget FROM stats WHERE n_hit * 4000 >= $targetMicro),
+       |${budgetSelectionCtesDuck("calq", "c", "cwb", width, soft, maxRadius,
+           targetMicro, cosSql)},
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
        |  FROM wb WHERE vec_id % 4 = 0),
        |${marginProbeCtesDuckFor("q", "i", width, soft, maxRadius)},

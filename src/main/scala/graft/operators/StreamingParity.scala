@@ -290,27 +290,33 @@ object StreamingParity {
     s.table(name)
   }
 
-  // parquet result dirs of prior per-batch gate runs (foreachBatch
-  // sink) — deleted on the next invocation, mirroring dropPriorSinks:
-  // the CURRENT run's dir must survive (the caller consumes the
-  // returned DataFrame lazily), prior runs' dirs are dead weight.
-  // Same single-driver contract as liveSinks: gate queries run
-  // sequentially, and a caller must consume a returned result before
-  // constructing the next per-batch query (a concurrent caller would
-  // drop a live run's dir, exactly as dropPriorSinks would drop a
-  // live run's temp view)
-  private val liveDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def dropPriorDirs(): Unit = {
-    var d = liveDirs.poll()
-    while (d != null) {
-      try {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .delete(p, true)
-      } catch { case _: Throwable => () }
-      d = liveDirs.poll()
-    }
-  }
+  // parquet result dirs of per-batch gate runs (foreachBatch sink):
+  // always local JVM temp dirs (Files.createTempDirectory), deleted
+  // by ONE shutdown hook at JVM exit rather than eagerly — so a
+  // returned DataFrame stays readable for the whole session (no
+  // use-after-free when a caller constructs several results before
+  // consuming any — r15 review), and unlike the driver-heap memory
+  // sinks liveSinks must free mid-session, these dirs only cost
+  // bounded local disk (per-query summaries at gate scale)
+  private val liveDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val dirCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = liveDirs.poll()
+      while (d != null) {
+        try {
+          val walk = java.nio.file.Files.walk(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            // deepest-first so directories are empty when deleted
+            walk.iterator().asScala.toSeq.reverse.foreach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          } finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+        d = liveDirs.poll()
+      }
+    }, "graft-perbatch-dir-cleanup"))
 
   /** Run a STATELESS hit stream to completion through `foreachBatch`,
     * applying `summarize` (a plain batch aggregation) per micro-batch
@@ -335,9 +341,10 @@ object StreamingParity {
         _.processAllAvailable())(
       summarize: DataFrame => DataFrame): DataFrame = {
     val s = hits.sparkSession
-    dropPriorDirs()
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
-    liveDirs.add(dir)
+    dirCleanupHook
+    val dirPath = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    liveDirs.add(dirPath)
+    val dir = dirPath.toString
     val q = withStateParts(s, 8) {
       hits.writeStream
         .queryName(name)
