@@ -207,17 +207,41 @@ object Bench {
     require(cs.map(_._1).distinct.size == cs.size,
       "compact bench keys collide after zero-stripping: " +
         cs.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
-    val (shown, rest) = cs.partition(_._2 >= restThresholdCs)
-    val compact = fmt(shown.map { case (k, v) => k -> v.toString })
     // "failed" is ALWAYS present (12 bytes when empty): the file
     // artifact carries it unconditionally and a consumer indexing
     // parsed["failed"] must not break precisely on clean runs
     val failedCompact = fmt(failures.sortBy(_._1)
       .map { case (k, _) => key(k) -> "\"error\"" })
-    println(s"""{"metric":"total","value":${math.round(total * 100) / 100.0
-      },"unit":"sec","phase":$phaseStr,"q_unit":"cs","queries":$compact,"rest":{"n":${rest.size
-      },"cs":${rest.map(_._2).sum}},"failed":$failedCompact,"sf":"${
-        new java.io.File(sfDir).getName}"}""")
+    // r15 regression: the fixed 15 cs fold threshold let the line
+    // outgrow the driver's ~2 KB tail window at 238 queries —
+    // BENCH_r15.json lost its "metric"/"value"/"phase" prefix and
+    // q1–q8, breaking tools/bench_movers.py. Two fixes (r15 verdict
+    // #1): (a) the threshold is now ADAPTIVE — the line is re-folded
+    // at successively coarser thresholds until it fits the budget, so
+    // growth in query count can never push the head out of the
+    // window again; (b) total/phase are REPEATED at the very END of
+    // the line ("totals"), so even a line truncated at the front
+    // still carries the round's headline numbers in the surviving
+    // tail.
+    def compactAt(thresholdCs: Long): (String, Long) = {
+      val (shown, rest) = cs.partition(_._2 >= thresholdCs)
+      val compact = fmt(shown.map { case (k, v) => k -> v.toString })
+      val line = s"""{"metric":"total","value":${math.round(total * 100) / 100.0
+        },"unit":"sec","phase":$phaseStr,"q_unit":"cs","thr_cs":$thresholdCs,"queries":$compact,"rest":{"n":${rest.size
+        },"cs":${rest.map(_._2).sum}},"failed":$failedCompact,"sf":"${
+          new java.io.File(sfDir).getName}","totals":{"value":${math.round(total * 100) / 100.0
+        },"phase":$phaseStr}}"""
+      (line, thresholdCs)
+    }
+    // Budget: 2048-byte driver window − ~90 B sbt "[success] ..."
+    // suffix − slack. Overridable for driver-window drift.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_COMPACT_BUDGET", "1750").toInt
+    val thresholds = Seq(restThresholdCs, 20L, 25L, 30L, 40L, 50L, 75L,
+      100L, 150L, 200L, 300L, 500L, 1000L, Long.MaxValue)
+    val (line, _) = thresholds.iterator.map(compactAt)
+      .find(_._1.length <= budget)
+      .getOrElse(compactAt(Long.MaxValue))
+    println(line)
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries FAILED: " +
         failures.map(_._1).mkString(", "))
