@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def build(master: String, shufflePartitions: Int): SparkSession = {
+    val stateProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions)
@@ -66,9 +68,26 @@ object GraftSession {
       // RocksDB memory vs 11 MB ON-HEAP (all versions) under HDFS,
       // and changelog commit stays O(batch) (289 ms for a 77 k-put
       // batch).
-      .config("spark.sql.streaming.stateStore.providerClass",
-        sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .config("spark.sql.streaming.stateStore.providerClass", stateProvider)
+      // Stream-stream join state format v3 (Spark 4): the four state
+      // stores a v2 join keeps PER PARTITION PER SIDE-PAIR
+      // (keyToNumValues / keyWithIndexToValue × 2 sides) collapse
+      // into ONE RocksDB store with virtual column families. Every
+      // store instance pays a fixed per-batch load/commit/changelog
+      // tax regardless of its size — the dominant cost of the
+      // streaming joins at gate volume (measured: a 2-row flush
+      // batch spent ~2.4 s of summed commit + ~3.0 s of summed
+      // update time across q219's 16 v2 join stores), and at
+      // production scale 4× the instances means 4× the snapshot/
+      // changelog files per checkpoint. v3 requires the RocksDB
+      // provider (virtual column families are a RocksDB feature), so
+      // it tracks the provider choice: an HDFS-store override falls
+      // back to the v2 default. Format is pinned into the checkpoint
+      // at first start; state LAYOUT only — join results are
+      // identical (oracle-gated q80/q103/q113/q219).
+      .config("spark.sql.streaming.join.stateFormatVersion",
+        sys.env.getOrElse("SPARK_GRAFT_JOIN_STATE_FORMAT",
+          if (stateProvider.contains("RocksDB")) "3" else "2"))
       // Changelog checkpointing: commit only the batch's delta to the
       // checkpoint location instead of re-uploading a full RocksDB
       // snapshot zip per store per micro-batch. Snapshot cost is

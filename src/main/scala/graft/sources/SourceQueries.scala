@@ -66,8 +66,19 @@ object SourceQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_micro")).as("total_micro"))
-      val q = agg.writeStream.outputMode("complete")
+      // 8 state partitions, not the session's core count (r16): the
+      // complete-mode agg keeps one state store per shuffle partition
+      // and re-opens/commits EVERY one of them in EVERY micro-batch —
+      // at 32 partitions × 5 batches that is 160 store commits for a
+      // 5-group aggregate. Same sizing rationale as StreamingParity's
+      // withStateParts: state partitions follow state volume, never
+      // core count (a real deployment sets this per-query; the value
+      // is pinned into the checkpoint at first start).
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       try q.processAllAvailable() finally q.stop()
       s.table(name)
     }))
