@@ -126,6 +126,16 @@ object CacheRegistry {
     ()
   }
 
+  /** Drop ONE keyed scalar memo so the next [[getOrComputeLong]] with
+    * the same key recomputes. The targeted sibling of
+    * `clear(dropScalars = true)` for callers (specs, fixture rewrites)
+    * that must invalidate a single calibration without dropping every
+    * other session memo out from under concurrent work (r15 ADVICE). */
+  def releaseScalar(spark: SparkSession, key: String): Unit = {
+    scalars.remove((sid(spark), key))
+    ()
+  }
+
   /** Unpersist every relation this session registered. The weak
     * liveness handle is KEPT (it pins nothing): scalar memos survive
     * clear() by contract, and purgeDead can only ever reach them

@@ -98,12 +98,40 @@ object PipeBench {
         // jar (`git -C <file>` always fails; the jar's directory is
         // inside the building repo for an in-repo build)
         val anchor = if (loc.isFile) loc.getParentFile else loc
-        val p = new ProcessBuilder("git", "-C", anchor.getPath,
-          "rev-parse", "--short", "HEAD")
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes()).trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) Some(out)
-        else None
+        def git(args: String*): Option[String] = {
+          val p = new ProcessBuilder(("git" +: "-C" +: anchor.getPath +: args): _*)
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes()).trim
+          if (p.waitFor() == 0) Some(out) else None
+        }
+        git("rev-parse", "--short", "HEAD")
+          .filter(_.matches("[0-9a-f]{6,40}"))
+          .map { sha =>
+            // Staleness markers (r15 ADVICE): rev-parse records the
+            // repo's CURRENT head, not necessarily the commit that
+            // compiled these classes. Make a wrong stamp
+            // distinguishable: "-dirty" when the tree has uncommitted
+            // changes, "-stale" when HEAD is newer than the newest
+            // compiled .class (the build predates the commit).
+            val dirty = git("status", "--porcelain").exists(_.nonEmpty)
+            val stale = (for {
+              ctStr <- git("log", "-1", "--format=%ct")
+              ct <- ctStr.toLongOption
+            } yield {
+              val newestClass = {
+                val walk = Files.walk(loc.toPath)
+                try {
+                  import scala.jdk.CollectionConverters._
+                  walk.iterator().asScala
+                    .filter(_.toString.endsWith(".class"))
+                    .map(Files.getLastModifiedTime(_).toMillis / 1000)
+                    .foldLeft(0L)(math.max)
+                } finally walk.close()
+              }
+              newestClass > 0 && newestClass < ct
+            }).getOrElse(false)
+            sha + (if (dirty) "-dirty" else "") + (if (stale) "-stale" else "")
+          }
       } catch { case _: Throwable => None })
     val commitField = commit.map(c => s""","commit":"$c"""").getOrElse("")
     val json =

@@ -521,13 +521,27 @@ object StreamScaleEvidence {
       val t0 = System.nanoTime()
       // ~40 MB index: explicitly broadcast — the alternative is the
       // bucketed-table co-location pinned in StreamingOpsSpec; either
-      // way the probe stream never repartitions the corpus
-      val emitted = graft.operators.StreamingParity.runPerBatchToParquet(
-        graft.operators.StreamingParity.vectorSearchHits(
-          stream, broadcast(corpus), radius),
-        "streamscale-q237")(
-        graft.operators.StreamingParity.vectorSearchSummary)
-        .persist()
+      // way the probe stream never repartitions the corpus.
+      // ONE foreachBatch emits BOTH gate tails from the SHARED hit
+      // stream (r15 verdict #5): q237's best-1 summary AND q238's
+      // top-5 window ranking — the part of q238 the "identical
+      // streaming plan" argument did not cover is exactly this
+      // per-batch ranking, so it is measured here at 10M rather than
+      // argued. Still zero stateful operators either way.
+      val hits = graft.operators.StreamingParity.vectorSearchHits(
+        stream, broadcast(corpus), radius)
+      val sumDir = java.nio.file.Files.createTempDirectory("streamscale-q237").toString
+      val topkDir = java.nio.file.Files.createTempDirectory("streamscale-q238").toString
+      val q = hits.writeStream.queryName("streamscale-q237")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.StreamingParity.vectorSearchSummary(b)
+            .write.mode("overwrite").parquet(s"$sumDir/batch_id=$id")
+          graft.operators.StreamingParity.vectorSearchTopK(b, 5)
+            .write.mode("overwrite").parquet(s"$topkDir/batch_id=$id")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val emitted = spark.read.parquet(sumDir).drop("batch_id").persist()
       val nEmitted = emitted.count()
       val secs = (System.nanoTime() - t0) / 1e9
 
@@ -586,6 +600,35 @@ object StreamScaleEvidence {
           s"$maxStateMem bytes, $maxCommit ms commit) — a stateful " +
           "operator crept back into the streaming tail")
       emitted.unpersist(blocking = false)
+
+      // ---- q238 rank-set parity (r15 verdict #5): the per-batch
+      // top-5 window ranking must equal the all-at-once batch twin's
+      // ranking for every query — the one part of q238 the "identical
+      // streaming plan" argument could not cover ----
+      val topkEmitted = spark.read.parquet(topkDir).drop("batch_id")
+        .select(col("query_id"), col("rn"),
+          col("cand_id"), col("probe_hamming"), col("cos_sim"))
+      val topkTwin = graft.operators.StreamingParity.vectorSearchTopK(
+        graft.operators.StreamingParity.vectorSearchHits(
+          vecsOf(spark.read.format("graft.sources.SyntheticEvents")
+            .option("numRows", n.toString).load().select(col("id"))),
+          broadcast(corpus), radius), 5)
+        .select(col("query_id"), col("rn"), col("cand_id").as("o_cand"),
+          col("probe_hamming").as("o_ham"), col("cos_sim").as("o_cos"))
+      val topkMismatch = topkEmitted.join(topkTwin, Seq("query_id", "rn"), "full")
+        .filter(col("cand_id").isNull || col("o_cand").isNull ||
+          col("cand_id") =!= col("o_cand") ||
+          col("probe_hamming") =!= col("o_ham") ||
+          col("cos_sim") =!= col("o_cos"))
+        .count()
+      val nTopk = topkEmitted.count()
+      val nTopkQueries = topkEmitted.select(col("query_id")).distinct().count()
+      println(f"\nSUMMARY[q238] rows=$n topkRows=$nTopk " +
+        f"queries=$nTopkQueries rankMismatches=$topkMismatch " +
+        "(same run/batches/state metrics as SUMMARY[q237] — one " +
+        "foreachBatch emitted both tails)")
+      require(topkMismatch == 0,
+        s"[q238] $topkMismatch (query, rank) rows disagree with the batch twin")
       corpus.unpersist(blocking = false)
     }
 

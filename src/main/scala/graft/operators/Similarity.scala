@@ -838,12 +838,20 @@ object Similarity {
     * never share a memo, and a new session always recalibrates.
     * Selection is deterministic from the curve, so the DuckDB oracle
     * reproduces it with a MIN-over-qualifying-radii subquery (q236). */
+  /** The exact memo key [[selectMarginBudget]] calibrates under —
+    * exposed so a caller invalidating one calibration
+    * (CacheRegistry.releaseScalar) names the key by construction
+    * instead of by copy. */
+  private[graft] def marginBudgetKey(tag: String, targetRecallMicro: Long,
+      width: Int = 16, soft: Int = 10, maxRadius: Int = 5): String =
+    s"similarity.marginbudget:$tag:$width:$soft:$maxRadius:$targetRecallMicro"
+
   private[graft] def selectMarginBudget(e0: DataFrame, tag: String,
       targetRecallMicro: Long, width: Int = 16, soft: Int = 10,
       maxRadius: Int = 5): Int = {
     require(targetRecallMicro > 0, "target recall must be positive micro-units")
     graft.CacheRegistry.getOrComputeLong(e0.sparkSession,
-        s"similarity.marginbudget:$tag:$width:$soft:$maxRadius:$targetRecallMicro") {
+        marginBudgetKey(tag, targetRecallMicro, width, soft, maxRadius)) {
       marginRecallCurveOf(e0, width, soft, maxRadius)
         .orderBy(col("probe_radius")).collect()
         .find(_.getAs[Long]("recall_micro") >= targetRecallMicro)

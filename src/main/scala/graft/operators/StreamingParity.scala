@@ -338,19 +338,32 @@ object StreamingParity {
     * to infer a schema from). */
   private[graft] def runPerBatchToParquet(hits: DataFrame, name: String,
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _.processAllAvailable())(
+        _.processAllAvailable(),
+      durable: Option[(String, String)] = None)(
       summarize: DataFrame => DataFrame): DataFrame = {
     val s = hits.sparkSession
-    dirCleanupHook
-    val dirPath = java.nio.file.Files.createTempDirectory(s"graft-$name")
-    liveDirs.add(dirPath)
-    val dir = dirPath.toString
+    // `durable = Some((resultDir, checkpointDir))` gives the run REAL
+    // restart semantics (r15 ADVICE): results land under the caller's
+    // resultDir and the offset WAL under its checkpointDir, so a
+    // killed query restarted with the same pair resumes from the WAL
+    // and a REPLAYED batch re-overwrites its own batch_id= directory
+    // instead of duplicating rows — exercised by the kill/restart
+    // spec in StreamingOpsSpec. The default (gate runs) keeps the
+    // ephemeral JVM-temp result dir + temp checkpoint: idempotent
+    // within a run, no recovery expected.
+    val dir = durable.map(_._1).getOrElse {
+      dirCleanupHook
+      val dirPath = java.nio.file.Files.createTempDirectory(s"graft-$name")
+      liveDirs.add(dirPath)
+      dirPath.toString
+    }
     val q = withStateParts(s, 8) {
-      hits.writeStream
+      val w = hits.writeStream
         .queryName(name)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           summarize(batch).write.mode("overwrite").parquet(s"$dir/batch_id=$id")
         }
+      durable.fold(w) { case (_, ck) => w.option("checkpointLocation", ck) }
         .start()
     }
     try drive(q) finally q.stop()

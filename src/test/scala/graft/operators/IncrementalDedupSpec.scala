@@ -169,6 +169,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .filter(col("vec_id") % 4 =!= 0)
     val expected = Similarity.selectMarginBudget(corpusEmb,
       tag = s"streamvec:$d", targetRecallMicro = 40000L)
+    // drop the memo the line above populated (r15 ADVICE): otherwise
+    // the gate below is SERVED this very entry and the assert could
+    // never catch it calibrating from a wrong corpus/tag — releasing
+    // the key forces the gate to recalibrate independently
+    graft.CacheRegistry.releaseScalar(spark,
+      Similarity.marginBudgetKey(s"streamvec:$d", 40000L))
     val res = graft.SparkEntry.queries("q237_stream_vector_search")(spark, d)
     val budgets = res.select(col("budget")).distinct().collect()
       .map(_.getInt(0)).toSeq

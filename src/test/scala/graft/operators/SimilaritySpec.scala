@@ -773,6 +773,13 @@ class SimilaritySpec extends AnyFunSuite {
     val dfB = (0 until 200).map(i => (i.toLong, vecB(i))).toDF("vec_id", "embedding")
     val tag = "staleness-contract-spec"
 
+    // SEQUENTIAL-SUITE ASSUMPTION (r15 ADVICE): the global
+    // clear(dropScalars = true) below is the DOCUMENTED invalidation
+    // path this test pins, but it drops every session memo — safe
+    // here only because this build runs suites sequentially in one
+    // forked JVM (Test/fork := true, no testForkedParallel). A build
+    // that turns on intra-JVM suite parallelism must scope these two
+    // clears to this test's own tag via CacheRegistry.releaseScalar.
     graft.CacheRegistry.clear(spark, dropScalars = true)
     val bA = Similarity.selectMarginBudget(dfA, tag, targetRecallMicro = 900000L)
     assert(bA == 0, s"clustered same-bucket corpus should select budget 0, got $bA")
