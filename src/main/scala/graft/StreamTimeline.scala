@@ -22,12 +22,31 @@ object StreamTimeline {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // STREAM_PLAN_OUT=<file>: also capture the streaming query's OWN
+    // executed micro-batch plan (the batch-side explain of the gate
+    // function only shows the post-sink read) — resolved via the
+    // query handle on its first progress event.
+    val planOut = sys.env.get("STREAM_PLAN_OUT")
+    val planSaved = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
         progress.add(s"--- query started ${e.name} at ${System.nanoTime() / 1000000} ms")
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
+        planOut.foreach { path =>
+          if (planSaved.compareAndSet(false, true)) {
+            try {
+              val q = spark.streams.get(p.id)
+              val plan = org.apache.spark.sql.graftbridge.Bridge
+                .lastMicroBatchPlan(q)
+                .map(_.toString).getOrElse("")
+              if (plan.nonEmpty)
+                java.nio.file.Files.writeString(java.nio.file.Paths.get(path), plan)
+              else planSaved.set(false)
+            } catch { case _: Throwable => planSaved.set(false) }
+          }
+        }
         val state = p.stateOperators.map { so =>
           s"${so.operatorName}{commit=${so.commitTimeMs}ms, upd=${so.allUpdatesTimeMs}ms, " +
             s"rm=${so.allRemovalsTimeMs}ms, rows=${so.numRowsTotal}}"
