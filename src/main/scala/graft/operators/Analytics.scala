@@ -122,11 +122,10 @@ object Analytics {
     // recipe joins a broadcast rate dim), and nothing shuffles before
     // the per-source rollup.
     "q107_source_mix" -> ((s, d) => {
-      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      // one-md5 u16 decode (conv), not per-digit instr — see q99
       t(s, d, "documents")
         .withColumn("h", md5(concat(lit("mix|"), col("doc_id").cast("string"))))
-        .withColumn("u16",
-          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        .withColumn("u16", expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)"))
         .withColumn("thresh",
           (expr("CAST(substr(source, 4) AS INT)") % 4 + 1) * 8192)
         .groupBy(col("source"))
@@ -497,18 +496,20 @@ object Analytics {
     // probability proportional to its weight (quantity/50), decided
     // by a deterministic md5-derived uniform so the sample is
     // reproducible across runs, partitionings, and engines (the same
-    // portability construction as q54/q85: hex digits decoded via
-    // instr, compared in exact integer arithmetic). This is the
-    // temperature/quality-weighted downsample step of a training-data
-    // pipeline, as a pure scan-side filter — no shuffle at all before
-    // the final rollup.
+    // portability construction as q54/q85, compared in exact integer
+    // arithmetic). This is the temperature/quality-weighted downsample
+    // step of a training-data pipeline, as a pure scan-side filter —
+    // no shuffle at all before the final rollup. The u16 decode is ONE
+    // md5 + conv: the previous per-hex-digit instr expansion inlined
+    // the md5 into each of its four digit references when the
+    // projection collapsed into the pushed filter — four md5
+    // evaluations per scanned row (r16 plan audit; same value, the
+    // oracle keeps the instr spelling since DuckDB lacks conv).
     "q99_weighted_sample" -> ((s, d) => {
-      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
       t(s, d, "lineitem")
         .withColumn("h", md5(concat(col("l_orderkey").cast("string"),
           lit("|"), col("l_linenumber").cast("string"))))
-        .withColumn("u16",
-          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        .withColumn("u16", expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)"))
         // u16/65536 < qty/50  ⇔  u16*50 < qty*65536 (exact integers)
         .filter(col("u16") * lit(50.0) < col("l_quantity") * lit(65536.0))
         .groupBy(col("l_returnflag"))

@@ -537,11 +537,10 @@ object Analytics2 {
     // runs and partitionings). Per-split counts/chars/langs are the
     // manifest a training job records. Scan-side map + one tiny agg.
     "q135_dataset_split" -> ((s, d) => {
-      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      // one-md5 u16 decode (conv), not per-digit instr — see q99
       t(s, d, "documents")
         .withColumn("h", md5(concat(lit("split|"), col("doc_id").cast("string"))))
-        .withColumn("u16",
-          expr(s"${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)}"))
+        .withColumn("u16", expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)"))
         .withColumn("split",
           when(col("u16") < 52429, "train")
             .when(col("u16") < 58982, "val").otherwise("test"))

@@ -498,14 +498,16 @@ object Analytics3 {
     // keys, so map-side combine collapses each doc locally and the
     // one shuffle carries ~1 row/doc. Exact integers end-to-end.
     "q146_quality_classifier" -> ((s, d) => {
-      def dig(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      // one-md5 u16 decode (conv), not per-digit instr — see q99; at
+      // scale this runs per token OCCURRENCE, so the 4x md5 the
+      // collapsed projection used to evaluate was the hot path
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
             .as("tok"))
         .withColumn("h", md5(col("tok").cast("binary")))
-        .withColumn("wt", expr(
-          s"(${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)})") % 61 - 30)
+        .withColumn("wt",
+          expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)") % 61 - 30)
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_tok"),
           sum(col("wt")).as("score"))

@@ -153,6 +153,23 @@ object TextDedup {
   private def simhashSumCols: Seq[String] =
     (0 until SimHashBits).map(b => s"sum(${simhashContrib(b)}) AS s$b")
 
+  // Spark-side one-hash decode (r16): the instr-per-digit spelling
+  // above stays for the ORACLE (DuckDB has no conv), but on the Spark
+  // side it put md5(tok) inside every per-bit sum — 16 (60) md5
+  // evaluations per token occurrence in the partial aggregate. Spark
+  // decodes the hex prefix ONCE per token (conv → integer column) and
+  // each bit contribution is a shift+mask on that integer: bit b of
+  // the token hash = bit (3 - b%4) of hex digit b/4+1, i.e. bit
+  // 4*(3 - b/4) + (3 - b%4) of u16 (4*(14 - b/4) + (3 - b%4) of u60).
+  // Values are bit-identical to the instr expansion by construction.
+  private def simhashContribSpark(b: Int): String = {
+    val shift = 4 * (3 - b / 4) + (3 - b % 4)
+    s"(2 * (CAST(shiftright(u16, $shift) AS INT) % 2) - 1)"
+  }
+
+  private def simhashSumColsSpark: Seq[String] =
+    (0 until SimHashBits).map(b => s"sum(${simhashContribSpark(b)}) AS s$b")
+
   private def simhashFingerprint: String =
     (0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * ${1L << b}")
       .mkString(" + ")
@@ -180,6 +197,15 @@ object TextDedup {
   private def simhash60SumCols: Seq[String] =
     (0 until SimHash60Bits).map(b => s"sum(${simhash60Contrib(b)}) AS s$b")
 
+  // Spark-side one-hash decode — see simhashContribSpark
+  private def simhash60ContribSpark(b: Int): String = {
+    val shift = 4 * (14 - b / 4) + (3 - b % 4)
+    s"(2 * (CAST(shiftright(u60, $shift) % 2 AS INT)) - 1)"
+  }
+
+  private def simhash60SumColsSpark: Seq[String] =
+    (0 until SimHash60Bits).map(b => s"sum(${simhash60ContribSpark(b)}) AS s$b")
+
   private def simhash60Fp: String =
     (0 until SimHash60Bits)
       .map(b => s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * CAST(${1L << b} AS BIGINT)")
@@ -192,10 +218,11 @@ object TextDedup {
       t(s, d, "documents")
         .select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("u60"))
         .groupBy(col("doc_id"))
-        .agg(expr(simhash60SumCols.head).as("s0"),
-          simhash60SumCols.tail.map(c => expr(c)): _*)
+        .agg(expr(simhash60SumColsSpark.head).as("s0"),
+          simhash60SumColsSpark.tail.map(c => expr(c)): _*)
         .select(col("doc_id"), expr(s"CAST($simhash60Fp AS BIGINT)").as("fp"))
     }
 
@@ -625,9 +652,11 @@ object TextDedup {
       t(s, d, "documents")
         .select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS INT)").as("u16"))
         .groupBy(col("doc_id"))
-        .agg(expr(simhashSumCols.head).as("s0"),
-          simhashSumCols.tail.map(c => expr(c)): _*)
+        .agg(expr(simhashSumColsSpark.head).as("s0"),
+          simhashSumColsSpark.tail.map(c => expr(c)): _*)
         .select(col("doc_id"), expr(s"CAST($simhashFingerprint AS BIGINT)").as("simhash"))
     }),
 
