@@ -264,12 +264,21 @@ object TextDedup {
     * q228 feeds it the CANDIDATE-doc subset instead of the corpus. */
   private def sigFromShingles(sh: DataFrame): DataFrame = {
     // lanes 4i..4i+3 = the four 32-bit hex quarters of seeded md5 i
-    // — 16 MinHash permutations for 4 md5 evaluations (see scaladoc)
+    // — 16 MinHash permutations for 4 md5 evaluations (see scaladoc).
+    // The md5s are MATERIALIZED as projection columns below the agg
+    // (r16): inlining the md5 Column into each min() put the md5
+    // inside all four of its quarter lanes — 16 md5 evaluations per
+    // shingle row in the partial aggregate (r16 plan audit on q228) —
+    // while a projected column below the groupBy survives
+    // CollapseProject (non-cheap, multi-referenced) and runs once.
+    val withHashes = sh.select(col("doc_id") +: (0 until 4).map { i =>
+      md5(concat(lit(s"$i|"), col("shingle")).cast("binary")).as(s"m$i")
+    }: _*)
     val laneAggs = (0 until 4).flatMap { i =>
-      val h = md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))
-      (0 until 4).map(q => min(substring(h, 8 * q + 1, 8)).as(s"h${4 * i + q}"))
+      (0 until 4).map(q =>
+        min(substring(col(s"m$i"), 8 * q + 1, 8)).as(s"h${4 * i + q}"))
     }
-    sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
+    withHashes.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
   }
 
   private[graft] def minhashBandsOf(s: SparkSession, docs: DataFrame,
