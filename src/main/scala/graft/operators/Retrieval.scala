@@ -327,12 +327,10 @@ object Retrieval {
         .agg(min(struct(col("doc_id"), col("cs"))).as("first"))
         .select(col("fp"), col("first.doc_id").as("doc_id"))
       deduped
-        .withColumn("h0", expr("instr('0123456789abcdef', substr(fp, 1, 1)) - 1"))
-        .withColumn("chk",
-          expr("""(instr('0123456789abcdef', substr(fp, 1, 1)) - 1) * 4096
-                 | + (instr('0123456789abcdef', substr(fp, 2, 1)) - 1) * 256
-                 | + (instr('0123456789abcdef', substr(fp, 3, 1)) - 1) * 16
-                 | + (instr('0123456789abcdef', substr(fp, 4, 1)) - 1)""".stripMargin))
+        // one-conv decodes (oracle keeps the instr spelling; identical
+        // values — see the q99 rationale in Analytics.scala)
+        .withColumn("h0", expr("CAST(conv(substr(fp, 1, 1), 16, 10) AS INT)"))
+        .withColumn("chk", expr("CAST(conv(substr(fp, 1, 4), 16, 10) AS INT)"))
         .groupBy((col("h0") % 8).cast("int").as("shard"))
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("doc_id")).as("n_docs"),

@@ -763,10 +763,11 @@ object TextDedup {
     // hashes are fixed md5, data is fixed). All-integer arithmetic.
     "q85_heavy_hitters" -> ((s, d) => {
       val w = 4096 // 3 md5 hex digits
+      // one-conv 12-bit bucket decode (the oracle keeps the per-digit
+      // instr spelling — same value, see the q99 rationale in
+      // Analytics.scala)
       def bucket(md5Col: String): String =
-        s"((instr('0123456789abcdef', substr($md5Col, 1, 1)) - 1) * 256" +
-          s" + (instr('0123456789abcdef', substr($md5Col, 2, 1)) - 1) * 16" +
-          s" + (instr('0123456789abcdef', substr($md5Col, 3, 1)) - 1))"
+        s"CAST(conv(substr($md5Col, 1, 3), 16, 10) AS INT)"
       // UNFILTERED shingles: the df cap would remove exactly the heavy
       // hitters this query exists to find
       val ex = shingles(s, d)
