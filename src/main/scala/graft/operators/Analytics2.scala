@@ -367,13 +367,22 @@ object Analytics2 {
           .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"),
             sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
       }
-      val ranked = agg
-        .join(ScalableRank.globalRowNumber(agg,
-            "r_rev", col("revenue").desc, col("l_partkey"))
-          .select(col("l_partkey"), col("r_rev")), "l_partkey")
-        .join(ScalableRank.globalRowNumber(agg,
-            "r_qty", col("qty").desc, col("l_partkey"))
-          .select(col("l_partkey"), col("r_qty")), "l_partkey")
+      // both rankings fused into ONE groupedRowNumber pass over a
+      // tagged union (r17 — see the q138 comment: same job-count
+      // rationale, same exactness argument; negated DECIMAL(22,2)
+      // sums on DECIMAL(38,2) are exact, so per-tag (ord, l_partkey)
+      // is bit-identical to (metric desc, l_partkey))
+      val tagged = Seq((1, -col("revenue")), (2, -col("qty")))
+        .map { case (tg, ordv) =>
+          agg.select(col("l_partkey"), lit(tg).as("tag"),
+            ordv.cast("decimal(38,2)").as("ord"))
+        }.reduce(_ unionByName _)
+      val ranked = ScalableRank
+        .groupedRowNumber(tagged, Seq("tag"), "_rank",
+          col("ord"), col("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("tag") === 1, col("_rank"))).as("r_rev"),
+          max(when(col("tag") === 2, col("_rank"))).as("r_qty"))
       ranked
         .withColumn("rrf_micro",
           expr("1000000 div (60 + r_rev) + 1000000 div (60 + r_qty)"))
@@ -633,20 +642,38 @@ object Analytics2 {
       val base = graft.CacheRegistry.getOrPersist(s, s"analytics2.q138base:$d") {
         perCust.crossJoin(broadcast(nTotal))
       }
-      def quart(out: String, ord: org.apache.spark.sql.Column*): DataFrame =
-        ScalableRank.globalRowNumber(base, "_rank", ord: _*)
-          .select(col("o_custkey"),
-            (expr("((_rank - 1) * 4) div n_total") + 1).cast("int").as(out))
-      // r7 experiment, measured and REVERTED: materializing the three
-      // quartile relations eagerly on separate threads (Future +
-      // localCheckpoint each) changed warm time by <3% at sf0.1 — AQE
-      // already materializes the three independent rank subtrees'
-      // query stages concurrently inside the single lazy plan, so the
-      // one-DAG form below keeps the simpler lifecycle at equal cost.
-      val scored = base
-        .join(quart("r", col("recency_days"), col("o_custkey")), "o_custkey")
-        .join(quart("f", col("frequency").desc, col("o_custkey")), "o_custkey")
-        .join(quart("m", col("monetary").desc, col("o_custkey")), "o_custkey")
+      // The three quartile rankings FUSED into one groupedRowNumber
+      // pass (r17, guide §2.4): r15/r16 ran three independent
+      // globalRowNumber calls over the same persisted base — three
+      // range-sampling passes, three offset jobs, three broadcast-join
+      // round-trips, strictly sequential fixed cost (the r16 8-core
+      // run was 2× FASTER than 32-core: pure job-count overhead, not
+      // data). Each metric becomes a tagged projection of base with
+      // its sort key encoded on a common exact type — DECIMAL(38,2)
+      // holds recency days (int), negated frequency (count) and
+      // negated DECIMAL(22,2) monetary exactly, so the per-tag
+      // (ord, o_custkey) order is bit-identical to the previous
+      // (metric [desc], o_custkey) orders — and one rank pass over the
+      // 3× union replaces all three. Same formula, same n_total, same
+      // tiebreaks: oracle-gated value-identical.
+      val tagged = Seq(
+        (1, col("recency_days").cast("decimal(38,2)")),
+        (2, (-col("frequency")).cast("decimal(38,2)")),
+        (3, (-col("monetary")).cast("decimal(38,2)"))
+      ).map { case (tg, ordv) =>
+        base.select(col("o_custkey"), col("monetary"), col("n_total"),
+          lit(tg).as("tag"), ordv.as("ord"))
+      }.reduce(_ unionByName _)
+      val scored = ScalableRank
+        .groupedRowNumber(tagged, Seq("tag"), "_rank",
+          col("ord"), col("o_custkey"))
+        .withColumn("q", (expr("((_rank - 1) * 4) div n_total") + 1).cast("int"))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("tag") === 1, col("q"))).as("r"),
+          max(when(col("tag") === 2, col("q"))).as("f"),
+          max(when(col("tag") === 3, col("q"))).as("m"),
+          // every custkey carries the same monetary on all 3 tag rows
+          max(col("monetary")).as("monetary"))
       // final cast to DOUBLE: output columns are never DecimalType
       // (driver-compare stringify contract — see the r7 policy note in
       // Analytics.scala and OutputTypePolicySpec); the money math above
@@ -763,33 +790,56 @@ object Analytics2 {
     // than the event log), and the old snapshot's closed runs are
     // untouched — the whole point of incremental maintenance.
     "q142_scd2_merge" -> ((s, d) => {
-      // gaps-and-islands run list of one event slice (no valid_to yet)
-      def runs(ev: DataFrame): DataFrame = {
-        val byUser = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts"), col("event_id"))
-        ev.withColumn("grp",
-            row_number().over(byUser) - row_number().over(byUserType))
-          .groupBy(col("user_id"), col("event_type"), col("grp"))
-          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-          .drop("grp")
-      }
-      val ev = t(s, d, "events")
-      val old = runs(ev.filter(dayofmonth(col("ts")) <= 15))
-      val delta = runs(ev.filter(dayofmonth(col("ts")) >= 16))
-      val lastFrom = Window.partitionBy(col("user_id"))
-      val oldF = old.withColumn("is_open",
-        col("valid_from") === max(col("valid_from")).over(lastFrom))
-      val deltaF = delta.withColumn("is_first",
-        col("valid_from") === min(col("valid_from")).over(lastFrom))
+      // r17 restructure (guide §2.4 / verdict #2) — value-identical,
+      // measured 3× subtree re-execution removed. The r16 plan built
+      // the old/delta run lists as two independent window+agg
+      // pipelines and then re-executed oldF/deltaF/fused in every
+      // union branch (only the SCAN exchange was reused): oldF ran
+      // 3×, deltaF 3×, fused 2× (plans/r17/q142_scd2_merge_before.txt,
+      // ~10 AQE stages). Now:
+      //  - ONE pass computes both run lists: `side` joins every
+      //    window/group key, and row_number over (user_id, side[,
+      //    event_type]) restricted to one side's rows is EXACTLY
+      //    row_number over that side's filtered slice (the filter IS
+      //    the side), so per-side runs and grp ids are bit-identical;
+      //  - is_open/is_first come from one more window over the same
+      //    single hash(user_id) exchange (max/min per (user_id, side)
+      //    ≡ the per-slice max/min of the old formulation);
+      //  - one lazy localCheckpoint materializes the flagged run list
+      //    ONCE for all four consumers below (the q144 pattern; an
+      //    explicit repartition was tried first and did NOT stick:
+      //    Catalyst pushes the side/flag filters through the exchange
+      //    into per-consumer re-derived pipelines, so only a plan
+      //    barrier shares the work) — bounded blocks, run-scoped, the
+      //    run list is orders smaller than the event log;
+      //  - both anti-joins consume the SAME `fused` relation (the
+      //    projection difference was what blocked broadcast reuse),
+      //    differing only in which fused column the condition tests.
+      val sideEv = t(s, d, "events")
+        .withColumn("side", when(dayofmonth(col("ts")) <= 15, 0).otherwise(1))
+      val byUS = Window.partitionBy(col("user_id"), col("side"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUST = Window.partitionBy(col("user_id"), col("side"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wSide = Window.partitionBy(col("user_id"), col("side"))
+      val flagged = sideEv
+        .withColumn("grp",
+          row_number().over(byUS) - row_number().over(byUST))
+        .groupBy(col("user_id"), col("side"), col("event_type"), col("grp"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .drop("grp")
+        .withColumn("is_open", col("side") === 0 &&
+          col("valid_from") === max(col("valid_from")).over(wSide))
+        .withColumn("is_first", col("side") === 1 &&
+          col("valid_from") === min(col("valid_from")).over(wSide))
+      val runsX = flagged.localCheckpoint(false)
       // the only cross-slice interaction: open old run × first delta
       // run of the same user AND state fuse into one continued run.
       // `fused` carries both originals' valid_from so each side's
       // anti-join removes EXACTLY the run it replaced (a later delta
       // run may legitimately repeat the fused state).
-      val fused = oldF.filter(col("is_open")).as("o")
-        .join(deltaF.filter(col("is_first")).as("n"),
+      val fused = runsX.filter(col("is_open")).as("o")
+        .join(runsX.filter(col("is_first")).as("n"),
           col("o.user_id") === col("n.user_id") &&
             col("o.event_type") === col("n.event_type"))
         .select(col("o.user_id").as("user_id"),
@@ -797,16 +847,14 @@ object Analytics2 {
           col("o.valid_from").as("valid_from"),
           col("n.valid_from").as("delta_from"),
           (col("o.n_events") + col("n.n_events")).as("n_events"))
-      val oldKept = oldF.drop("is_open").as("r")
-        .join(fused.select(col("user_id"), col("valid_from")).as("f"),
-          col("r.user_id") === col("f.user_id") &&
-            col("r.valid_from") === col("f.valid_from"), "left_anti")
-      val deltaKept = deltaF.drop("is_first").as("r")
-        .join(fused.select(col("user_id"), col("delta_from")).as("f"),
-          col("r.user_id") === col("f.user_id") &&
-            col("r.valid_from") === col("f.delta_from"), "left_anti")
-      val all = oldKept.unionByName(fused.drop("delta_from"))
-        .unionByName(deltaKept)
+      def kept(side: Int, fusedCol: String): DataFrame =
+        runsX.filter(col("side") === side)
+          .drop("side", "is_open", "is_first").as("r")
+          .join(fused.as("f"),
+            col("r.user_id") === col("f.user_id") &&
+              col("r.valid_from") === col(s"f.$fusedCol"), "left_anti")
+      val all = kept(0, "valid_from").unionByName(fused.drop("delta_from"))
+        .unionByName(kept(1, "delta_from"))
       all.withColumn("valid_to",
           lead(col("valid_from"), 1).over(
             Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))

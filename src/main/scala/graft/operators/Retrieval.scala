@@ -209,13 +209,21 @@ object Retrieval {
           .join(tf, Seq("doc_id"), "left")
           .na.fill(0L, Seq("tf"))
       }
-      val ranked = base
-        .join(graft.operators.ScalableRank.globalRowNumber(base,
-            "ra", col("tf").desc, col("doc_id"))
-          .select(col("doc_id"), col("ra")), "doc_id")
-        .join(graft.operators.ScalableRank.globalRowNumber(base,
-            "rb", col("n_chars").desc, col("doc_id"))
-          .select(col("doc_id"), col("rb")), "doc_id")
+      // both rankings fused into ONE groupedRowNumber pass over a
+      // tagged union (r17 — q138's job-count rationale; both metrics
+      // are BIGINTs, so the negated sort key is exact and per-tag
+      // (ord, doc_id) is bit-identical to (metric desc, doc_id))
+      val tagged = Seq((1, col("tf")), (2, col("n_chars")))
+        .map { case (tg, m) =>
+          base.select(col("doc_id"), lit(tg).as("tag"),
+            (-m.cast("long")).as("ord"))
+        }.reduce(_ unionByName _)
+      val ranked = graft.operators.ScalableRank
+        .groupedRowNumber(tagged, Seq("tag"), "_rank",
+          col("ord"), col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("tag") === 1, col("_rank"))).as("ra"),
+          max(when(col("tag") === 2, col("_rank"))).as("rb"))
       ranked
         .select(col("doc_id"),
           expr("1000000L div (60L + ra) + 1000000L div (60L + rb)")

@@ -104,6 +104,59 @@ object ScalableRank {
         "(pid << 33) + offset layout — derived local ranks are invalid"))
       .cast("long"), lit(0L))
 
+  /** Per-group 1-based row number over the total order `ord` WITHIN
+    * each `groupCols` group, as column `out` — the union-tag fusion of
+    * N independent [[globalRowNumber]] calls into ONE range exchange
+    * (r17, guide §2.4: operations keyed the same way share one
+    * exchange). q138/q128/q174 rank the SAME persisted aggregate by
+    * 2–3 different metrics; as separate globalRowNumber calls each
+    * metric pays its own range-sampling pass, offset job and broadcast
+    * join round-trip — pure sequential fixed cost (the 8-core bench
+    * runs FASTER than 32-core on these, r16 verdict). Tagging each
+    * metric's projection and ranking the union per tag does all
+    * metrics in one sampling pass + one exchange + one offset job.
+    *
+    * Equivalent to
+    * `row_number().over(Window.partitionBy(groupCols).orderBy(ord: _*))`
+    * without putting any whole group through one task: the range
+    * partition on (group, ord) splits big groups across partitions and
+    * the per-(partition, group) offsets stitch them (same construction
+    * as [[groupedCumSum]], but rank-by-position instead of a weight
+    * accumulator, so no mapPartitions scan is needed).
+    *
+    * Local rank WITHOUT a second exchange: after sortWithinPartitions,
+    * monotonically_increasing_id() increments by exactly 1 per row
+    * within a partition in row order, and group rows are CONTIGUOUS
+    * inside a partition (the sort leads with the group columns), so
+    * (id − min id of the (partition, group) slice) is the 0-based rank
+    * inside the slice. min id and the slice counts come from the same
+    * tiny O(partitions × groups) aggregate that provides the offsets.
+    * The id-layout assumption is guarded in-plan exactly like
+    * globalRowNumber: each slice's id span must equal its row count or
+    * the query fails loudly ([[layoutGuard]]).
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String], out: String,
+      ord: Column*): DataFrame = {
+    requireExchangeReuse(df)
+    val gcols = groupCols.map(col)
+    val ranged = df.repartitionByRange((gcols ++ ord): _*)
+      .sortWithinPartitions((gcols ++ ord): _*)
+      .withColumn("_srk_pid", spark_partition_id())
+      .withColumn("_srk_mid", monotonically_increasing_id())
+    val offs = ranged.groupBy((col("_srk_pid") +: gcols): _*)
+      .agg(count(lit(1)).as("_srk_c"), min(col("_srk_mid")).as("_srk_min"),
+        max(col("_srk_mid")).as("_srk_max"))
+      .withColumn("_srk_off", coalesce(sum(col("_srk_c")).over(
+        Window.partitionBy(gcols: _*).orderBy(col("_srk_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+        layoutGuard(col("_srk_max") - col("_srk_min") + 1, col("_srk_c")))
+      .select((col("_srk_pid") +: gcols :+ col("_srk_min") :+ col("_srk_off")): _*)
+    ranged.join(broadcast(offs), "_srk_pid" +: groupCols)
+      .withColumn(out,
+        col("_srk_off") + (col("_srk_mid") - col("_srk_min")) + lit(1L))
+      .drop("_srk_pid", "_srk_mid", "_srk_min", "_srk_off")
+  }
+
   /** Appends, per `groupCols` group in `orderCol` order, the running
     * (inclusive) sum of `weightCol` as `out` and the group total as
     * `totalOut` (q141's per-type percentile ranks come from this,

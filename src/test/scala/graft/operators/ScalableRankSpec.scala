@@ -36,6 +36,35 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(ranks.toSeq === (1L to 10007L))
   }
 
+  test("groupedRowNumber equals the per-group window row_number") {
+    // the q138/q128/q174 fusion shape: one relation ranked per tag by
+    // different sort keys, with ties in the sort key (the custkey
+    // tiebreak column must resolve them identically to the window)
+    val df = graft.Tables(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+      .select(col("o_orderkey"), (col("o_custkey") % 7).as("tag"),
+        (-col("o_totalprice")).as("ord"))
+    val got = ScalableRank
+      .groupedRowNumber(df, Seq("tag"), "rk", col("ord"), col("o_orderkey"))
+      .select(col("tag"), col("o_orderkey"), col("rk"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exp = df.withColumn("rk", row_number()
+        .over(Window.partitionBy(col("tag"))
+          .orderBy(col("ord"), col("o_orderkey"))).cast("long"))
+      .select(col("tag"), col("o_orderkey"), col("rk"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+
+  test("groupedRowNumber stitches one giant group split across every partition") {
+    val df = spark.range(0, 10007)
+      .select(lit(1).as("tag"), (col("id") * 37 % 10007).as("k"))
+    val ranks = ScalableRank.groupedRowNumber(df, Seq("tag"), "rk", col("k"))
+      .select(col("rk")).as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 10007L))
+  }
+
   test("groupedCumSum stitches one giant group split across every partition") {
     // the whole point of the helper: a single group larger than any
     // one partition — offsets must chain exactly across the seams
