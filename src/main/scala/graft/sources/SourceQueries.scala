@@ -48,21 +48,25 @@ object SourceQueries {
     }),
 
     // q184: the SAME aggregate through the connector's micro-batch
-    // path — 4 admission-controlled batches of 12500 rows replayed
+    // path — 2 admission-controlled batches of 25000 rows replayed
     // through the offset WAL into a complete-mode streaming aggregate.
     // Matching q183's oracle minus the filter proves the offset ranges
     // tile [0, N) exactly once (no gap, no overlap) — the delivery
     // property the reference buys with ack-after-finalize. (Batch
     // count is the fixed per-micro-batch tax, not a data cost: the
     // spec drives the finer 3000-row granularity; the gate needs >1
-    // batch, not 10.)
+    // batch, not 10 — r17 takes the 4-batch r16 shape to the 2-batch
+    // minimum that still exercises WAL replay across a batch seam:
+    // each micro-batch pays full planning + one open/commit per state
+    // store, ~0.25 s of pure machinery at gate volume, and the
+    // complete-mode result is identical at any batch granularity.)
     "q184_synth_stream_replay" -> ((s, _) => {
       dropPriorSinks(s)
       val name = s"synth_replay_${runId.incrementAndGet()}"
       liveSinks.add((s, name))
       val agg = s.readStream.format("graft_synth")
         .option("numRows", N).option("slices", 8)
-        .option("rowsPerBatch", 12500).load()
+        .option("rowsPerBatch", 25000).load()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_micro")).as("total_micro"))
