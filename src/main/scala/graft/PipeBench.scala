@@ -113,9 +113,18 @@ object PipeBench {
             // distinguishable: "-dirty" when the tree has uncommitted
             // changes, "-stale" when HEAD is newer than the newest
             // compiled .class (the build predates the commit).
+            // The marker is ADVISORY with a known false-positive
+            // window (r16 ADVICE #3): committing immediately after
+            // building — classes compiled from a tree identical to
+            // the new HEAD — stamps "-stale" although the build is
+            // current. Comparing against the newest commit touching
+            // src/ narrows but cannot close that window (a src-only
+            // commit right after its own build has the same shape),
+            // so the reading is: "-stale" = REBUILD BEFORE TRUSTING,
+            // never = "the numbers are wrong".
             val dirty = git("status", "--porcelain").exists(_.nonEmpty)
             val stale = (for {
-              ctStr <- git("log", "-1", "--format=%ct")
+              ctStr <- git("log", "-1", "--format=%ct", "--", "src")
               ct <- ctStr.toLongOption
             } yield {
               val newestClass = {

@@ -632,6 +632,15 @@ object StreamScaleEvidence {
       require(topkMismatch == 0,
         s"[q238] $topkMismatch (query, rank) rows disagree with the batch twin")
       corpus.unpersist(blocking = false)
+      // r16 ADVICE #1: at evidence scale (10M queries, ~50M top-k
+      // rows) the two per-batch result trees are multi-GB — delete
+      // them once the parity checks above have passed instead of
+      // leaking them in /tmp
+      Seq(sumDir, topkDir).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
 
     if (shape == "q219" || shape == "both" || shape == "all")

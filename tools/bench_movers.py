@@ -79,6 +79,15 @@ def compact_from_tail(path: str) -> dict:
         sys.exit(f"{path}: no compact bench line in tail")
     rest_idx = tail.rfind(',"rest"', 0, m_sf.start())
     frag = tail[:rest_idx] if rest_idx != -1 else tail[:m_sf.start()]
+    # r16 ADVICE #2: anchor the fragment START at the bench line itself
+    # when any marker survived — otherwise a digit-keyed "N":M pair from
+    # unrelated output earlier in the capture window would be ingested
+    # as a query timing. Fall back to frag[0] only when no marker did.
+    for marker in ('"queries":{', '"thr_cs":'):
+        anchor = frag.rfind(marker)
+        if anchor != -1:
+            frag = frag[anchor:]
+            break
     queries = {k: int(v) for k, v in re.findall(r'"(\d+)":(\d+)', frag)}
     obj = {"q_unit": "cs", "queries": queries, "sf": m_sf.group(1),
            "recovered_from_truncated_tail": True}
